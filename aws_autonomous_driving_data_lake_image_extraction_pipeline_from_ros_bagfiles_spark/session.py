@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for a large cluster reading ~100 TB, but harmless on
+``local[*]``:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching replace hand-tuned partition counts.
+- UTC session timezone: all reference timestamps are UTC ROS times
+  (reference bagstream.py:212-216); oracle comparisons require a fixed zone.
+- Arrow enabled: every Python-side operator in this engine uses
+  pandas/Arrow batches (mapInPandas / pandas_udf), never row-at-a-time UDFs.
+- 128 MiB file split target keeps scan tasks right-sized for wide parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "ros-baglake-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster ``spark.sql.shuffle.partitions`` should be ~2-3x the
+    executor-core count; AQE coalesces down from there, so we set the local
+    default from SPARK_GRAFT_CPUS and let AQE do the rest.
+    """
+    n = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    return builder.getOrCreate()

@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at sf0.01, then compares row count, sorted column names, and an
+order-insensitive value hash (values stringified with float rounding at
+comparison level matching the driver's spirit: exact string equality after
+canonicalization).
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), ",".join(sorted(cols)), h
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as se
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = se.queries()
+    oracles = se.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            s_n, s_cols, s_h = frame_digest(scols, srows)
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {s_n} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            d_n, d_cols, d_h = frame_digest(dcols, drows)
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            failures += 1
+            continue
+        ok = (s_n, s_cols, s_h) == (d_n, d_cols, d_h)
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failures += 1
+        print(f"{status}  {name}: spark={s_n} duck={d_n} cols[{'=' if s_cols==d_cols else '!'}] hash[{'=' if s_h==d_h else '!'}] [{time.time()-t0:.1f}s]")
+        if not ok and s_cols != d_cols:
+            print(f"      spark cols: {s_cols}\n      duck  cols: {d_cols}")
+        if not ok and s_cols == d_cols and s_n == d_n:
+            # show first differing canonical rows
+            so = sorted("|".join(canon_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows)
+            do = sorted("|".join(canon_cell(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i])) for r in drows)
+            for a, b in zip(so, do):
+                if a != b:
+                    print(f"      spark row: {a}\n      duck  row: {b}")
+                    break
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
