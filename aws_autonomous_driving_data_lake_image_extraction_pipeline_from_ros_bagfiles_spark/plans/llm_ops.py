@@ -1,0 +1,317 @@
+"""Beyond-reference LLM-pipeline queries (SURVEY §7 M6): dedup, similarity
+search, text analysis over the documents/embeddings tables.
+
+Oracle strategy: every hash in these operators is md5-over-strings, so the
+DuckDB oracles replicate the *exact* pipeline (same signatures, same bands,
+same candidates) — even MinHash-LSH is fully oracle-checked, not rows-only.
+Long SQL strings are generated programmatically below to stay in lockstep
+with the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..tables import load
+from .registry import register
+
+# Shared DuckDB CTEs: word tokens, distinct 3-gram shingle lists, exploded
+# shingles, set sizes. Mirrors operators.dedup.shingles exactly.
+_SHINGLE_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl)
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — exact dedup by content fingerprint (hash-groupBy tier).
+# --------------------------------------------------------------------------
+@register(
+    "q22_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q23 — exact n-gram Jaccard near-dup pairs (shingle self-join tier).
+# --------------------------------------------------------------------------
+@register(
+    "q23_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON ia = sa.doc_id
+    JOIN sizes sb ON ib = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# q24 — MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+# The oracle rebuilds the identical 16 md5-min signatures and 4 band keys,
+# so candidate generation is checked too — not just the final pairs.
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS s{i}"
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}" for i in range(b * D.ROWS_PER_BAND, (b + 1) * D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    sigs AS (SELECT doc_id,
+                   {sig_cols}
+             FROM shl),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.2
+    """
+
+
+@register("q24_minhash_lsh", oracle=_minhash_oracle())
+def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# q25 — 32-bit SimHash fingerprints (md5-nibble-MSB votes).
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_sum(list_transform(md5s, m -> CASE WHEN substr(m, {j}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)".format(j=j)
+        for j in range(1, 33)
+    )
+    return f"""
+    WITH md5d AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS md5s
+        FROM documents
+    )
+    SELECT doc_id, {bit_exprs} AS simhash
+    FROM md5d
+    """
+
+
+@register("q25_simhash", oracle=_simhash_oracle())
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# q26 — brute-force cosine top-k (ANN baseline): 5 nearest neighbors of
+# vec_id=0. Query side broadcast; corpus scanned once; global top-k runs as
+# TakeOrderedAndProject (per-partition heap + driver merge), not a sort.
+# --------------------------------------------------------------------------
+@register(
+    "q26_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(e.embedding::DOUBLE[], (x, i) -> x * q.qe[i]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(sim, 6) AS cosine
+    FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk = S.cosine_topk(corpus, query, k=5)
+    return topk.select("vec_id", F.round("sim", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# q27 — bucket-pruned ANN (IVF coarse cell = label column): top-3 within
+# the query's bucket only. With bucket-partitioned storage this becomes a
+# partition-pruned scan — the similarity-at-scale path.
+# --------------------------------------------------------------------------
+@register(
+    "q27_ann_bucketed",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS qbucket
+               FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(e.embedding::DOUBLE[], (x, i) -> x * q.qe[i]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0 AND e.label = q.qbucket
+    )
+    SELECT vec_id, round(sim, 6) AS cosine
+    FROM sims ORDER BY sim DESC, vec_id LIMIT 3
+    """,
+)
+def q27_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("qbucket")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk = S.bucketed_topk(corpus, query, k=3)
+    return topk.select("vec_id", F.round("sim", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# q28 — per-doc quality stats (token count, mean token length, TTR).
+# --------------------------------------------------------------------------
+@register(
+    "q28_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS type_token_ratio
+    FROM documents
+    """,
+)
+def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q29 — language ID by stopword voting (argmax, alphabetical tie-break).
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    score = {
+        lang: "len(list_filter(string_split(text, ' '), t -> t IN ({})))".format(
+            ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in T.LANG_KEYWORDS.items()
+    }
+    mx = "greatest({})".format(", ".join(score.values()))
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in sorted(score)
+    ) + " END"
+    return f"""
+    SELECT doc_id, lang,
+           {case} AS pred_lang,
+           CAST({case} = lang AS INT) AS is_correct
+    FROM documents
+    """
+
+
+@register("q29_lang_id", oracle=_lang_oracle())
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = T.lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — regex token counting rolled up per source.
+# --------------------------------------------------------------------------
+@register(
+    "q30_token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS BIGINT) AS total_tokens,
+           CAST(max(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = T.token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tc).cast("bigint").alias("total_tokens"),
+        F.max(tc).cast("bigint").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — fingerprint uniqueness per source (dedup audit rollup).
+# --------------------------------------------------------------------------
+@register(
+    "q31_fingerprint_audit",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q31_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(D.text_fingerprint(F.col("text"))).alias("n_unique"),
+    )
