@@ -24,6 +24,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
 from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans import (  # noqa: F401
     llm_ops,
     nested,
+    pipeline,
     relational,
 )
 

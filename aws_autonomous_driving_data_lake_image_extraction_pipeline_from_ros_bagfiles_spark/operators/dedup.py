@@ -71,60 +71,61 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(sh: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """MinHash over md5 strings: sig_i = min(md5("i:" || shingle)).
+def minhash_signature_array(sh: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature as ONE array column:
+    ``sig[i] = min(md5(i || ":" || shingle))``.
 
     The lexicographic minimum of a cryptographic hash is a valid min-wise
-    permutation; computing it per-row with array_min keeps the whole
-    signature inside codegen — zero shuffles, zero explodes.
+    permutation. Built as a single nested higher-order expression
+    (transform over hash indices, inner transform over shingles) so the —
+    expensive — shingle array is evaluated once per row, not once per hash
+    function; everything stays inside codegen with zero shuffles/explodes.
 
-    NB: the per-hash prefix is bound via a closure factory, NOT a lambda
-    default argument — PySpark infers higher-order-function arity from the
-    Python signature, so ``lambda s, i=i`` would silently become the
-    (element, index) binary form.
+    NB: per-hash state is bound through the *outer* lambda variable, never
+    a lambda default argument — PySpark infers higher-order-function arity
+    from the Python signature, so ``lambda s, i=i`` would silently become
+    the (element, index) binary form.
     """
-
-    def _sig(i: int) -> Column:
-        prefix = f"{i}:"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-    return [_sig(i) for i in range(num_hashes)]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_key) — one row per band, band_key = md5 of the
-    band's signature slice. Join-ready for LSH bucketing."""
-    sh = shingles(F.col(text_col))
-    sigs = minhash_signature(sh)
+    band's signature slice. Join-ready for LSH bucketing.
+
+    Two-step projection (signature array first, then band keys) so the
+    optimizer cannot inline the shingle construction once per band.
+    """
+    with_sig = df.select(
+        F.col(id_col), minhash_signature_array(shingles(F.col(text_col))).alias("sig")
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *sigs[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND])).alias(
-                    "band_key"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.element_at("sig", b * ROWS_PER_BAND + i + 1) for i in range(ROWS_PER_BAND)]
+                    )
+                ).alias("band_key"),
             )
             for b in range(BANDS)
         ]
     )
-    return df.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return with_sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
-def _jaccard_on_pairs(pairs: DataFrame, sh_long: DataFrame, id_col: str) -> DataFrame:
-    """Exact Jaccard for given (id_a, id_b) pairs from a long shingle table."""
-    sizes = sh_long.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh_long.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_long.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter) + per-doc set sizes -> jaccard column."""
+    na = sizes.select(F.col(sizes.columns[0]).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(sizes.columns[0]).alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
@@ -134,6 +135,33 @@ def _jaccard_on_pairs(pairs: DataFrame, sh_long: DataFrame, id_col: str) -> Data
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
         )
     )
+
+
+def _jaccard_on_pairs(pairs: DataFrame, sh_long: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for given candidate (id_a, id_b) pairs.
+
+    The shingle table is first semi-joined down to candidate docs (LSH
+    candidates are a vanishing fraction of the corpus, so this turns the
+    verify into joins over a few hundred rows regardless of corpus size),
+    then shared-shingle counts are computed in a single join+groupBy pass.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh_long.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(pairs), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _attach_jaccard(inter, sizes)
 
 
 def shingles_long(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -154,19 +182,25 @@ def ngram_jaccard_pairs(
     candidate blow-up linear on skewed corpora (a shingle in f docs creates
     f^2/2 candidate rows).
     """
-    sh = shingles_long(df, text_col, id_col)
+    spark = df.sparkSession
+    src = df.select(id_col, text_col).repartition(spark.sparkContext.defaultParallelism)
+    sh = shingles_long(src, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    joinable = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle").drop("f")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
+        joinable = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle").drop("f")
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    # shared-shingle counts in ONE join+groupBy pass — no materialized
+    # distinct-pair set and no second join back onto the shingle table
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return _jaccard_on_pairs(pairs, sh, id_col).filter(F.col("jaccard") >= threshold)
+    return _attach_jaccard(inter, sizes).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(
@@ -180,8 +214,16 @@ def minhash_lsh_pairs(
     The only joins are (band, band_key) equi-joins and the candidate-scoped
     verify — no all-pairs comparison anywhere, which is what makes this the
     100 TB path.
+
+    The input is repartitioned to the cluster's parallelism before signature
+    hashing (a single parquet file would otherwise pin the CPU-heavy md5
+    stage to one core), and the bands table — 4 small rows per doc — is
+    cached because the bucket self-join would recompute the signatures for
+    each side.
     """
-    bands = minhash_bands(df, text_col, id_col)
+    spark = df.sparkSession
+    src = df.select(id_col, text_col).repartition(spark.sparkContext.defaultParallelism)
+    bands = minhash_bands(src, text_col, id_col).cache()
     left = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (

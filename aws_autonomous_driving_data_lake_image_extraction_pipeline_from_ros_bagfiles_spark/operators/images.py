@@ -1,0 +1,150 @@
+"""Multimodal image operators over binary columns (F18-F21, K2/K8).
+
+Images travel as opaque ``binary`` columns with typed metadata
+(encoding/width/height) — the same shape as the decoder's image records
+and Spark's built-in image source. All transforms are Arrow-batched
+``mapInPandas`` stages operating on raw pixel buffers with numpy:
+
+- :func:`decode_frames` — raw ROS payload -> RGB pixel buffer, including
+  the BGR->RGB swizzle for ``8UC3`` (reference bagstream.py:257-259) and
+  the mode map {rgb8, rgba8, mono8, 8UC3} (:249-255)
+- :func:`blur_regions` — box-blur rectangles (the anonymizer's Gaussian
+  blur over text/face boxes, select-labelling-imgs.py:89-124; box blur
+  keeps it dependency-free and deterministic)
+- :func:`resize_shorter_edge` — proportional nearest-neighbor resize
+  (im2rec.py:163-175's resize semantics)
+
+PNG/JPEG codec encode-decode requires an image library that is not in
+this container; :func:`encode_png` is therefore an explicit stub (the
+pipeline stores raw buffers + metadata instead, which is also the right
+call at 100 TB — parquet-compressed raw planes avoid a per-frame codec
+round-trip in every downstream transform).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODED_SCHEMA = (
+    "bag string, topic string, ts timestamp, seq bigint, "
+    "img_width int, img_height int, pixels binary"
+)
+
+_CHANNELS = {"rgb8": 3, "rgba8": 4, "mono8": 1, "8UC3": 3}
+
+
+def _to_rgb(buf: bytes, encoding: str, w: int, h: int) -> np.ndarray:
+    ch = _CHANNELS.get(encoding)
+    if ch is None:
+        raise ValueError(f"unsupported encoding {encoding!r}; known: {sorted(_CHANNELS)}")
+    arr = np.frombuffer(buf, dtype=np.uint8)[: w * h * ch].reshape(h, w, ch)
+    if encoding == "8UC3":
+        arr = arr[:, :, ::-1]  # BGR -> RGB swizzle (bagstream.py:257-259)
+    if encoding == "rgba8":
+        arr = arr[:, :, :3]
+    if encoding == "mono8":
+        arr = np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """image_view rows -> normalized RGB pixel buffers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag", "topic", "ts", "seq", "img_width", "img_height"]].copy()
+            out["pixels"] = [
+                _to_rgb(bytes(d), e, w, h).tobytes()
+                for d, e, w, h in zip(
+                    pdf["img_data"], pdf["img_encoding"], pdf["img_width"], pdf["img_height"]
+                )
+            ]
+            yield out
+
+    return frames.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def _box_blur(arr: np.ndarray, radius: int) -> np.ndarray:
+    """Separable box blur via padded cumulative sums (pure numpy)."""
+    k = 2 * radius + 1
+    out = arr.astype(np.float32)
+    for axis in (0, 1):
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (radius + 1, radius)
+        padded = np.pad(out, pad, mode="edge")
+        cs = np.cumsum(padded, axis=axis)
+        out = (np.take(cs, range(k, k + arr.shape[axis]), axis=axis)
+               - np.take(cs, range(0, arr.shape[axis]), axis=axis)) / k
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def blur_pixels(buf: bytes, w: int, h: int, boxes: list[tuple[int, int, int, int]], radius: int = 7) -> bytes:
+    """Blur (x1,y1,x2,y2) pixel regions — the anonymize_PII core (F20)."""
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
+    blurred = _box_blur(arr, radius)
+    for x1, y1, x2, y2 in boxes:
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, x2), min(h, y2)
+        arr[y1:y2, x1:x2] = blurred[y1:y2, x1:x2]
+    return arr.tobytes()
+
+
+def blur_regions(decoded: DataFrame, boxes_col: str = "boxes", radius: int = 7) -> DataFrame:
+    """Blur each row's box list (array<struct<x1,y1,x2,y2>> ints)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag", "topic", "ts", "seq", "img_width", "img_height"]].copy()
+            out["pixels"] = [
+                blur_pixels(
+                    bytes(p), w, h,
+                    [(b["x1"], b["y1"], b["x2"], b["y2"]) for b in (boxes or [])],
+                    radius,
+                )
+                for p, w, h, boxes in zip(
+                    pdf["pixels"], pdf["img_width"], pdf["img_height"], pdf[boxes_col]
+                )
+            ]
+            yield out
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_pixels(buf: bytes, w: int, h: int, target_short: int) -> tuple[bytes, int, int]:
+    """Proportional nearest-neighbor resize to a shorter-edge target (F21)."""
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    scale = target_short / min(w, h)
+    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+    yi = np.minimum((np.arange(nh) / scale).astype(int), h - 1)
+    xi = np.minimum((np.arange(nw) / scale).astype(int), w - 1)
+    return arr[yi][:, xi].tobytes(), nw, nh
+
+
+def resize_shorter_edge(decoded: DataFrame, target_short: int) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_pixels(bytes(p), w, h, target_short)
+                for p, w, h in zip(pdf["pixels"], pdf["img_width"], pdf["img_height"])
+            ]
+            out = pdf[["bag", "topic", "ts", "seq"]].copy()
+            out["img_width"] = [r[1] for r in resized]
+            out["img_height"] = [r[2] for r in resized]
+            out["pixels"] = [r[0] for r in resized]
+            yield out[["bag", "topic", "ts", "seq", "img_width", "img_height", "pixels"]]
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def encode_png(*_args, **_kwargs):
+    """PNG encoding requires an image codec library not present in this
+    container (SURVEY §2.2 K2 writes PNGs via Pillow). The engine persists
+    raw pixel buffers + metadata in parquet instead; wire a codec here when
+    the runtime provides one."""
+    raise NotImplementedError(
+        "PNG encode needs Pillow/libpng; store raw pixel buffers in parquet instead"
+    )

@@ -1,0 +1,183 @@
+"""Reference-pipeline queries (SURVEY §3 entry points re-expressed).
+
+q32/q33 run the real binary bag decoder and image kit on synthesized
+fixtures (genuinely non-SQL-expressible -> rows-only checks); q34 runs the
+full enrich pipeline (detector -> explode -> pivot-max -> counts) with the
+SQL-expressible stub detector so the *entire* EP2 path is oracle-checked;
+q35 proves the streaming max-upsert is batch-equivalent (its oracle is the
+plain batch aggregation); q36 is the 60/20/20 split (A8).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.detections import detections_wide, explode_labels, stub_detector
+from ..operators.frames import with_frame_filenames, with_frame_ids
+from ..operators.images import decode_frames
+from ..sources.rosbag import decode_bag_df
+from ..sources.rosbag_fixtures import build_demo_bag
+from ..sources.topic_views import image_view, topic_view
+from ..tables import load
+from .registry import register
+
+_DETECTION_VOCAB = ["Person", "Car", "Bicycle", "Truck", "Motorcycle"]
+
+
+def _demo_records(spark: SparkSession) -> DataFrame:
+    blob = build_demo_bag(n_frames=8, bz2_chunk=True)
+    bags = spark.createDataFrame(
+        [("memory://demo-0.bag", bytearray(blob))], "path string, content binary"
+    ).coalesce(1)  # one bag -> one task; don't fan 32 python workers for it
+    return decode_bag_df(bags)
+
+
+# --------------------------------------------------------------------------
+# q32 — the scan/ETL entry point (EP1): bag bytes -> typed record counts.
+# Exercises record framing, connection registry, plain + bz2 chunks, and
+# all five payload decoders. Non-SQL-expressible -> rows-only check.
+# --------------------------------------------------------------------------
+@register("q32_bag_decode")
+def q32_bag_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _demo_records(spark)
+    return (
+        rec.groupBy("topic", "msg_type")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.min("ros_time").alias("min_ros_time"),
+            F.max("ros_time").alias("max_ros_time"),
+        )
+        .orderBy("topic")
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — frame table build (K2/A3): decode images, assign frame ids, render
+# reference-style filenames, decode pixel buffers. Rows-only.
+# --------------------------------------------------------------------------
+@register("q33_frame_table")
+def q33_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _demo_records(spark)
+    frames = with_frame_filenames(with_frame_ids(image_view(rec), tiebreak="seq"))
+    decoded = decode_frames(frames)
+    stats = decoded.select(
+        "topic", "ts", "seq", "img_width", "img_height", F.length("pixels").alias("n_bytes")
+    )
+    names = frames.select("topic", "seq", "frame_id", "img_file")
+    return names.join(stats, ["topic", "seq"]).orderBy("frame_id")
+
+
+# --------------------------------------------------------------------------
+# q34 — the enrich path (EP2) end-to-end with the stub detector, fully
+# oracle-checked: detector labels -> explode -> groupBy(ts_key, camera) ->
+# pivot max-confidence per label + VRU counts. This is the reference's
+# DynamoDB detections table as one declarative plan.
+# --------------------------------------------------------------------------
+@register(
+    "q34_detections_e2e",
+    oracle="""
+    WITH labels AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS ts_key, event_type AS camera,
+               ['Person','Car','Bicycle','Truck','Motorcycle'][CAST(event_id % 5 AS INT) + 1] AS label,
+               round(value, 3) AS confidence,
+               CAST(event_id % 3 + 1 AS INT) AS n_instances
+        FROM events
+        UNION ALL
+        SELECT strftime(ts, '%Y-%m-%d'), event_type,
+               'Person', round(value / 2, 3), 1
+        FROM events WHERE event_id % 3 = 0
+    )
+    SELECT ts_key, camera,
+           round(max(confidence) FILTER (WHERE label = 'Person'), 3) AS Person,
+           round(max(confidence) FILTER (WHERE label = 'Car'), 3) AS Car,
+           round(max(confidence) FILTER (WHERE label = 'Bicycle'), 3) AS Bicycle,
+           round(max(confidence) FILTER (WHERE label = 'Truck'), 3) AS Truck,
+           round(max(confidence) FILTER (WHERE label = 'Motorcycle'), 3) AS Motorcycle,
+           CAST(coalesce(sum(n_instances) FILTER (WHERE label = 'Person'), 0) AS BIGINT) AS ped_count,
+           CAST(coalesce(sum(n_instances) FILTER (WHERE label IN ('Bicycle','Motorcycle','Motorbike','Bike')), 0) AS BIGINT) AS wheeler_count
+    FROM labels
+    GROUP BY 1, 2
+    """,
+)
+def q34_detections_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    framed = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_key"),
+        F.col("event_type").alias("camera"),
+        stub_detector(F.col("event_id"), F.col("value")).alias("labels"),
+    )
+    long_df = explode_labels(framed)
+    return detections_wide(long_df, _DETECTION_VOCAB)
+
+
+# --------------------------------------------------------------------------
+# q35 — streaming/batch equivalence (ST1-ST3): availableNow stream over the
+# events parquet through the checkpointed foreachBatch max-upsert, then the
+# compacted state. The oracle is the plain batch aggregation — passing
+# means the incremental pipeline converges to batch semantics.
+# --------------------------------------------------------------------------
+@register(
+    "q35_streaming_upsert",
+    oracle="""
+    SELECT user_id, event_type, round(max(value), 3) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q35_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.upsert import max_upsert_stream, read_upsert_state
+    from ..tables import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    schema = spark.read.parquet(src).schema  # ts arrives as bigint nanos
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    try:
+        # the streaming file source wants a directory (it is the landing
+        # zone the reference's S3-event queue maps to) — stage the parquet
+        # into one via symlink
+        import os
+
+        os.makedirs(f"{work}/in")
+        os.symlink(src, f"{work}/in/events.parquet")
+        max_upsert_stream(
+            spark,
+            f"{work}/in",
+            schema,
+            state_dir=f"{work}/state",
+            checkpoint_dir=f"{work}/ckpt",
+            key_cols=["user_id", "event_type"],
+            value_col="value",
+        )
+        final = read_upsert_state(spark, f"{work}/state", ["user_id", "event_type"], "max_value")
+        # materialize before the temp dir disappears
+        out = final.select(
+            "user_id", "event_type", F.round("max_value", 3).alias("max_value")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q36 — deterministic 60/20/20 split (A8: ipynb cell 18 / im2rec.py:76-99).
+# randomSplit's sampling is engine-specific -> rows-only check on the split
+# cardinalities; determinism itself is asserted in tests (same seed ->
+# same assignment).
+# --------------------------------------------------------------------------
+@register("q36_random_split")
+def q36_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    train, val, test = docs.randomSplit([0.6, 0.2, 0.2], seed=42)
+    parts = [
+        train.select(F.lit("train").alias("split"), "doc_id"),
+        val.select(F.lit("val").alias("split"), "doc_id"),
+        test.select(F.lit("test").alias("split"), "doc_id"),
+    ]
+    union = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return union.groupBy("split").agg(F.count("*").alias("n_docs")).orderBy("split")

@@ -1,0 +1,138 @@
+"""Operator-level tests: frames, detections idempotence, dedup properties,
+split determinism (SURVEY §5 items 1/4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+    dedup as D,
+)
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.detections import (
+    detections_wide,
+    explode_labels,
+    stub_detector,
+)
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.frames import (
+    frame_gaps,
+    run_diff,
+    with_frame_filenames,
+    with_frame_ids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _frames(spark):
+    rows = [
+        ("front", "2020-12-16 23:32:19.969307"),
+        ("front", "2020-12-16 23:32:20.036307"),
+        ("front", "2020-12-16 23:32:20.103307"),
+        ("rear", "2020-12-16 23:32:19.969307"),
+        ("rear", "2020-12-16 23:32:20.036307"),
+    ]
+    return spark.createDataFrame(rows, "topic string, ts_s string").select(
+        "topic", F.to_timestamp("ts_s").alias("ts")
+    )
+
+
+def test_frame_ids_and_filenames(spark):
+    df = with_frame_filenames(with_frame_ids(_frames(spark)))
+    rows = {(r.topic, r.frame_id): r.img_file for r in df.collect()}
+    assert rows[("front", 0)] == "front-2020-12-16T23_32_19.969307-0000.png"
+    assert rows[("front", 2)].endswith("-0002.png")
+    assert rows[("rear", 1)].endswith("-0001.png")
+
+
+def test_gap_detection(spark):
+    df = spark.createDataFrame(
+        [("front", i) for i in [0, 1, 2, 5, 6]] + [("rear", i) for i in [0, 1]],
+        "topic string, frame_id bigint",
+    )
+    gaps = frame_gaps(df).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g.topic == "front" and g.frame_id == 5 and g.prev_id == 2 and g.gap_size == 2
+
+
+def test_run_diff(spark):
+    a = spark.createDataFrame([("f0.png",), ("f1.png",), ("f2.png",)], "img_file string")
+    b = spark.createDataFrame([("f0.png",), ("f2.png",)], "img_file string")
+    missing = run_diff(a, b).collect()
+    assert [r.img_file for r in missing] == ["f1.png"]
+
+
+def test_detections_idempotent_under_duplicate_delivery(spark):
+    """ST2: re-delivered frames must not change the wide table (max is
+    idempotent) — the property that made the reference's conditional
+    update safe under SQS at-least-once."""
+    ev = spark.createDataFrame(
+        [(1, "front", 90.0), (2, "front", 80.0), (3, "rear", 70.0)],
+        "event_id bigint, camera string, value double",
+    ).select(
+        F.lit("2024-01-01").alias("ts_key"),
+        "camera",
+        stub_detector(F.col("event_id"), F.col("value")).alias("labels"),
+    )
+    once = detections_wide(explode_labels(ev), ["Person", "Car", "Bicycle", "Truck", "Motorcycle"])
+    twice = detections_wide(
+        explode_labels(ev.unionAll(ev)),
+        ["Person", "Car", "Bicycle", "Truck", "Motorcycle"],
+    )
+    def canon(df):
+        cols = [c for c in df.columns if c not in ("ped_count", "wheeler_count")]
+        return sorted(map(tuple, df.select(*cols).collect()))
+    assert canon(once) == canon(twice)
+
+
+def test_minhash_candidates_superset_includes_high_jaccard(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),  # near-dup of 1
+            (3, "z y x w v u t s r q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+    exact = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in exact
+
+
+def test_exact_dedup_normalization(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "HELLO WORLD"), (4, "bye")],
+        "doc_id bigint, text string",
+    )
+    out = {r.keeper_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_stop_shingle_guard(spark):
+    docs = spark.createDataFrame(
+        [(i, "common common common common unique%d end end end" % i) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    guarded = D.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=2)
+    unguarded = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    assert guarded.count() <= unguarded.count()
+
+
+def test_random_split_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = docs.randomSplit([0.6, 0.2, 0.2], seed=42)
+    b = docs.randomSplit([0.6, 0.2, 0.2], seed=42)
+    for x, y in zip(a, b):
+        assert sorted(r.doc_id for r in x.select("doc_id").collect()) == sorted(
+            r.doc_id for r in y.select("doc_id").collect()
+        )
+
+
+def test_simhash_near_dup_fingerprints_close(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash32(F.col("text")).alias("sh")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
