@@ -26,6 +26,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     nested,
     pipeline,
     relational,
+    select_trainprep,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,281 @@
+"""Select/anonymize + train-prep queries (SURVEY §3 EP3/EP4) and the
+remaining join/window patterns: Rekognition-style per-frame top-k (P7/W3),
+manifest positional zip + bbox normalization (J3/F13-F15/A5/A6), the
+extension-rewrite key join (J1), and a streaming windowed count (ST6).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.paths import extension_rewrite
+from ..operators.detections import explode_labels, stub_detector
+from ..tables import load, table_path
+from .registry import register
+
+# Stub-detector long form as SQL (shared with q34's oracle).
+_LABELS_CTE = """
+    labels AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS ts_key, event_type AS camera,
+               ['Person','Car','Bicycle','Truck','Motorcycle'][CAST(event_id % 5 AS INT) + 1] AS label,
+               round(value, 3) AS confidence,
+               CAST(event_id % 3 + 1 AS INT) AS n_instances
+        FROM events
+        UNION ALL
+        SELECT strftime(ts, '%Y-%m-%d'), event_type,
+               'Person', round(value / 2, 3), 1
+        FROM events WHERE event_id % 3 = 0
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — per-frame top-k labels with a confidence floor: Rekognition's
+# MaxLabels=10 / MinConfidence=90 contract (P7/W3,
+# select-labelling-imgs.py:29-32) as a rank window. WindowGroupLimit pushes
+# the k-limit below the sort, so at scale each group keeps a bounded heap.
+# --------------------------------------------------------------------------
+@register(
+    "q37_topk_labels",
+    oracle=f"""
+    WITH {_LABELS_CTE},
+    ranked AS (
+        SELECT ts_key, camera, label, confidence,
+               CAST(row_number() OVER (PARTITION BY ts_key, camera
+                                       ORDER BY confidence DESC, label) AS INT) AS rk
+        FROM labels WHERE confidence >= 50
+    )
+    SELECT ts_key, camera, label, confidence, rk
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def q37_topk_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    framed = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_key"),
+        F.col("event_type").alias("camera"),
+        stub_detector(F.col("event_id"), F.col("value")).alias("labels"),
+    )
+    long_df = explode_labels(framed).filter(F.col("confidence") >= 50)
+    w = Window.partitionBy("ts_key", "camera").orderBy(F.desc("confidence"), F.asc("label"))
+    return (
+        long_df.select("ts_key", "camera", "label", "confidence", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+def _manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Ground-Truth-manifest analog from part: nested
+    annotations array + positionally-aligned confidence array (B4 schema:
+    annotations[i] <-> metadata.objects[i], Transfer-Learning.ipynb cell 13)."""
+    part = load(spark, sf_dir, "part")
+    box1 = F.struct(
+        (F.col("p_partkey") % 2).cast("int").alias("class_id"),
+        (F.col("p_partkey") % 700).cast("double").alias("left"),
+        (F.col("p_partkey") % 500).cast("double").alias("top"),
+        F.col("p_size").cast("double").alias("width"),
+        F.col("p_size").cast("double").alias("height"),
+    )
+    box2 = F.struct(
+        F.lit(1).cast("int").alias("class_id"),
+        ((F.col("p_partkey") * 7) % 700).cast("double").alias("left"),
+        ((F.col("p_partkey") * 3) % 500).cast("double").alias("top"),
+        (F.col("p_size") * 2).cast("double").alias("width"),
+        F.col("p_size").cast("double").alias("height"),
+    )
+    conf1 = F.round(((F.col("p_partkey") * 31) % 100).cast("double") / 100, 2)
+    conf2 = F.round(((F.col("p_partkey") * 17) % 100).cast("double") / 100, 2)
+    two = F.col("p_partkey") % 3 == 0
+    return part.select(
+        "p_partkey",
+        F.when(two, F.array(box1, box2)).otherwise(F.array(box1)).alias("annotations"),
+        F.when(two, F.array(conf1, conf2)).otherwise(F.array(conf1)).alias("confidences"),
+    )
+
+
+_MANIFEST_CTE = """
+    boxes AS (
+        SELECT p_partkey, 0 AS box_pos,
+               CAST(p_partkey % 2 AS INT) AS class_id,
+               CAST(p_partkey % 700 AS DOUBLE) AS l,
+               CAST(p_partkey % 500 AS DOUBLE) AS t,
+               CAST(p_size AS DOUBLE) AS w, CAST(p_size AS DOUBLE) AS h,
+               round(CAST((p_partkey * 31) % 100 AS DOUBLE) / 100, 2) AS conf
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 1, 1,
+               CAST((p_partkey * 7) % 700 AS DOUBLE),
+               CAST((p_partkey * 3) % 500 AS DOUBLE),
+               CAST(p_size * 2 AS DOUBLE), CAST(p_size AS DOUBLE),
+               round(CAST((p_partkey * 17) % 100 AS DOUBLE) / 100, 2)
+        FROM part WHERE p_partkey % 3 = 0
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q38 — manifest explode: positional zip of annotations<->confidences
+# (J3/F23: ipynb cell 13's `box.confidence = box_confidences[i]`), then
+# bbox normalization to corners (F13/F14: ground_truth_od.py:24-30) — the
+# LST-prep math as pure column expressions over 800x600 images.
+# --------------------------------------------------------------------------
+@register(
+    "q38_manifest_boxes",
+    oracle=f"""
+    WITH {_MANIFEST_CTE}
+    SELECT p_partkey, box_pos, class_id,
+           round(l / 800, 6) AS xmin,
+           round(t / 600, 6) AS ymin,
+           round((l + w) / 800, 6) AS xmax,
+           round((t + h) / 600, 6) AS ymax,
+           conf
+    FROM boxes
+    """,
+)
+def q38_manifest_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _manifest(spark, sf_dir)
+    zipped = m.select(
+        "p_partkey",
+        F.posexplode(F.arrays_zip("annotations", "confidences")).alias("box_pos", "z"),
+    )
+    a = F.col("z.annotations")
+    return zipped.select(
+        "p_partkey",
+        F.col("box_pos").cast("int").alias("box_pos"),
+        a["class_id"].alias("class_id"),
+        F.round(a["left"] / 800, 6).alias("xmin"),
+        F.round(a["top"] / 600, 6).alias("ymin"),
+        F.round((a["left"] + a["width"]) / 800, 6).alias("xmax"),
+        F.round((a["top"] + a["height"]) / 600, 6).alias("ymax"),
+        F.col("z.confidences").alias("conf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — per-image manifest stats: mean box confidence (A5:
+# ground_truth_od.py:189-194, 0.0 when empty) + box count (A6), via the
+# no-explode aggregate path (higher-order aggregate over the array).
+# --------------------------------------------------------------------------
+@register(
+    "q39_manifest_stats",
+    oracle=f"""
+    WITH {_MANIFEST_CTE}
+    SELECT p_partkey,
+           CAST(count(*) AS INT) AS n_boxes,
+           round(coalesce(avg(conf), 0.0), 6) AS mean_conf
+    FROM boxes
+    GROUP BY 1
+    """,
+)
+def q39_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _manifest(spark, sf_dir)
+    n = F.size("confidences")
+    total = F.aggregate("confidences", F.lit(0.0), lambda acc, x: acc + x)
+    return m.select(
+        "p_partkey",
+        n.cast("int").alias("n_boxes"),
+        F.round(F.coalesce(total / n, F.lit(0.0)), 6).alias("mean_conf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — extension-rewrite equi-join (J1: frame.png <-> labels.json,
+# process-queue-sync.py:152). The derived key is a codegen regexp_replace;
+# the join itself is a plain equi-join Catalyst can broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q40_extension_join",
+    oracle="""
+    WITH frames AS (
+        SELECT event_id, value,
+               'frames/' || event_type || '/' || event_id || '.png' AS png_key
+        FROM events WHERE event_id % 2 = 0
+    ),
+    labels AS (
+        SELECT event_id AS label_event, event_type,
+               'frames/' || event_type || '/' || event_id || '.json' AS json_key
+        FROM events WHERE event_id % 3 = 0
+    )
+    SELECT l.event_type, count(*) AS n_matched, round(sum(f.value), 2) AS sum_value
+    FROM frames f
+    JOIN labels l ON regexp_replace(f.png_key, '\\.png$', '.json') = l.json_key
+    GROUP BY 1
+    """,
+)
+def q40_extension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    key = F.concat(F.lit("frames/"), F.col("event_type"), F.lit("/"), F.col("event_id"))
+    frames = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "value", F.concat(key, F.lit(".png")).alias("png_key")
+    )
+    labels = events.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_type"), F.concat(key, F.lit(".json")).alias("json_key")
+    )
+    return (
+        frames.join(labels, extension_rewrite(F.col("png_key"), "png", "json") == F.col("json_key"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_matched"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — streaming tumbling-window counts (ST6): the additive analog of
+# q35's max-upsert — per micro-batch partial window counts appended, then
+# compacted by SUM (exactly-once via checkpoint makes additive state
+# correct). Oracle is the batch windowed aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q41_streaming_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    schema = spark.read.parquet(src).schema  # ts = bigint nanos here
+    work = tempfile.mkdtemp(prefix="stream_window_")
+    try:
+        os.makedirs(f"{work}/in")
+        os.symlink(src, f"{work}/in/events.parquet")
+        stream = spark.readStream.schema(schema).parquet(f"{work}/in")
+
+        def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+                .agg(F.count("*").alias("partial_n"))
+                .select(
+                    F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                    "event_type",
+                    "partial_n",
+                )
+                .write.mode("append")
+                .parquet(f"{work}/state")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.read.parquet(f"{work}/state")
+            .groupBy("hour_start", "event_type")
+            .agg(F.sum("partial_n").alias("n_events"))
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

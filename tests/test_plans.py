@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around must be visible in `explain` output, not just intended (SURVEY §4).
+
+These guard against regressions that stay correct but stop scaling: a
+filter that no longer reaches the parquet scan, a dimension join that
+falls back to sort-merge, a top-k that becomes a global sort.
+"""
+
+import __spark_entry__ as se
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = se.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_scan(spark):
+    plan = _plan(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    # projection pruning: scan must not read the unused columns
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q04_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_not_global_sort(spark):
+    plan = _plan(spark, "q26_cosine_topk")
+    assert "TakeOrderedAndProject" in plan  # per-partition heap + merge
+
+
+def test_window_topk_uses_group_limit(spark):
+    plan = _plan(spark, "q10_topk_per_group")
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the sort
+
+
+def test_anti_join_stays_join(spark):
+    plan = _plan(spark, "q06_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark):
+    # scalar-function queries must be single-scan codegen plans: no
+    # shuffle (Exchange) at all for the pure projection query
+    plan = _plan(spark, "q19_bbox_math")
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_events_daily_single_shuffle(spark):
+    plan = _plan(spark, "q01_events_daily")
+    # one exchange for the groupBy, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
