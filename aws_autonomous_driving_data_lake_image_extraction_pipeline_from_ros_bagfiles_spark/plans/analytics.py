@@ -1,0 +1,232 @@
+"""Analytics extensions (q42-q47): embedding near-dup, SimHash-banded
+near-dup, exact percentiles, cube, the TPC-H Q1 classic, and correlated
+subqueries — rounding out the dedup tiers and the free-with-Catalyst
+capabilities SURVEY §2.5 notes the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.similarity import cosine
+from ..tables import load
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q42 — embedding-cosine near-dup pairs, label-blocked. The quadratic
+# all-pairs compare is confined to coarse blocks (label = IVF cell): with B
+# balanced buckets the pair space shrinks by ~B x — the same blocking idea
+# as MinHash bands, applied to vectors. Cross-block near-dups are traded
+# for scan economics, standard for embedding dedup at corpus scale.
+# --------------------------------------------------------------------------
+@register(
+    "q42_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
+                 / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
+          / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))) >= 0.3
+    """,
+)
+def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — SimHash near-dup pairs via band blocking + Hamming verify. The
+# pigeonhole guarantee: splitting the 32-bit sketch into 4 bands of 8 bits
+# means any pair with Hamming distance <= 3 must agree on at least one full
+# band — so banding finds ALL such pairs without an all-pairs join.
+# --------------------------------------------------------------------------
+def _hamming_sql(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN substr({a}, {j}, 1) <> substr({b}, {j}, 1) THEN 1 ELSE 0 END)"
+        for j in range(1, 33)
+    )
+    return f"({terms})"
+
+
+def _simhash_bands_oracle() -> str:
+    from .llm_ops import _simhash_oracle
+
+    inner = _simhash_oracle().replace("SELECT doc_id,", "SELECT doc_id,", 1)
+    ham = _hamming_sql("a.simhash", "b.simhash")
+    return f"""
+    WITH sh AS ({inner}),
+    bands AS (
+        SELECT doc_id, simhash, g.band, substr(simhash, g.band * 8 + 1, 8) AS bkey
+        FROM sh, (SELECT unnest([0,1,2,3]) AS band) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sha, b.simhash AS shb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({_hamming_sql('sha', 'shb')} AS INT) AS hamming
+    FROM cand
+    WHERE {_hamming_sql('sha', 'shb')} <= 3
+    """
+
+
+@register("q43_simhash_neardup", oracle=_simhash_bands_oracle())
+def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
+    sh = src.select("doc_id", D.simhash32(F.col("text")).alias("simhash")).cache()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("bkey", F.expr("substr(simhash, band * 8 + 1, 8)"))
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sha"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("shb"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sha", "shb")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sha"), "(?!$)"),
+            F.split(F.col("shb"), "(?!$)"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — exact interpolated percentiles (linear interpolation in both
+# engines): per event-type median and p90. At true scale you'd switch to
+# approx_percentile (t-digest) and lose oracle-exactness; the exact form
+# documents the semantics the sketch approximates.
+# --------------------------------------------------------------------------
+@register(
+    "q44_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — CUBE over (returnflag, linestatus): all four grouping combinations
+# in one pass (free Catalyst capability the reference has no analog for).
+# --------------------------------------------------------------------------
+@register(
+    "q45_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q45_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — TPC-H Q1 (pricing summary report): the canonical scan-heavy
+# aggregation; the engine's headline number for judge-vs-baseline
+# comparison. Single scan, map-side partials, one tiny shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q46_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q46_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — correlated scalar subquery (Catalyst decorrelates it into a join):
+# customers above their nation's average balance.
+# --------------------------------------------------------------------------
+@register(
+    "q47_correlated_subquery",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_above,
+           round(max(c_acctbal), 2) AS top_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY 1
+    """,
+)
+def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_above,
+               round(max(c_acctbal), 2) AS top_bal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
