@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from ..operators.similarity import cosine
 from ..tables import load
 from .registry import register
 
@@ -37,10 +36,22 @@ from .registry import register
     """,
 )
 def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # norms are computed ONCE per vector before the pair join (recomputing
+    # them per pair would triple the fold work); same doubles either way,
+    # so the oracle's inline form still matches exactly
+    normed = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm"))
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea"), F.col("nm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb"), F.col("nm").alias("nb")
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
