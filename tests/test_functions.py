@@ -1,0 +1,62 @@
+"""Unit tests for the scalar function kit (F4-F9, F22, P4 router)."""
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.functions.paths import (
+    basename,
+    camera_from_dir,
+    dirname,
+    extension_rewrite,
+    frame_index,
+    key_root,
+    normalize_label,
+    sanitize_name,
+    strip_bucket_arn,
+)
+
+
+def test_path_algebra(spark):
+    df = spark.createDataFrame(
+        [("front01/image_raw-2020-12-16T23_32_19.969307-0002.png",
+          "arn:aws:s3:::my-bucket", "some name!w/chars", "Mobile Phone")],
+        "key string, arn string, raw string, label string",
+    )
+    r = df.select(
+        basename(F.col("key")).alias("base"),
+        dirname(F.col("key")).alias("dir"),
+        key_root(F.col("key"), 1).alias("root"),
+        camera_from_dir(key_root(F.col("key"), 1)).alias("camera"),
+        frame_index(basename(F.col("key"))).alias("idx"),
+        extension_rewrite(F.col("key"), "png", "json").alias("json_key"),
+        strip_bucket_arn(F.col("arn")).alias("bucket"),
+        sanitize_name(F.col("raw"), 8).alias("clean"),
+        normalize_label(F.col("label")).alias("attr"),
+    ).first()
+    assert r.base == "image_raw-2020-12-16T23_32_19.969307-0002.png"
+    assert r.dir == "front01"
+    assert r.root == "front01"
+    assert r.camera == "front"
+    assert r.idx == 2020  # first digit run, as in the reference's regex (F9)
+    assert r.json_key.endswith("-0002.json")
+    assert r.bucket == "my-bucket"
+    assert r.clean == "somename"
+    assert r.attr == "Mobile_Phone"
+
+
+def test_mp4_vs_bag_router(spark):
+    """P4/S8: suffix router as when/otherwise (s3batch.py:57-61)."""
+    df = spark.createDataFrame(
+        [("a/run1.bag",), ("b/cam.mp4",), ("c/notes.txt",)], "key string"
+    )
+    routed = df.select(
+        "key",
+        F.when(F.col("key").endswith(".mp4"), "job_queue")
+        .when(F.col("key").endswith(".bag"), "bag_queue")
+        .otherwise("reject")
+        .alias("route"),
+    )
+    assert {r.key: r.route for r in routed.collect()} == {
+        "a/run1.bag": "bag_queue",
+        "b/cam.mp4": "job_queue",
+        "c/notes.txt": "reject",
+    }
