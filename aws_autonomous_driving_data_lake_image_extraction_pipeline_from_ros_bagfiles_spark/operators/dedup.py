@@ -71,53 +71,97 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Universal-hash family parameters: h_i(x) = (a_i * x + b_i) mod p over a
+# Mersenne prime. One md5 per shingle provides the base integer; the 16
+# permutations are then pure arithmetic (16x fewer digests than hashing
+# per-permutation). a_i*h < p^2 < 2^62 keeps everything in int64.
+MERSENNE_P = 2_147_483_647
+_A_MULT = 12_582_917
+_B_MULT = 31_415_927
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    return ((i + 1) * _A_MULT) % MERSENNE_P, ((i + 1) * _B_MULT) % MERSENNE_P
+
+
+def shingle_base_hash(sh: Column) -> Column:
+    """array<bigint>: md5 -> first 15 hex chars -> int mod p, per shingle."""
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MERSENNE_P),
+    )
+
+
 def minhash_signature_array(sh: Column, num_hashes: int = NUM_HASHES) -> Column:
     """MinHash signature as ONE array column:
-    ``sig[i] = min(md5(i || ":" || shingle))``.
+    ``sig[i] = min((a_i * base(shingle) + b_i) mod p)``.
 
-    The lexicographic minimum of a cryptographic hash is a valid min-wise
-    permutation. Built as a single nested higher-order expression
-    (transform over hash indices, inner transform over shingles) so the —
-    expensive — shingle array is evaluated once per row, not once per hash
-    function; everything stays inside codegen with zero shuffles/explodes.
+    min-of-universal-hash is the textbook min-wise permutation. Built as a
+    single nested higher-order expression (transform over hash indices,
+    inner transform over base hashes) so both the shingle array and the
+    per-shingle digests are evaluated once per row — zero shuffles, zero
+    explodes, one md5 per shingle total.
 
     NB: per-hash state is bound through the *outer* lambda variable, never
     a lambda default argument — PySpark infers higher-order-function arity
     from the Python signature, so ``lambda s, i=i`` would silently become
     the (element, index) binary form.
     """
+    base = shingle_base_hash(sh)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                base,
+                lambda h: (
+                    ((i + 1) * _A_MULT % MERSENNE_P) * h
+                    + ((i + 1) * _B_MULT % MERSENNE_P)
+                )
+                % F.lit(MERSENNE_P),
+            )
         ),
     )
 
 
+def minhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, s0..s{H-1}) signature columns via explode + ONE hash aggregate.
+
+    Catalyst's project-collapsing would otherwise inline the base-hash
+    array expression into every per-permutation ``array_min`` (computing
+    each shingle digest H times); exploding to (id, base_hash) rows
+    materializes each digest exactly once and the H signature mins become
+    vectorized aggregates over one shuffle on id.
+    """
+    hs = df.select(
+        F.col(id_col),
+        F.explode(shingle_base_hash(shingles(F.col(text_col)))).alias("h"),
+    )
+    aggs = []
+    for i in range(NUM_HASHES):
+        a, b = minhash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{i}"))
+    return hs.groupBy(id_col).agg(*aggs)
+
+
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_key) — one row per band, band_key = md5 of the
-    band's signature slice. Join-ready for LSH bucketing.
-
-    Two-step projection (signature array first, then band keys) so the
-    optimizer cannot inline the shingle construction once per band.
-    """
-    with_sig = df.select(
-        F.col(id_col), minhash_signature_array(shingles(F.col(text_col))).alias("sig")
-    )
+    band's signature slice. Join-ready for LSH bucketing."""
+    sig = minhash_table(df, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.element_at("sig", b * ROWS_PER_BAND + i + 1) for i in range(ROWS_PER_BAND)]
+                        "|", *[f"s{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)]
                     )
                 ).alias("band_key"),
             )
             for b in range(BANDS)
         ]
     )
-    return with_sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
@@ -137,20 +181,25 @@ def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_on_pairs(pairs: DataFrame, sh_long: DataFrame, id_col: str) -> DataFrame:
+def _jaccard_on_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
     """Exact Jaccard for given candidate (id_a, id_b) pairs.
 
-    The shingle table is first semi-joined down to candidate docs (LSH
-    candidates are a vanishing fraction of the corpus, so this turns the
-    verify into joins over a few hundred rows regardless of corpus size),
-    then shared-shingle counts are computed in a single join+groupBy pass.
+    The doc table is semi-joined down to candidate docs BEFORE shingle
+    construction (LSH candidates are a vanishing fraction of the corpus,
+    and building shingles is the expensive interpreted-HOF step — pruning
+    must happen below it, which Catalyst cannot do through an explode on
+    its own), and the candidate shingle table is cached because the
+    intersection join reads it twice.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = sh_long.join(F.broadcast(cand_ids), id_col, "left_semi")
+    docs_cand = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = shingles_long(docs_cand, text_col, id_col).cache()
     sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
@@ -232,8 +281,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = shingles_long(df, text_col, id_col)
-    return _jaccard_on_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    return _jaccard_on_pairs(cand, src, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash32(text: Column) -> Column:
@@ -258,3 +308,28 @@ def simhash32(text: Column) -> Column:
         F.when(_vote(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)
     ]
     return F.concat(*bits)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via explode + one groupBy — the corpus-scale variant.
+
+    The 32 nested array folds of :func:`simhash32` generate deep codegen
+    that evaluates each token 32 times inside per-row expressions; at
+    corpus scale it is faster to explode to (id, token_md5) rows once and
+    let a single hash aggregate compute all 32 bit-votes as vectorized
+    conditional sums (identical math, one shuffle on id).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, F.md5("tok").alias("m"))
+    votes = [
+        F.sum(
+            F.when(F.substring("m", j, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(1, 33)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))

@@ -66,7 +66,15 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pigeonhole guarantee: splitting the 32-bit sketch into 4 bands of 8 bits
 # means any pair with Hamming distance <= 3 must agree on at least one full
 # band — so banding finds ALL such pairs without an all-pairs join.
+#
+# Stop-bucket guard: a (band, bkey) bucket holding more than
+# STOP_BUCKET_CAP docs means those 8 bits carry no discriminative signal
+# for that cohort (this corpus: one bucket held 65% of all docs and alone
+# produced 5.3M candidate pairs); such buckets are dropped from candidate
+# generation — the banding analog of dedup's stop-shingle guard. The cap
+# is replicated in the oracle, so recall semantics stay checked.
 # --------------------------------------------------------------------------
+STOP_BUCKET_CAP = 100
 def _hamming_sql(a: str, b: str) -> str:
     terms = " + ".join(
         f"(CASE WHEN substr({a}, {j}, 1) <> substr({b}, {j}, 1) THEN 1 ELSE 0 END)"
@@ -78,18 +86,23 @@ def _hamming_sql(a: str, b: str) -> str:
 def _simhash_bands_oracle() -> str:
     from .llm_ops import _simhash_oracle
 
-    inner = _simhash_oracle().replace("SELECT doc_id,", "SELECT doc_id,", 1)
-    ham = _hamming_sql("a.simhash", "b.simhash")
+    inner = _simhash_oracle()
     return f"""
     WITH sh AS ({inner}),
     bands AS (
         SELECT doc_id, simhash, g.band, substr(simhash, g.band * 8 + 1, 8) AS bkey
         FROM sh, (SELECT unnest([0,1,2,3]) AS band) g
     ),
+    ok_buckets AS (
+        SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) <= {STOP_BUCKET_CAP}
+    ),
+    usable AS (
+        SELECT b.* FROM bands b JOIN ok_buckets o ON b.band = o.band AND b.bkey = o.bkey
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.simhash AS sha, b.simhash AS shb
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        FROM usable a JOIN usable b ON a.band = b.band AND a.bkey = b.bkey
         WHERE a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST({_hamming_sql('sha', 'shb')} AS INT) AS hamming
@@ -102,29 +115,40 @@ def _simhash_bands_oracle() -> str:
 def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     src = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism)
-    sh = src.select("doc_id", D.simhash32(F.col("text")).alias("simhash")).cache()
-    bands = sh.select(
+    sh = D.simhash_table(src).cache()
+    # slim bucket join: ids only through the (band, bkey) join + distinct;
+    # the 32-char fingerprints are re-attached afterwards from the small
+    # cached table (carrying them through the join inflates the candidate
+    # shuffle ~4x and caused GC pressure at sf0.1)
+    slim = sh.select(
         "doc_id",
-        "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
-    ).withColumn("bkey", F.expr("substr(simhash, band * 8 + 1, 8)"))
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sha"), "band", "bkey")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("shb"), "band", "bkey")
-    cand = (
+        F.col("simhash"),
+    ).select("doc_id", "band", F.expr("substr(simhash, band * 8 + 1, 8)").alias("bkey"))
+    ok_buckets = (
+        slim.groupBy("band", "bkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= STOP_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    usable = slim.join(F.broadcast(ok_buckets), ["band", "bkey"], "left_semi")
+    a = usable.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    b = usable.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    pair_ids = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sha", "shb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    ham = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sha"), "(?!$)"),
-            F.split(F.col("shb"), "(?!$)"),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # Hamming via integer XOR + popcount: the 32-bit fingerprint is parsed
+    # to a bigint ONCE per doc, so per-pair verify is two column reads and
+    # two bit ops instead of a 32-element string fold.
+    ints = sh.select("doc_id", F.conv("simhash", 2, 10).cast("bigint").alias("shint"))
+    cand = (
+        pair_ids.join(ints.select(F.col("doc_id").alias("id_a"), F.col("shint").alias("ia")), "id_a")
+        .join(ints.select(F.col("doc_id").alias("id_b"), F.col("shint").alias("ib")), "id_b")
     )
+    ham = F.bit_count(F.col("ia").bitwiseXOR(F.col("ib")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= 3)

@@ -84,8 +84,11 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so candidate generation is checked too — not just the final pairs.
 # --------------------------------------------------------------------------
 def _minhash_oracle() -> str:
+    p = D.MERSENNE_P
     sig_cols = ",\n                   ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS s{i}"
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
+        )
         for i in range(D.NUM_HASHES)
     )
     band_selects = "\n        UNION ALL\n        ".join(
@@ -99,9 +102,12 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH {_SHINGLE_CTES},
+    based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM shl),
     sigs AS (SELECT doc_id,
                    {sig_cols}
-             FROM shl),
+             FROM based),
     bands AS (
         {band_selects}
     ),
