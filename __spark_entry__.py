@@ -28,6 +28,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     pipeline,
     relational,
     select_trainprep,
+    sessions,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
