@@ -21,7 +21,7 @@ from ..operators.frames import with_frame_filenames, with_frame_ids
 from ..operators.images import decode_frames
 from ..sources.rosbag import decode_bag_df
 from ..sources.rosbag_fixtures import build_demo_bag
-from ..sources.topic_views import image_view, topic_view
+from ..sources.topic_views import image_view
 from ..tables import load
 from .registry import register
 
