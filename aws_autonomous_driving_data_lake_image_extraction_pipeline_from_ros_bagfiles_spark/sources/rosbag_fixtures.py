@@ -117,10 +117,17 @@ def ros_time(sec: int, nsec: int = 0) -> int:
     return (nsec << 32) | sec
 
 
-def build_demo_bag(n_frames: int = 8, bz2_chunk: bool = True) -> bytes:
+def build_demo_bag(
+    n_frames: int = 8, bz2_chunk: bool = True, top_level_connections: bool = False
+) -> bytes:
     """A 4-connection bag: camera images, odometry, laser, std string —
     half the messages inside a plain chunk, half in a bz2 chunk, plus
-    loose records, exercising every decoder path."""
+    loose records, exercising every decoder path.
+
+    ``top_level_connections`` additionally writes the connection records
+    in the index region after the chunks (the standard bag layout), which
+    is what makes the bag chunk-split-readable (rosbag_split).
+    """
     conns = (
         connection(0, "/camera_front/image_raw", "sensor_msgs/Image")
         + connection(1, "/odom", "nav_msgs/Odometry")
@@ -145,4 +152,6 @@ def build_demo_bag(n_frames: int = 8, bz2_chunk: bool = True) -> bytes:
         + chunk(conns + msgs_a, "none")
         + chunk(msgs_b, "bz2" if bz2_chunk else "none")
     )
+    if top_level_connections:
+        body += conns  # index-region copies, as real bags write them
     return b"#ROSBAG V2.0\n" + body
