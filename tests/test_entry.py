@@ -16,7 +16,12 @@ def test_registry_shape():
     assert len(qs) >= 36
     assert set(oracles) <= set(qs)
     # oracle-less queries are the documented non-SQL-expressible ones
-    assert set(qs) - set(oracles) == {"q32_bag_decode", "q33_frame_table", "q36_random_split"}
+    assert set(qs) - set(oracles) == {
+        "q32_bag_decode",
+        "q33_frame_table",
+        "q36_random_split",
+        "q52_bag_split_decode",
+    }
 
 
 def test_functions_roundtrip(spark):
