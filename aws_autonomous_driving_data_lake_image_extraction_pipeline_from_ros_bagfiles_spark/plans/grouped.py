@@ -44,6 +44,46 @@ def q51_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q53 — salted skew-safe aggregation: two-phase (keys+salt partial, keys
+# merge) groupBy over events, oracle-checked against the direct groupBy —
+# proving the decomposition is exact for algebraic aggregates. At scale
+# this is the pattern for a hot camera/user key whose group exceeds one
+# task's memory; AQE handles join skew but not aggregation skew.
+# --------------------------------------------------------------------------
+@register(
+    "q53_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(max(value), 3) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    events = load(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "value"),
+            "max_value": ("max", "value"),
+            "sum_value": ("sum", "value"),
+        },
+        salt_n=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("max_value", 3).alias("max_value"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q52 — chunk-split bag decode (rows-only): the splittable reader driven as
 # a query — write the fixture bag to a temp file, layout-scan, decode with
 # one task per chunk, aggregate. Counts must match q32's sequential decode.
