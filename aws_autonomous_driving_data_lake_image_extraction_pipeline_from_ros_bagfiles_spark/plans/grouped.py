@@ -84,6 +84,57 @@ def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q54 — near-dup cluster resolution: exact-Jaccard pairs (q23 semantics)
+# -> connected components -> one canonical survivor per cluster. The
+# oracle computes the same transitive closure with a recursive CTE; the
+# Spark side runs distributed min-label propagation (no driver-side
+# graph), which is the only form that survives a billion-edge pair list.
+# --------------------------------------------------------------------------
+@register(
+    "q54_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT ia, ib FROM inter
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    ),
+    edges AS (SELECT ia AS u, ib AS v FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    closure(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+    FROM closure GROUP BY u
+    """,
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# --------------------------------------------------------------------------
 # q52 — chunk-split bag decode (rows-only): the splittable reader driven as
 # a query — write the fixture bag to a temp file, layout-scan, decode with
 # one task per chunk, aggregate. Counts must match q32's sequential decode.
