@@ -36,6 +36,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -59,5 +60,13 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning mid-propagation labels would silently split true
+        # clusters (a chain of diameter > max_iter) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

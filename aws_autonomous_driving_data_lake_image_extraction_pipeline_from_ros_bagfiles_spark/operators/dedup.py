@@ -93,37 +93,6 @@ def shingle_base_hash(sh: Column) -> Column:
     )
 
 
-def minhash_signature_array(sh: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature as ONE array column:
-    ``sig[i] = min((a_i * base(shingle) + b_i) mod p)``.
-
-    min-of-universal-hash is the textbook min-wise permutation. Built as a
-    single nested higher-order expression (transform over hash indices,
-    inner transform over base hashes) so both the shingle array and the
-    per-shingle digests are evaluated once per row — zero shuffles, zero
-    explodes, one md5 per shingle total.
-
-    NB: per-hash state is bound through the *outer* lambda variable, never
-    a lambda default argument — PySpark infers higher-order-function arity
-    from the Python signature, so ``lambda s, i=i`` would silently become
-    the (element, index) binary form.
-    """
-    base = shingle_base_hash(sh)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: (
-                    ((i + 1) * _A_MULT % MERSENNE_P) * h
-                    + ((i + 1) * _B_MULT % MERSENNE_P)
-                )
-                % F.lit(MERSENNE_P),
-            )
-        ),
-    )
-
-
 def minhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, s0..s{H-1}) signature columns via explode + ONE hash aggregate.
 

@@ -99,10 +99,15 @@ def blur_regions(decoded: DataFrame, boxes_col: str = "boxes", radius: int = 7) 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["bag", "topic", "ts", "seq", "img_width", "img_height"]].copy()
+            # NB: Arrow hands array<struct> columns over as numpy arrays,
+            # whose truthiness is ambiguous for >1 element — never `boxes or []`
             out["pixels"] = [
                 blur_pixels(
                     bytes(p), w, h,
-                    [(b["x1"], b["y1"], b["x2"], b["y2"]) for b in (boxes or [])],
+                    [
+                        (b["x1"], b["y1"], b["x2"], b["y2"])
+                        for b in ([] if boxes is None else boxes)
+                    ],
                     radius,
                 )
                 for p, w, h, boxes in zip(

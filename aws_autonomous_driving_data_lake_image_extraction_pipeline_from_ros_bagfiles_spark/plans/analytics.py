@@ -149,11 +149,15 @@ def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ints.select(F.col("doc_id").alias("id_b"), F.col("shint").alias("ib")), "id_b")
     )
     ham = F.bit_count(F.col("ia").bitwiseXOR(F.col("ib")))
-    return (
+    out = (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+    # materialize then release the cached simhash table (see q24 note)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.clearCache()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -136,7 +136,13 @@ def _minhash_oracle() -> str:
 def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.2)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # materialize (the pair set is tiny), then release the bands/shingle
+    # caches the operator pinned — repeated invocations in one session
+    # (bench, the driver's gate) must not accumulate executor storage
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.clearCache()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -39,6 +39,16 @@ class _Reader:
         self.pos += 4
         return v
 
+    def i8(self) -> int:
+        v = struct.unpack_from("<b", self.buf, self.pos)[0]
+        self.pos += 1
+        return v
+
+    def i16(self) -> int:
+        v = struct.unpack_from("<h", self.buf, self.pos)[0]
+        self.pos += 2
+        return v
+
     def i32(self) -> int:
         v = struct.unpack_from("<i", self.buf, self.pos)[0]
         self.pos += 4
@@ -145,8 +155,12 @@ def _decode_std(msg_type: str, r: _Reader) -> dict:
     kind = msg_type.rsplit("/", 1)[-1]
     if kind == "String":
         return {"payload": {"data": r.string()}}
-    if kind in ("Int32", "Int16", "Int8"):
-        return {"payload": {"data": r.i32() if kind == "Int32" else r.u8()}}
+    if kind == "Int32":
+        return {"payload": {"data": r.i32()}}
+    if kind == "Int16":
+        return {"payload": {"data": r.i16()}}
+    if kind == "Int8":
+        return {"payload": {"data": r.i8()}}
     if kind in ("Float64",):
         return {"payload": {"data": r.f64()}}
     if kind in ("Float32",):

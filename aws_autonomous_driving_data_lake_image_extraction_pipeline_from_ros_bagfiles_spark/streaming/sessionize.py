@@ -56,14 +56,21 @@ def _stream_fn(gap_sec: int):
         (user_id,) = key
         last_ts_us, session_id = state.get if state.exists else (None, -1)
         out_ts, out_sid = [], []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                ts_us = int(ts.value // 1000)  # pandas ns -> us
-                if last_ts_us is None or ts_us - last_ts_us > gap_us:
-                    session_id += 1
-                last_ts_us = ts_us
-                out_ts.append(ts)
-                out_sid.append(session_id)
+        # a key's micro-batch data arrives as MULTIPLE Arrow chunks; they
+        # must be concatenated and sorted as one sequence — sorting each
+        # chunk independently assigns wrong session ids whenever a user's
+        # events span chunks
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        all_ts = (
+            pd.concat(chunks)["ts"].sort_values() if chunks else pd.Series([], dtype="datetime64[ns]")
+        )
+        for ts in all_ts:
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
+            if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                session_id += 1
+            last_ts_us = ts_us
+            out_ts.append(ts)
+            out_sid.append(session_id)
         state.update((last_ts_us, session_id))
         yield pd.DataFrame(
             {"user_id": user_id, "session_id": out_sid, "ts": out_ts}

@@ -49,6 +49,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # bigint domain (a double roundtrip would lose precision at 1e18).
         # DuckDB performs the identical nanos->micros truncation, so oracle
         # comparisons agree.
+        #
+        # DELIBERATE session-wide conf change (there is no per-read option
+        # for this legacy flag, and restoring it after load() would break
+        # the lazily-executed scan): any later nanos-parquet read in the
+        # session will also surface as bigint. Scoped alternatives don't
+        # exist until Spark grows a reader option; documented here and in
+        # the verify skill.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -46,7 +46,10 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
     out = {
         "metric": "total_query_sec",
         "value": round(sum(times.values()), 3),

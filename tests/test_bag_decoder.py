@@ -98,3 +98,18 @@ def test_resize_shorter_edge():
     buf = bytes(range(w * h * 3))
     out, nw, nh = resize_pixels(buf, w, h, 3)
     assert nh == 3 and nw == 4 and len(out) == nw * nh * 3
+
+
+def test_std_msgs_int_decoding():
+    """Int16/Int8 are signed multi-byte LE values (regression: Int16 was
+    read as a single unsigned byte)."""
+    import struct
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.ros_messages import (
+        decode_message,
+    )
+
+    assert decode_message("std_msgs/Int16", struct.pack("<h", 300))["payload"]["data"] == 300
+    assert decode_message("std_msgs/Int16", struct.pack("<h", -1))["payload"]["data"] == -1
+    assert decode_message("std_msgs/Int8", struct.pack("<b", -5))["payload"]["data"] == -5
+    assert decode_message("std_msgs/Int32", struct.pack("<i", -70000))["payload"]["data"] == -70000

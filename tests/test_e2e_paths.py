@@ -49,12 +49,17 @@ def test_ep3_select_anonymize(spark):
     )
     assert vru.count() == 2  # seq 0 and 2
     decoded = decode_frames(vru)
+    # two boxes per frame — regression for the Arrow array-truthiness bug
+    # (multi-element box arrays crashed `boxes or []`)
     boxed = decoded.withColumn(
         "boxes",
         F.array(
             F.struct(
                 F.lit(1).alias("x1"), F.lit(1).alias("y1"), F.lit(4).alias("x2"), F.lit(4).alias("y2")
-            )
+            ),
+            F.struct(
+                F.lit(5).alias("x1"), F.lit(2).alias("y1"), F.lit(7).alias("x2"), F.lit(5).alias("y2")
+            ),
         ),
     )
     blurred = blur_regions(boxed)

@@ -136,3 +136,23 @@ def test_simhash_near_dup_fingerprints_close(spark):
     fp = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash32(F.col("text")).alias("sh")).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    import pytest as _pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 0-1-2-...-7 plus isolated pair (10, 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert all(comp[i] == 0 for i in range(8))
+    assert comp[10] == 10 and comp[11] == 10
+    # a diameter-7 chain cannot converge in 1 iteration -> loud failure,
+    # never silently-wrong clusters
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

@@ -33,6 +33,10 @@ def test_stream_sessionizer_matches_batch(spark):
     }
 
     work = tempfile.mkdtemp(prefix="t_sess_")
+    # force multi-chunk Arrow delivery per key — regression for the
+    # per-chunk-sort bug (each chunk sorted independently gave wrong ids)
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
         os.makedirs(f"{work}/in")
         df.select("user_id", "ts").write.parquet(f"{work}/in/events")
@@ -56,4 +60,5 @@ def test_stream_sessionizer_matches_batch(spark):
         # sanity: sessions actually split (more than one per user)
         assert max(batch.values()) >= 1
     finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
         shutil.rmtree(work, ignore_errors=True)
