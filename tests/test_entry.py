@@ -21,6 +21,7 @@ def test_registry_shape():
         "q33_frame_table",
         "q36_random_split",
         "q52_bag_split_decode",
+        "q55_ann_ivf",
     }
 
 
