@@ -103,6 +103,10 @@ def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
     resolve their connection and decode the typed payload; chunks (op 5)
     are decompressed and their inner records processed inline — identical
     control flow to the reference's constructor loop (bagstream.py:64-89).
+
+    Malformed framing (truncated file, garbage bytes) raises ValueError
+    naming the bag — a lake-scale ingest will meet corrupt objects and a
+    bare struct.error with no file context is undebuggable.
     """
     if not blob.startswith(BAG_MAGIC):
         version = blob.split(b"\n", 1)[0][:40]
@@ -147,22 +151,43 @@ def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
             # op 3 (bag header), 4/6 (index) and unknown ops: skipped by
             # data_len, as the reference does (bagstream.py:240-243, 363-371)
 
-    yield from handle(_iter_records(blob, len(BAG_MAGIC)))
+    try:
+        yield from handle(_iter_records(blob, len(BAG_MAGIC)))
+    except (struct.error, IndexError, KeyError, OSError) as e:
+        # struct/index: truncated or garbage framing; KeyError: missing
+        # mandatory header field; OSError: bz2 decompress failure
+        raise ValueError(f"corrupt bag record stream in {bag_name}: {e}") from e
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for bag_path, blob in zip(pdf["path"], pdf["content"]):
-            rows.extend(decode_bag_bytes(bag_path, bytes(blob)))
-        yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+def _decode_partition(permissive: bool):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bag_path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    # materialize per bag BEFORE extending so a bag that
+                    # corrupts mid-stream contributes nothing (all-or-
+                    # nothing per file, no partial topic tables)
+                    decoded = list(decode_bag_bytes(bag_path, bytes(blob)))
+                except ValueError:
+                    if not permissive:
+                        raise
+                    # permissive mode: a corrupt bag is skipped, good bags
+                    # in the same batch still decode (Spark's PERMISSIVE
+                    # json-mode philosophy applied to binary ingest)
+                else:
+                    rows.extend(decoded)
+            yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+
+    return run
 
 
-def read_bags(spark: SparkSession, path: str) -> DataFrame:
+def read_bags(spark: SparkSession, path: str, permissive: bool = False) -> DataFrame:
     """``binaryFile`` scan -> decoded long-format record DataFrame.
 
     ``pathGlobFilter`` plays the role of the reference's S3 suffix filter
     (S5: ecs_stack.py:244-248) — non-bag objects never reach the decoder.
+    ``permissive=True`` skips corrupt bags instead of failing the job.
     """
     bags = (
         spark.read.format("binaryFile")
@@ -171,10 +196,10 @@ def read_bags(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
-    return bags.mapInPandas(_decode_partition, schema=BAG_RECORD_SCHEMA)
+    return bags.mapInPandas(_decode_partition(permissive), schema=BAG_RECORD_SCHEMA)
 
 
-def decode_bag_df(bags: DataFrame) -> DataFrame:
+def decode_bag_df(bags: DataFrame, permissive: bool = False) -> DataFrame:
     """Decode an already-loaded (path, content) DataFrame (e.g. synthesized
     fixtures in tests or a streaming source)."""
-    return bags.mapInPandas(_decode_partition, schema=BAG_RECORD_SCHEMA)
+    return bags.mapInPandas(_decode_partition(permissive), schema=BAG_RECORD_SCHEMA)

@@ -113,3 +113,29 @@ def test_std_msgs_int_decoding():
     assert decode_message("std_msgs/Int16", struct.pack("<h", -1))["payload"]["data"] == -1
     assert decode_message("std_msgs/Int8", struct.pack("<b", -5))["payload"]["data"] == -5
     assert decode_message("std_msgs/Int32", struct.pack("<i", -70000))["payload"]["data"] == -70000
+
+
+def test_corrupt_bag_strict_and_permissive(spark):
+    """Truncated/garbage bags: strict mode raises a named error; permissive
+    mode skips the bad bag and decodes the good ones."""
+    import pytest as _pytest
+
+    good = fx.build_demo_bag(n_frames=2, bz2_chunk=False)
+    truncated = good[: len(good) // 2]
+    garbage = b"#ROSBAG V2.0\n" + b"\x99" * 40
+
+    with _pytest.raises(ValueError, match="corrupt bag record stream in trunc.bag"):
+        list(decode_bag_bytes("trunc.bag", truncated))
+
+    bags = spark.createDataFrame(
+        [("m://good.bag", bytearray(good)),
+         ("m://trunc.bag", bytearray(truncated)),
+         ("m://junk.bag", bytearray(garbage))],
+        "path string, content binary",
+    ).coalesce(1)
+    ok = decode_bag_df(bags, permissive=True)
+    rows = ok.collect()
+    assert len(rows) == 8  # only the good bag's 4 topics x 2 frames
+    assert {r.bag for r in rows} == {"m://good.bag"}
+    with _pytest.raises(Exception):
+        decode_bag_df(bags, permissive=False).collect()
