@@ -34,7 +34,7 @@ def train_quantizer(
 ) -> list[list[float]]:
     """Fit seeded KMeans; returns the centroid list (the whole "index")."""
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_buckets, seed=seed, maxIter=20).fit(feats)
+    model = KMeans(k=n_buckets, seed=seed, maxIter=10).fit(feats)
     return [c.tolist() for c in model.clusterCenters()]
 
 

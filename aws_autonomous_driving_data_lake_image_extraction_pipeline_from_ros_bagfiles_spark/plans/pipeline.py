@@ -28,12 +28,21 @@ from .registry import register
 _DETECTION_VOCAB = ["Person", "Car", "Bicycle", "Truck", "Motorcycle"]
 
 
+_DEMO_CACHE: dict[int, DataFrame] = {}
+
+
 def _demo_records(spark: SparkSession) -> DataFrame:
-    blob = build_demo_bag(n_frames=8, bz2_chunk=True)
-    bags = spark.createDataFrame(
-        [("memory://demo-0.bag", bytearray(blob))], "path string, content binary"
-    ).coalesce(1)  # one bag -> one task; don't fan 32 python workers for it
-    return decode_bag_df(bags)
+    """Decoded demo-bag records, memoized per session — q32 and q33 share
+    one decode instead of spinning the mapInPandas worker twice."""
+    key = id(spark)
+    if key not in _DEMO_CACHE:
+        blob = build_demo_bag(n_frames=8, bz2_chunk=True)
+        bags = spark.createDataFrame(
+            [("memory://demo-0.bag", bytearray(blob))], "path string, content binary"
+        ).coalesce(1)  # one bag -> one task; don't fan 32 python workers for it
+        _DEMO_CACHE.clear()
+        _DEMO_CACHE[key] = decode_bag_df(bags).localCheckpoint(eager=True)
+    return _DEMO_CACHE[key]
 
 
 # --------------------------------------------------------------------------
