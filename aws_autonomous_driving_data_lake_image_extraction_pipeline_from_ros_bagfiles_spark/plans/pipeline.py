@@ -81,6 +81,65 @@ def q33_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q56 — the select/anonymize path (EP3: select-labelling-imgs) end-to-end:
+# stub label docs -> JSON label sink + read-back (K5/S10) -> VRU exists
+# gate (P6) -> pixel-region blur (F20/K8) -> curated stats. Rows-only
+# (pixel transforms are not SQL-expressible); the VRU gate and blur
+# behavior are value-asserted in tests/test_e2e_paths.py.
+# --------------------------------------------------------------------------
+@register("q56_select_anonymize")
+def q56_select_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.images import blur_regions, decode_frames
+    from ..sources.topic_views import image_view as iv
+
+    frames = iv(_demo_records(spark))
+    labeled = frames.select(
+        "bag", "topic", "ts", "seq",
+        F.when(
+            F.col("seq") % 2 == 0,
+            F.array(F.struct(F.lit("Person").alias("Name"), F.lit(99.0).alias("Confidence"))),
+        )
+        .otherwise(
+            F.array(F.struct(F.lit("Tree").alias("Name"), F.lit(88.0).alias("Confidence")))
+        )
+        .alias("annotations"),
+    )
+    work = tempfile.mkdtemp(prefix="anon_")
+    try:
+        # K5: label documents persisted as JSON beside the frames, then
+        # read back (S10) — the json round-trip the reference does via S3
+        labeled.select("bag", "seq", F.to_json("annotations").alias("labels_json")).write.mode(
+            "overwrite"
+        ).json(f"{work}/labels")
+        label_docs = spark.read.json(f"{work}/labels")
+        vru_keys = label_docs.filter(
+            F.exists(
+                F.from_json("labels_json", "array<struct<Name:string,Confidence:double>>"),
+                lambda a: a["Name"].isin("Person", "Bicycle", "Motorcycle"),
+            )
+        ).select("bag", "seq")
+        selected = frames.join(F.broadcast(vru_keys), ["bag", "seq"], "left_semi")
+        boxed = decode_frames(selected).withColumn(
+            "boxes",
+            F.array(
+                F.struct(F.lit(1).alias("x1"), F.lit(1).alias("y1"),
+                         F.lit(4).alias("x2"), F.lit(4).alias("y2")),
+                F.struct(F.lit(5).alias("x1"), F.lit(2).alias("y1"),
+                         F.lit(7).alias("x2"), F.lit(5).alias("y2")),
+            ),
+        )
+        curated = blur_regions(boxed).select(
+            "topic", "seq", F.length("pixels").alias("n_bytes")
+        )
+        return spark.createDataFrame(curated.collect(), curated.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # q34 — the enrich path (EP2) end-to-end with the stub detector, fully
 # oracle-checked: detector labels -> explode -> groupBy(ts_key, camera) ->
 # pivot max-confidence per label + VRU counts. This is the reference's

@@ -22,6 +22,7 @@ def test_registry_shape():
         "q36_random_split",
         "q52_bag_split_decode",
         "q55_ann_ivf",
+        "q56_select_anonymize",
     }
 
 
