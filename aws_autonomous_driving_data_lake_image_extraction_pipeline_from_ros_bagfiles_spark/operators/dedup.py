@@ -255,6 +255,60 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus near-dup join: (left id_a, right id_b, jaccard).
+
+    The incremental-ingest shape of dedup — dedupe a NEW batch (left)
+    against the EXISTING corpus (right) without any self-pairing. Same
+    banded-LSH candidate generation as :func:`minhash_lsh_pairs`; the
+    right side's bands are what a production pipeline would precompute
+    and store alongside the corpus, so only the left (new) side pays
+    signature hashing per run.
+    """
+    spark = left.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    lsrc = left.select(id_col, text_col).repartition(par)
+    rsrc = right.select(id_col, text_col).repartition(par)
+    lbands = minhash_bands(lsrc, text_col, id_col).cache()
+    rbands = minhash_bands(rsrc, text_col, id_col).cache()
+    cand = (
+        lbands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        .join(rbands.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify with exact Jaccard over candidate docs only, sides kept apart
+    a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+    b_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    sh_a = shingles_long(lsrc.join(F.broadcast(a_ids), id_col, "left_semi"), text_col, id_col).cache()
+    sh_b = shingles_long(rsrc.join(F.broadcast(b_ids), id_col, "left_semi"), text_col, id_col).cache()
+    sizes_a = sh_a.groupBy(id_col).agg(F.count("*").alias("na"))
+    sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("nb"))
+    inter = (
+        sh_a.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh_b.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes_a.select(F.col(id_col).alias("id_a"), "na"), "id_a")
+        .join(sizes_b.select(F.col(id_col).alias("id_b"), "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash32(text: Column) -> Column:
     """32-bit SimHash as a '0'/'1' string, one bit per md5 nibble MSB.
 

@@ -146,6 +146,84 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q57 — CROSS-corpus near-dup join (incremental-ingest dedup): new batch
+# (doc_id % 3 = 0) against existing corpus (the rest). Same LSH machinery
+# as q24 but left-right instead of self-join; the oracle rebuilds both
+# sides' signatures and band keys.
+# --------------------------------------------------------------------------
+def _minhash_side_ctes(side: str, where: str) -> str:
+    p = D.MERSENNE_P
+    sig_cols = ", ".join(
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM {side}_sigs".format(
+            b=b,
+            side=side,
+            key=" || '|' || ".join(
+                f"s{i}" for i in range(b * D.ROWS_PER_BAND, (b + 1) * D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    return f"""
+    {side}_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE {where}),
+    {side}_shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM {side}_toks),
+    {side}_shx AS (SELECT doc_id, unnest(sh) AS shingle FROM {side}_shl),
+    {side}_sizes AS (SELECT doc_id, len(sh) AS n FROM {side}_shl),
+    {side}_based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM {side}_shl),
+    {side}_sigs AS (SELECT doc_id, {sig_cols} FROM {side}_based),
+    {side}_bands AS ({band_selects})
+    """
+
+
+def _minhash_join_oracle() -> str:
+    return f"""
+    WITH {_minhash_side_ctes("l", "doc_id % 3 = 0")},
+    {_minhash_side_ctes("r", "doc_id % 3 <> 0")},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM l_bands a JOIN r_bands b ON a.band = b.band AND a.band_key = b.band_key
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN l_shx a ON a.doc_id = c.id_a
+        JOIN r_shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN l_sizes sa ON i.id_a = sa.doc_id
+    JOIN r_sizes sb ON i.id_b = sb.doc_id
+    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.2
+    """
+
+
+@register("q57_minhash_cross_join", oracle=_minhash_join_oracle())
+def q57_minhash_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    pairs = D.minhash_lsh_join(new_batch, corpus, threshold=0.2)
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.clearCache()
+    return result
+
+
+# --------------------------------------------------------------------------
 # q25 — 32-bit SimHash fingerprints (md5-nibble-MSB votes).
 # --------------------------------------------------------------------------
 def _simhash_oracle() -> str:

@@ -156,3 +156,34 @@ def test_connected_components_chain_and_nonconvergence(spark):
     # never silently-wrong clusters
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_simhash_implementations_agree(spark):
+    """simhash32 (per-row HOF, q25) and simhash_table (explode+groupBy,
+    q43) are two implementations of the same math — they must never
+    diverge."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i % 3} epsilon zeta") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    a = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash32(F.col("text")).alias("sh")).collect()}
+    b = {r.doc_id: r.simhash for r in D.simhash_table(docs).collect()}
+    assert a == b
+
+
+def test_minhash_cross_join_no_self_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i k"),
+            (4, "a b c d e f g h i l"),
+            (3, "z y x w v u t s r q"),
+        ],
+        "doc_id bigint, text string",
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 0)   # 2, 4
+    right = docs.filter(F.col("doc_id") % 2 == 1)  # 1, 3
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_lsh_join(left, right, 0.5).collect()}
+    assert (2, 1) in pairs and (4, 1) in pairs
+    assert all(b != 3 for (_, b) in pairs)  # dissimilar corpus doc absent
+    assert all(a in (2, 4) and b in (1, 3) for (a, b) in pairs)  # strictly cross-side

@@ -87,3 +87,19 @@ def test_detections_dynamic_partition_overwrite(spark):
         assert back == {"2024-01-01": 0.9, "2024-01-02": 0.7}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_topic_csv_sink_drops_binary(spark):
+    """K1 CSV branch: per-topic CSV write mirrors the reference (images
+    routed to the frame sink, not the topic CSV)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="t_csv_")
+    try:
+        write_topic_tables(_records(spark), f"{work}/csv", fmt="csv")
+        back = spark.read.option("header", True).csv(f"{work}/csv")
+        assert "img_data" not in back.columns
+        assert back.count() == 16
+        assert back.filter(F.col("topic") == "/odom").count() == 4
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
