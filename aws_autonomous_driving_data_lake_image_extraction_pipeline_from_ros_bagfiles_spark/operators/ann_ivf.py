@@ -58,6 +58,52 @@ def assign_buckets(
     return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
 
 
+def ivf_topk_batch(
+    bucketed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched KNN: top-k corpus neighbors for EVERY query row.
+
+    The production shape — one shuffle-join instead of a driver loop:
+    each query computes its nprobe nearest centroids in codegen (sorted
+    (distance, bucket) struct array, sliced), explodes to (query, bucket)
+    probe rows, equi-joins the bucketed corpus on bucket, and takes
+    per-query top-k with a rank window (WindowGroupLimit keeps a bounded
+    heap per query). Probe-bucket fan-out bounds join input to
+    ~nprobe/B of |queries| x |corpus|.
+    """
+    dists = []
+    for b, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(F.col(qvec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
+        d = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+        dists.append(F.struct(d.alias("d"), F.lit(b).alias("bucket")))
+    probe_buckets = F.transform(
+        F.slice(F.array_sort(F.array(*dists)), 1, nprobe), lambda s: s["bucket"]
+    )
+    probes = queries.select(
+        qid_col, qvec_col, F.explode(probe_buckets).alias("bucket")
+    )
+    joined = probes.join(bucketed, "bucket")
+    sim = cosine(F.col(vec_col), F.col(qvec_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(qid_col, F.col(id_col), sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, id_col, "sim", "rk")
+    )
+
+
 def ivf_topk(
     bucketed: DataFrame,
     centroids: list[list[float]],

@@ -40,3 +40,29 @@ def test_ivf_recall_and_pruning(spark):
     recall = len(set(probed) & set(truth)) / len(truth)
     assert recall >= 0.5
     bucketed.unpersist()
+
+
+def test_ivf_batch_matches_per_query(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        ivf_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_quantizer(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, centroids).cache()
+
+    qids = [0, 1, 2]
+    queries = bucketed.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = bucketed.filter(~F.col("vec_id").isin(qids))
+    batch = ivf_topk_batch(corpus, centroids, queries, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.rk, r.vec_id))
+
+    for qid in qids:
+        qvec = [float(x) for x in bucketed.filter(F.col("vec_id") == qid).first().embedding]
+        single = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=5, nprobe=3).collect()]
+        assert [v for _, v in sorted(got[qid])] == single
+    bucketed.unpersist()
