@@ -36,11 +36,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: per (day, event_type) event counts + max
-    value — the Spark analog of the reference's headline "query the
-    detections table for images of interest" (reference README.md:9-13).
+    """Flagship: the full enrich pipeline producing the queryable wide
+    detections table — detector labels -> explode -> max-pivot per label +
+    VRU counts, keyed (day, camera). This is literally the reference's
+    headline capability ("a table containing all detection results ...
+    which can be queried to find images of interest", README.md:9-13),
+    here as one declarative plan (q34) over sf0.001.
     """
-    return QUERIES["q01_events_daily"](spark, SMOKE_SF_DIR)
+    return QUERIES["q34_detections_e2e"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

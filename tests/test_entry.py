@@ -7,7 +7,8 @@ def test_entry_smoke(spark):
     df = se.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert {"day", "event_type", "n_events", "max_value", "sum_value"} == set(df.columns)
+    assert {"ts_key", "camera", "Person", "Car", "Bicycle", "Truck", "Motorcycle",
+            "ped_count", "wheeler_count"} == set(df.columns)
 
 
 def test_registry_shape():
