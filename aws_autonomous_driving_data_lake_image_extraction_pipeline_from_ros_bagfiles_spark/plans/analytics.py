@@ -62,6 +62,47 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q58 — cross-corpus embedding near-dup (vector analog of q57's
+# incremental-ingest dedup): new vectors (even ids) against the corpus
+# (odd ids), label-blocked, cosine-verified. Norms precomputed per side.
+# --------------------------------------------------------------------------
+@register(
+    "q58_embedding_cross_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
+                 / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    WHERE list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
+          / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))) >= 0.3
+    """,
+)
+def q58_embedding_cross_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    normed = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm"))
+    a = normed.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea"), F.col("nm").alias("na")
+    )
+    b = normed.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb"), F.col("nm").alias("nb")
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "label")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q43 — SimHash near-dup pairs via band blocking + Hamming verify. The
 # pigeonhole guarantee: splitting the 32-bit sketch into 4 bands of 8 bits
 # means any pair with Hamming distance <= 3 must agree on at least one full
