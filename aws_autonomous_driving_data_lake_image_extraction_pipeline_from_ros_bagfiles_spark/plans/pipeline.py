@@ -183,6 +183,47 @@ def q34_detections_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q59 — THE reference use-case, verbatim: "query [the detections table] to
+# find images of interest such as images containing cars" (README.md:9-13).
+# Composes q34's wide table: filter frames whose Car confidence clears a
+# threshold, rank by confidence. At scale this reads the detections table
+# partitioned by ts_key — a pruned scan, no recompute of the enrich path.
+# --------------------------------------------------------------------------
+@register(
+    "q59_find_images_with_cars",
+    oracle="""
+    WITH labels AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS ts_key, event_type AS camera,
+               ['Person','Car','Bicycle','Truck','Motorcycle'][CAST(event_id % 5 AS INT) + 1] AS label,
+               round(value, 3) AS confidence
+        FROM events
+        UNION ALL
+        SELECT strftime(ts, '%Y-%m-%d'), event_type, 'Person', round(value / 2, 3)
+        FROM events WHERE event_id % 3 = 0
+    ),
+    detections AS (
+        SELECT ts_key, camera,
+               round(max(confidence) FILTER (WHERE label = 'Car'), 3) AS Car
+        FROM labels GROUP BY 1, 2
+    )
+    SELECT ts_key, camera, Car,
+           CAST(row_number() OVER (ORDER BY Car DESC, ts_key, camera) AS INT) AS rk
+    FROM detections
+    WHERE Car IS NOT NULL AND Car >= 90
+    """,
+)
+def q59_find_images_with_cars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wide = q34_detections_e2e(spark, sf_dir)
+    w = Window.orderBy(F.desc("Car"), F.asc("ts_key"), F.asc("camera"))
+    return (
+        wide.filter(F.col("Car").isNotNull() & (F.col("Car") >= 90))
+        .select("ts_key", "camera", "Car", F.row_number().over(w).alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q35 — streaming/batch equivalence (ST1-ST3): availableNow stream over the
 # events parquet through the checkpointed foreachBatch max-upsert, then the
 # compacted state. The oracle is the plain batch aggregation — passing
