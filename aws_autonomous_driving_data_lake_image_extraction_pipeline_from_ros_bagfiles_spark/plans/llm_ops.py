@@ -52,15 +52,28 @@ def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q23 — exact n-gram Jaccard near-dup pairs (shingle self-join tier).
+# q23 — exact n-gram Jaccard near-dup pairs (shingle self-join tier), with
+# the stop-shingle guard ON: shingles occurring in more than
+# Q23_MAX_SHINGLE_FREQ docs are dropped before the self-join. Without the
+# cap a shingle in f docs creates f^2/2 candidate rows — quadratic blow-up
+# on skewed corpora; with it the join stays ~linear (near-dup clusters are
+# small, so their shared shingles survive the cap). Set sizes remain the
+# UNCAPPED shingle counts, so jaccard is a lower bound for hot-shingle
+# pairs — the standard trade. The oracle mirrors the cap exactly.
 # --------------------------------------------------------------------------
+Q23_MAX_SHINGLE_FREQ = 50
+
+
 @register(
     "q23_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTES},
+    freq AS (SELECT shingle, count(*) AS f FROM shx GROUP BY 1),
+    shj AS (SELECT s.doc_id, s.shingle FROM shx s
+            JOIN freq USING (shingle) WHERE f <= {Q23_MAX_SHINGLE_FREQ}),
     inter AS (
         SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
+        FROM shj a JOIN shj b USING (shingle)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -74,7 +87,9 @@ def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_freq=Q23_MAX_SHINGLE_FREQ
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

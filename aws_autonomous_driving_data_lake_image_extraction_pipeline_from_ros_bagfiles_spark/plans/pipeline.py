@@ -186,8 +186,14 @@ def q34_detections_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q59 — THE reference use-case, verbatim: "query [the detections table] to
 # find images of interest such as images containing cars" (README.md:9-13).
 # Composes q34's wide table: filter frames whose Car confidence clears a
-# threshold, rank by confidence. At scale this reads the detections table
-# partitioned by ts_key — a pruned scan, no recompute of the enrich path.
+# threshold, rank by confidence WITHIN each day partition. The rank window
+# is partitioned by ts_key on purpose: a global `Window.orderBy` funnels
+# every qualifying frame through ONE reducer task (a single-partition
+# exchange — the classic scale-killer), while per-day ranking shuffles by
+# ts_key and parallelizes with the data. At 100 TB this reads a detections
+# table partitioned by ts_key — a pruned scan + per-partition window, no
+# recompute of the enrich path and no global funnel. (For a true global
+# top-k you'd use orderBy().limit(k) → TakeOrderedAndProject instead.)
 # --------------------------------------------------------------------------
 @register(
     "q59_find_images_with_cars",
@@ -207,7 +213,7 @@ def q34_detections_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM labels GROUP BY 1, 2
     )
     SELECT ts_key, camera, Car,
-           CAST(row_number() OVER (ORDER BY Car DESC, ts_key, camera) AS INT) AS rk
+           CAST(row_number() OVER (PARTITION BY ts_key ORDER BY Car DESC, camera) AS INT) AS rk
     FROM detections
     WHERE Car IS NOT NULL AND Car >= 90
     """,
@@ -216,7 +222,7 @@ def q59_find_images_with_cars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wide = q34_detections_e2e(spark, sf_dir)
-    w = Window.orderBy(F.desc("Car"), F.asc("ts_key"), F.asc("camera"))
+    w = Window.partitionBy("ts_key").orderBy(F.desc("Car"), F.asc("camera"))
     return (
         wide.filter(F.col("Car").isNotNull() & (F.col("Car") >= 90))
         .select("ts_key", "camera", "Car", F.row_number().over(w).alias("rk"))
