@@ -32,6 +32,24 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# Caches pinned by this module's operators (bands/shingle tables that are
+# read more than once per query). Callers release them with
+# :func:`release_caches` — NOT spark.catalog.clearCache(), which would also
+# evict caches the embedding application pinned for itself.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist exactly the DataFrames this module cached, and no others."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
@@ -168,7 +186,7 @@ def _jaccard_on_pairs(
         .distinct()
     )
     docs_cand = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh_cand = shingles_long(docs_cand, text_col, id_col).cache()
+    sh_cand = _cached(shingles_long(docs_cand, text_col, id_col))
     sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
@@ -241,7 +259,7 @@ def minhash_lsh_pairs(
     """
     spark = df.sparkSession
     src = df.select(id_col, text_col).repartition(spark.sparkContext.defaultParallelism)
-    bands = minhash_bands(src, text_col, id_col).cache()
+    bands = _cached(minhash_bands(src, text_col, id_col))
     left = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (
@@ -275,8 +293,8 @@ def minhash_lsh_join(
     par = spark.sparkContext.defaultParallelism
     lsrc = left.select(id_col, text_col).repartition(par)
     rsrc = right.select(id_col, text_col).repartition(par)
-    lbands = minhash_bands(lsrc, text_col, id_col).cache()
-    rbands = minhash_bands(rsrc, text_col, id_col).cache()
+    lbands = _cached(minhash_bands(lsrc, text_col, id_col))
+    rbands = _cached(minhash_bands(rsrc, text_col, id_col))
     cand = (
         lbands.select(F.col(id_col).alias("id_a"), "band", "band_key")
         .join(rbands.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])
@@ -286,8 +304,8 @@ def minhash_lsh_join(
     # verify with exact Jaccard over candidate docs only, sides kept apart
     a_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
     b_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-    sh_a = shingles_long(lsrc.join(F.broadcast(a_ids), id_col, "left_semi"), text_col, id_col).cache()
-    sh_b = shingles_long(rsrc.join(F.broadcast(b_ids), id_col, "left_semi"), text_col, id_col).cache()
+    sh_a = _cached(shingles_long(lsrc.join(F.broadcast(a_ids), id_col, "left_semi"), text_col, id_col))
+    sh_b = _cached(shingles_long(rsrc.join(F.broadcast(b_ids), id_col, "left_semi"), text_col, id_col))
     sizes_a = sh_a.groupBy(id_col).agg(F.count("*").alias("na"))
     sizes_b = sh_b.groupBy(id_col).agg(F.count("*").alias("nb"))
     inter = (

@@ -28,11 +28,18 @@ def salted_agg(
     """Two-phase groupBy: partial agg on (keys + salt), merge on keys.
 
     ``aggs`` maps output column -> (function, input column) with function
-    in {max, min, sum, count}. ``salt_source`` defaults to a deterministic
-    spread (crc32 of all non-key columns would do; here monotonically
-    varying input rows hash via ``spark_partition_id`` + input order is
-    avoided — we use crc32 of the stringified value column so re-runs are
-    stable).
+    in {max, min, sum, count}. ``count`` means SQL ``count(col)`` — non-null
+    rows of that column — NOT ``count(*)``; pass a never-null column (or a
+    literal via ``withColumn``) when you want row counts.
+
+    ``salt_source`` defaults to crc32 over ALL non-key columns composited.
+    Salting from a single value column is a trap: a hot key whose value
+    column is constant would collapse into one salt bucket and the
+    straggler returns. A composite over every non-key column only
+    degenerates if the hot key's rows are fully identical — in which case
+    pass an explicit ``salt_source`` (e.g. a row-unique id column, or
+    ``F.rand(seed)*salt_n`` cast to int when determinism per-row doesn't
+    matter for algebraic aggregates).
     """
     mergers = {"max": F.max, "min": F.min, "sum": F.sum, "count": F.sum}
     partials = {"max": F.max, "min": F.min, "sum": F.sum, "count": F.count}
@@ -40,11 +47,14 @@ def salted_agg(
         if fn not in mergers:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
 
-    first_in = next(iter(aggs.values()))[1]
+    non_key = [c for c in df.columns if c not in keys]
     salt = (
         salt_source
         if salt_source is not None
-        else F.crc32(F.col(first_in).cast("string")) % salt_n
+        else F.crc32(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key])
+        )
+        % salt_n
     ).alias("__salt")
 
     phase1 = df.groupBy(*keys, salt).agg(

@@ -197,7 +197,7 @@ def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize then release the cached simhash table (see q24 note)
     result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.clearCache()
+    sh.unpersist()  # release exactly the cache this query pinned
     return result
 
 

@@ -156,7 +156,7 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caches the operator pinned — repeated invocations in one session
     # (bench, the driver's gate) must not accumulate executor storage
     result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.clearCache()
+    D.release_caches()  # only this module's caches — not the whole session
     return result
 
 
@@ -234,7 +234,7 @@ def q57_minhash_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_join(new_batch, corpus, threshold=0.2)
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.clearCache()
+    D.release_caches()  # only this module's caches — not the whole session
     return result
 
 

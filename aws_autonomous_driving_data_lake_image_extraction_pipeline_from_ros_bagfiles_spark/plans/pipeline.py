@@ -28,13 +28,17 @@ from .registry import register
 _DETECTION_VOCAB = ["Person", "Car", "Bicycle", "Truck", "Motorcycle"]
 
 
-_DEMO_CACHE: dict[int, DataFrame] = {}
+_DEMO_CACHE: dict[str, DataFrame] = {}
 
 
 def _demo_records(spark: SparkSession) -> DataFrame:
     """Decoded demo-bag records, memoized per session — q32 and q33 share
-    one decode instead of spinning the mapInPandas worker twice."""
-    key = id(spark)
+    one decode instead of spinning the mapInPandas worker twice.
+
+    Keyed by applicationId, which is unique per SparkContext — ``id(spark)``
+    could be reused by a new session after the old one is GC'd, handing out
+    a localCheckpointed DataFrame bound to a dead session."""
+    key = spark.sparkContext.applicationId
     if key not in _DEMO_CACHE:
         blob = build_demo_bag(n_frames=8, bz2_chunk=True)
         bags = spark.createDataFrame(

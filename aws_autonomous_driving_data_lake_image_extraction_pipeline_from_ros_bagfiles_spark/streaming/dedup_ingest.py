@@ -1,16 +1,25 @@
 """Streaming dedup ingest: admit only novel documents to the corpus.
 
 The capstone composition of the engine's streaming + dedup machinery:
-each arriving micro-batch is near-dup-checked against the accumulated
-corpus (cross-corpus MinHash-LSH join) and within itself (self-join), and
-only novel documents are appended. This is the canonical LLM-data
-ingestion loop — the corpus never accumulates near-duplicates, and the
-check cost stays bounded because the corpus side's band table is
-effectively an index (here recomputed per batch; on a table format it
-would be persisted and appended).
+each arriving micro-batch is dedup-checked in three tiers — exact
+fingerprint within the batch, exact fingerprint against the corpus (a
+cheap md5 equi-anti-join that also catches documents shorter than the
+3-token shingle width, which MinHash cannot see), and near-dup MinHash-LSH
+both within the batch and against the corpus — and only novel documents
+are appended. This is the canonical LLM-data ingestion loop; the check
+cost stays bounded because the corpus side's band table is effectively an
+index (here recomputed per batch; on a table format it would be persisted
+and appended).
 
-Exactly-once: the checkpointed file source replays no batch twice; the
-append of survivors is the only side effect.
+Delivery semantics: the checkpointed file source gives AT-LEAST-ONCE
+batch delivery — a crash between the output write and the checkpoint
+commit replays the batch. The append is made idempotent by writing each
+batch's survivors under a batch_id-derived subdirectory with overwrite
+mode: a replayed batch overwrites its own previous output instead of
+appending it twice. (A plain ``mode("append")`` here would be the classic
+at-least-once double-write bug.) The corpus is read with
+``recursiveFileLookup`` so the batch subdirectories are invisible to the
+schema.
 """
 
 from __future__ import annotations
@@ -19,16 +28,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.dedup import exact_dedup, minhash_lsh_join, minhash_lsh_pairs
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_join,
+    minhash_lsh_pairs,
+    release_caches,
+    text_fingerprint,
+)
 
 
 def dedup_batch_against_corpus(
     batch: DataFrame, corpus: DataFrame | None, threshold: float
 ) -> DataFrame:
-    """Novel documents of *batch*: near-dups of the corpus and intra-batch
-    near-dups (keep min id) removed, exact dups removed first."""
+    """Novel documents of *batch*, cheapest tier first.
+
+    1. exact dedup within the batch (keep min id);
+    2. exact fingerprint anti-join against the corpus — catches exact
+       copies of SHORT corpus docs (< 3 tokens -> empty shingle set) that
+       are invisible to the LSH tier;
+    3. intra-batch near-dups (LSH self-join, keep min id);
+    4. cross-corpus near-dups (LSH join).
+    """
     keepers = exact_dedup(batch).select(F.col("keeper_id").alias("doc_id"))
     batch = batch.join(F.broadcast(keepers), "doc_id", "left_semi")
+
+    if corpus is not None and not corpus.isEmpty():
+        corpus_fps = corpus.select(text_fingerprint(F.col("text")).alias("fp")).distinct()
+        batch = batch.withColumn("fp", text_fingerprint(F.col("text"))).join(
+            corpus_fps, "fp", "left_anti"
+        ).drop("fp")
 
     intra = minhash_lsh_pairs(batch, threshold)
     batch = batch.join(intra.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti")
@@ -37,6 +65,27 @@ def dedup_batch_against_corpus(
         cross = minhash_lsh_join(batch, corpus, threshold)
         batch = batch.join(cross.select(F.col("id_a").alias("doc_id")), "doc_id", "left_anti")
     return batch
+
+
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The accumulated corpus across all committed batch subdirectories.
+
+    ``exclude_batch`` skips that batch's own subdirectory — essential on
+    replay: a re-delivered batch that saw its previous (pre-crash) output
+    as "corpus" would dedupe itself to empty and overwrite its directory
+    with nothing, silently losing the batch.
+    """
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(corpus_dir, "batch=*")))
+    if exclude_batch is not None:
+        dirs = [d for d in dirs if d.rstrip("/").rsplit("=", 1)[1] != str(exclude_batch)]
+    if not dirs:
+        return None
+    return spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
 
 
 def run_dedup_ingest(
@@ -48,17 +97,16 @@ def run_dedup_ingest(
     threshold: float = 0.5,
 ) -> None:
     """availableNow pass: each micro-batch of documents is deduped against
-    itself and the current corpus, survivors appended to corpus_dir."""
+    itself and the current corpus; survivors land under
+    ``corpus_dir/batch=<id>`` with overwrite, so a replayed batch (the
+    at-least-once case) rewrites its own output instead of duplicating it."""
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            corpus = spark.read.parquet(corpus_dir)
-        except Exception:
-            corpus = None
+        corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
         novel = dedup_batch_against_corpus(batch_df, corpus, threshold)
-        novel.write.mode("append").parquet(corpus_dir)
-        spark.catalog.clearCache()  # release band/shingle caches per batch
+        novel.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+        release_caches()  # only the dedup module's band/shingle caches
 
     q = (
         stream.writeStream.foreachBatch(batch_fn)
