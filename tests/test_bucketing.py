@@ -52,3 +52,30 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_load_serves_bucketed_layout(spark):
+    """bench.py's layout step: after materialize_bucketed, the registry
+    query q03 (fact-fact join) must read the bucketed tables through
+    tables.load() and plan a join with NO exchange on either join key."""
+    import __spark_entry__ as se
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.tables import (
+        drop_bucketed,
+        materialize_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        direct = sorted(map(tuple, se.queries()["q03_join_revenue"](spark, sf).collect()))
+        materialize_bucketed(spark, sf, buckets=8)
+        df = se.queries()["q03_join_revenue"](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert sorted(map(tuple, df.collect())) == direct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        drop_bucketed(spark, sf)
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
