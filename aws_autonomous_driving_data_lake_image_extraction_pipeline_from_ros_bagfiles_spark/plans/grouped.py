@@ -183,3 +183,64 @@ def q52_bag_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q60 — topic/time predicate pushdown into the bag reader (SURVEY §4.2
+# "optional nicety", reference's unused topics_to_extract intent,
+# ecs_stack.py:180,308). The indexed fixture bag is deterministic, so the
+# expected output is a CONSTANT — the oracle hash-checks the pushdown
+# decode end-to-end: camera topic + frames 8..15 selects exactly 1 of 4
+# chunks from the op-6 chunk index (odd chunks have no camera messages,
+# chunk 0 is outside the time range); n_diff proves pushdown decode ==
+# full decode + DataFrame filter; chunks_selected/bytes skipped prove the
+# pruning really avoided I/O.
+# --------------------------------------------------------------------------
+@register(
+    "q60_bag_topic_pushdown",
+    oracle="""
+    SELECT '/camera_front/image_raw' AS topic,
+           CAST(4 AS BIGINT) AS n_msgs,
+           CAST(1600000008 AS BIGINT) AS min_sec,
+           CAST(1600000011 AS BIGINT) AS max_sec,
+           4 AS chunks_total,
+           1 AS chunks_selected,
+           CAST(0 AS BIGINT) AS n_diff
+    """,
+)
+def q60_bag_topic_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rosbag_fixtures import build_indexed_bag, ros_time
+    from ..sources.rosbag_split import plan_bag_splits, read_bags_split
+
+    cam = "/camera_front/image_raw"
+    trange = (ros_time(1600000008, 8000), ros_time(1600000015, 15000))
+    work = tempfile.mkdtemp(prefix="bag_push_")
+    try:
+        path = os.path.join(work, "indexed.bag")
+        with open(path, "wb") as f:
+            f.write(build_indexed_bag(n_frames=16, n_chunks=4))
+        _, stats = plan_bag_splits([path], topics=[cam], time_range=trange)
+        pushed = read_bags_split(spark, [path], topics=[cam], time_range=trange)
+        sec = F.col("ros_time").bitwiseAND(F.lit(0xFFFFFFFF))
+        full_filtered = read_bags_split(spark, [path]).filter(
+            (F.col("topic") == cam) & sec.between(1600000008, 1600000015)
+        )
+        cmp_cols = ["topic", "msg_type", "ros_time", "seq"]
+        n_diff = (
+            pushed.select(cmp_cols).exceptAll(full_filtered.select(cmp_cols)).count()
+            + full_filtered.select(cmp_cols).exceptAll(pushed.select(cmp_cols)).count()
+        )
+        out = (
+            pushed.groupBy("topic")
+            .agg(
+                F.count("*").alias("n_msgs"),
+                F.min(sec).alias("min_sec"),
+                F.max(sec).alias("max_sec"),
+            )
+            .withColumn("chunks_total", F.lit(stats["chunks_total"]))
+            .withColumn("chunks_selected", F.lit(stats["chunks_selected"]))
+            .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

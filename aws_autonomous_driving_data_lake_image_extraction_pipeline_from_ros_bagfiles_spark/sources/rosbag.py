@@ -96,13 +96,30 @@ def _iter_records(buf: bytes, pos: int = 0) -> Iterator[tuple[dict[str, bytes], 
         yield header, data
 
 
-def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
+def _ros_key(t: int) -> int:
+    """Monotone ordering key for packed ros times ((nsec<<32)|sec)."""
+    return ((t & 0xFFFFFFFF) << 32) | (t >> 32)
+
+
+def decode_bag_bytes(
+    bag_name: str,
+    blob: bytes,
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> Iterator[dict]:
     """Single forward pass over one bag's bytes -> record dicts.
 
     Connections are registered as encountered (op 7); messages (op 2)
     resolve their connection and decode the typed payload; chunks (op 5)
     are decompressed and their inner records processed inline — identical
     control flow to the reference's constructor loop (bagstream.py:64-89).
+
+    ``topics``/``time_range`` (packed ros times, inclusive) skip the
+    payload deserialization — the expensive step — for non-matching
+    messages; the sequential reader still frames through every record
+    (chunk-level skipping needs the op-6 index, see rosbag_split).
+    The reference's unused ``topics_to_extract`` env vars
+    (ecs_stack.py:180,308) are the intent this realizes.
 
     Malformed framing (truncated file, garbage bytes) raises ValueError
     naming the bag — a lake-scale ingest will meet corrupt objects and a
@@ -113,6 +130,8 @@ def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
         raise ValueError(f"unsupported bag version: {version!r} (only 2.0)")
 
     connections: dict[int, dict[str, str]] = {}
+    lo = _ros_key(time_range[0]) if time_range is not None else None
+    hi = _ros_key(time_range[1]) if time_range is not None else None
 
     def handle(records: Iterable[tuple[dict[str, bytes], bytes]]) -> Iterator[dict]:
         for header, data in records:
@@ -128,6 +147,10 @@ def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
                 conn_id = struct.unpack("<I", header["conn"])[0]
                 ros_time = struct.unpack("<Q", header["time"])[0]
                 conn = connections.get(conn_id, {"topic": "?", "type": "?"})
+                if topics is not None and conn["topic"] not in topics:
+                    continue
+                if lo is not None and not (lo <= _ros_key(ros_time) <= hi):
+                    continue
                 msg = decode_message(conn["type"], data)
                 yield {
                     "bag": bag_name,
@@ -159,7 +182,11 @@ def decode_bag_bytes(bag_name: str, blob: bytes) -> Iterator[dict]:
         raise ValueError(f"corrupt bag record stream in {bag_name}: {e}") from e
 
 
-def _decode_partition(permissive: bool):
+def _decode_partition(
+    permissive: bool,
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -168,7 +195,9 @@ def _decode_partition(permissive: bool):
                     # materialize per bag BEFORE extending so a bag that
                     # corrupts mid-stream contributes nothing (all-or-
                     # nothing per file, no partial topic tables)
-                    decoded = list(decode_bag_bytes(bag_path, bytes(blob)))
+                    decoded = list(
+                        decode_bag_bytes(bag_path, bytes(blob), topics, time_range)
+                    )
                 except ValueError:
                     if not permissive:
                         raise
@@ -182,12 +211,20 @@ def _decode_partition(permissive: bool):
     return run
 
 
-def read_bags(spark: SparkSession, path: str, permissive: bool = False) -> DataFrame:
+def read_bags(
+    spark: SparkSession,
+    path: str,
+    permissive: bool = False,
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> DataFrame:
     """``binaryFile`` scan -> decoded long-format record DataFrame.
 
     ``pathGlobFilter`` plays the role of the reference's S3 suffix filter
     (S5: ecs_stack.py:244-248) — non-bag objects never reach the decoder.
     ``permissive=True`` skips corrupt bags instead of failing the job.
+    ``topics``/``time_range`` push the selection into the decoder so
+    non-matching payloads are never deserialized.
     """
     bags = (
         spark.read.format("binaryFile")
@@ -196,10 +233,19 @@ def read_bags(spark: SparkSession, path: str, permissive: bool = False) -> DataF
         .load(path)
         .select("path", "content")
     )
-    return bags.mapInPandas(_decode_partition(permissive), schema=BAG_RECORD_SCHEMA)
+    return bags.mapInPandas(
+        _decode_partition(permissive, topics, time_range), schema=BAG_RECORD_SCHEMA
+    )
 
 
-def decode_bag_df(bags: DataFrame, permissive: bool = False) -> DataFrame:
+def decode_bag_df(
+    bags: DataFrame,
+    permissive: bool = False,
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> DataFrame:
     """Decode an already-loaded (path, content) DataFrame (e.g. synthesized
     fixtures in tests or a streaming source)."""
-    return bags.mapInPandas(_decode_partition(permissive), schema=BAG_RECORD_SCHEMA)
+    return bags.mapInPandas(
+        _decode_partition(permissive, topics, time_range), schema=BAG_RECORD_SCHEMA
+    )

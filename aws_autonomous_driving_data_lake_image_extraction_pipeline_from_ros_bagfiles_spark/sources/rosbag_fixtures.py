@@ -117,6 +117,31 @@ def ros_time(sec: int, nsec: int = 0) -> int:
     return (nsec << 32) | sec
 
 
+def chunk_info(
+    chunk_pos: int, start_time: int, end_time: int, counts: dict[int, int]
+) -> bytes:
+    """Chunk-info index record (op=6, ver=1; public rosbag 2.0 spec).
+
+    Carries the chunk's record offset, its message time range, and the
+    per-connection message counts — everything a reader needs to SKIP the
+    chunk for a topic/time-filtered scan without decompressing it. The
+    reference skips these as process_unknown (bagstream.py:364-371); our
+    split reader uses them for predicate pushdown.
+    """
+    data = b"".join(struct.pack("<II", cid, n) for cid, n in sorted(counts.items()))
+    return _record(
+        {
+            "op": bytes([6]),
+            "ver": struct.pack("<I", 1),
+            "chunk_pos": struct.pack("<Q", chunk_pos),
+            "start_time": struct.pack("<Q", start_time),
+            "end_time": struct.pack("<Q", end_time),
+            "count": struct.pack("<I", len(counts)),
+        },
+        data,
+    )
+
+
 def build_demo_bag(
     n_frames: int = 8, bz2_chunk: bool = True, top_level_connections: bool = False
 ) -> bytes:
@@ -155,3 +180,49 @@ def build_demo_bag(
     if top_level_connections:
         body += conns  # index-region copies, as real bags write them
     return b"#ROSBAG V2.0\n" + body
+
+
+def build_indexed_bag(n_frames: int = 16, n_chunks: int = 4) -> bytes:
+    """Production-layout bag: messages chunked by time slice, with the full
+    index region — top-level connection copies AND chunk-info (op=6)
+    records carrying per-chunk time ranges and connection counts. This is
+    the layout rosbag's own writer produces, and what makes topic/time
+    predicate pushdown possible: a filtered reader prunes whole chunks from
+    the index without reading (or decompressing) their payloads.
+
+    Topic layout: camera frames (conn 0) only in EVEN chunks, odometry
+    (conn 1) in every chunk, status strings (conn 2) only in ODD chunks —
+    so both topic- and time-pruning have chunks to eliminate. Frame i
+    carries ros time sec=1600000000+i; chunk c covers the contiguous
+    [c*frames_per_chunk, ...) slice.
+    """
+    conns = (
+        connection(0, "/camera_front/image_raw", "sensor_msgs/Image")
+        + connection(1, "/odom", "nav_msgs/Odometry")
+        + connection(2, "/status", "std_msgs/String")
+    )
+    per_chunk = max(1, n_frames // n_chunks)
+    out = b"#ROSBAG V2.0\n" + bag_header()
+    metas: list[tuple[int, int, int, dict[int, int]]] = []
+    for c in range(n_chunks):
+        lo, hi = c * per_chunk, min((c + 1) * per_chunk, n_frames)
+        inner = conns if c == 0 else b""
+        counts: dict[int, int] = {}
+        for i in range(lo, hi):
+            t = ros_time(1600000000 + i, i * 1000)
+            if c % 2 == 0:
+                inner += message(0, t, image_payload(i, 8, 6))
+                counts[0] = counts.get(0, 0) + 1
+            inner += message(1, t, odometry_payload(i))
+            counts[1] = counts.get(1, 0) + 1
+            if c % 2 == 1:
+                inner += message(2, t, string_payload(i, f"status-{i}"))
+                counts[2] = counts.get(2, 0) + 1
+        start_t = ros_time(1600000000 + lo, lo * 1000)
+        end_t = ros_time(1600000000 + hi - 1, (hi - 1) * 1000)
+        metas.append((len(out), start_t, end_t, counts))
+        out += chunk(inner, "bz2" if c % 2 else "none")
+    out += conns  # index region: top-level connection copies
+    for pos, st, et, counts in metas:
+        out += chunk_info(pos, st, et, counts)
+    return out

@@ -1,4 +1,5 @@
-"""Chunk-splittable bag decoding — parallelism WITHIN one bag.
+"""Chunk-splittable bag decoding — parallelism WITHIN one bag, plus
+topic/time predicate pushdown driven by the bag's own index records.
 
 SURVEY §7.3 flags the reference's one-task-per-bag ceiling: its parser is
 a strictly sequential stream (bagstream.py:184-210), so a single multi-GB
@@ -11,16 +12,25 @@ Two-phase split read:
 
 1. :func:`scan_bag_layout` — a header-only scan: walks top-level record
    frames reading headers and *seeking past* chunk payloads (I/O is
-   O(header bytes), not O(file)); collects the connection registry and a
-   ``(offset, length, compression)`` extent per chunk.
+   O(header bytes), not O(file)); collects the connection registry, a
+   ``(offset, length, compression)`` extent per chunk, and the chunk-info
+   index records (op=6) carrying each chunk's time range and
+   per-connection message counts. The reference skips op 4/6 as
+   process_unknown (bagstream.py:364-371); they are exactly what makes
+   pushdown possible. The reference's unused ``topics_to_extract`` env
+   vars (ecs_stack.py:180,308) are the intent this realizes.
 2. :func:`read_bags_split` — parallelizes the chunk extents as a
    DataFrame of splits; each task opens the file, seeks to its extent,
    decompresses/decodes just that chunk with the broadcast connection
    map. A 100-chunk bag becomes 100 tasks instead of 1.
 
-This is the Python shape of the DataSource-V2 split planner; on a cluster
-the same layout scan runs inside ``planInputPartitions`` and extents become
-InputPartitions.
+Pushdown: ``topics=``/``time_range=`` prune whole chunks at the planning
+step — a chunk whose info record shows no selected-topic messages, or a
+time range disjoint from the predicate, is never read (its bytes are
+never fetched, never decompressed). A residual per-message filter inside
+the chunk handles the coarse boundaries. Chunks with no info record are
+decoded conservatively. This is the Python shape of a DataSource-V2
+``planInputPartitions`` with filter pushdown.
 """
 
 from __future__ import annotations
@@ -46,17 +56,45 @@ from .rosbag import (
 )
 from .ros_messages import decode_message
 
+OP_CHUNK_INFO = 6
+
 
 @dataclass
 class ChunkExtent:
     path: str
-    data_offset: int
+    record_offset: int  # offset of the chunk RECORD (what chunk_pos names)
+    data_offset: int    # offset of the chunk's data payload
     data_len: int
     compression: str
 
 
-def scan_bag_layout(path: str) -> tuple[dict[int, dict[str, str]], list[ChunkExtent]]:
-    """Header-only pass: connection registry + chunk extents.
+@dataclass
+class ChunkInfo:
+    chunk_pos: int
+    start_time: int  # packed ros time (nsec << 32 | sec)
+    end_time: int
+    counts: dict[int, int]  # conn id -> message count
+
+
+@dataclass
+class BagLayout:
+    connections: dict[int, dict[str, str]]
+    chunks: list[ChunkExtent]
+    chunk_infos: dict[int, ChunkInfo]  # keyed by chunk record offset
+
+
+def ros_key(t: int) -> int:
+    """Monotone ordering key for packed ros times.
+
+    The packed form is ``(nsec << 32) | sec`` (bagstream.py:222), whose
+    integer order is dominated by nanoseconds — comparing raw packed
+    values is WRONG. This swaps the halves so sec is the high word.
+    """
+    return ((t & 0xFFFFFFFF) << 32) | (t >> 32)
+
+
+def scan_bag_layout(path: str) -> BagLayout:
+    """Header-only pass: connection registry + chunk extents + chunk infos.
 
     Requires top-level connection records (the standard bag layout writes
     them in the index region after the chunks); raises if none are found
@@ -64,11 +102,13 @@ def scan_bag_layout(path: str) -> tuple[dict[int, dict[str, str]], list[ChunkExt
     """
     connections: dict[int, dict[str, str]] = {}
     chunks: list[ChunkExtent] = []
+    infos: dict[int, ChunkInfo] = {}
     with open(path, "rb") as f:
         magic = f.read(len(BAG_MAGIC))
         if magic != BAG_MAGIC:
             raise ValueError(f"unsupported bag version: {magic[:40]!r} (only 2.0)")
         while True:
+            record_offset = f.tell()
             raw = f.read(4)
             if len(raw) < 4:
                 break
@@ -85,8 +125,21 @@ def scan_bag_layout(path: str) -> tuple[dict[int, dict[str, str]], list[ChunkExt
                 }
             elif op == OP_CHUNK:
                 compression = header.get("compression", b"none").decode("iso-8859-1")
-                chunks.append(ChunkExtent(path, f.tell(), dlen, compression))
+                chunks.append(ChunkExtent(path, record_offset, f.tell(), dlen, compression))
                 f.seek(dlen, 1)
+            elif op == OP_CHUNK_INFO:
+                pos = struct.unpack("<Q", header["chunk_pos"])[0]
+                data = f.read(dlen)
+                counts: dict[int, int] = {}
+                for off in range(0, len(data) - 7, 8):
+                    cid, n = struct.unpack_from("<II", data, off)
+                    counts[cid] = n
+                infos[pos] = ChunkInfo(
+                    pos,
+                    struct.unpack("<Q", header["start_time"])[0],
+                    struct.unpack("<Q", header["end_time"])[0],
+                    counts,
+                )
             else:
                 f.seek(dlen, 1)
     if not connections:
@@ -94,11 +147,66 @@ def scan_bag_layout(path: str) -> tuple[dict[int, dict[str, str]], list[ChunkExt
             f"{path}: no top-level connection records — bag is not split-readable; "
             "use sources.rosbag.read_bags (sequential) instead"
         )
-    return connections, chunks
+    return BagLayout(connections, chunks, infos)
 
 
-def _decode_chunk(path: str, extent_off: int, extent_len: int, compression: str,
-                  connections: dict[int, dict[str, str]]) -> Iterator[dict]:
+def plan_bag_splits(
+    paths: list[str],
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> tuple[list[tuple], dict[str, int]]:
+    """Layout scan + index-driven chunk pruning.
+
+    ``topics`` keeps only chunks whose info record counts >=1 message on a
+    selected connection; ``time_range`` is an inclusive (lo, hi) pair of
+    PACKED ros times (fixture helper ``ros_time``) compared via
+    :func:`ros_key`; chunks with a disjoint [start,end] are dropped.
+    Chunks lacking an info record are kept (conservative). Returns
+    (split rows, stats) where stats counts chunks/bytes total vs selected
+    — the proof that pruning skipped real I/O.
+    """
+    splits: list[tuple] = []
+    stats = {"chunks_total": 0, "chunks_selected": 0, "bytes_total": 0, "bytes_selected": 0}
+    for p in paths:
+        layout = scan_bag_layout(p)
+        selected_conns = {
+            cid
+            for cid, c in layout.connections.items()
+            if topics is None or c["topic"] in topics
+        }
+        conn_blob = json.dumps(
+            {str(k): v for k, v in layout.connections.items() if k in selected_conns}
+        )
+        for c in layout.chunks:
+            stats["chunks_total"] += 1
+            stats["bytes_total"] += c.data_len
+            info = layout.chunk_infos.get(c.record_offset)
+            if info is not None:
+                if topics is not None and not any(
+                    info.counts.get(cid, 0) > 0 for cid in selected_conns
+                ):
+                    continue
+                if time_range is not None and (
+                    ros_key(info.end_time) < ros_key(time_range[0])
+                    or ros_key(info.start_time) > ros_key(time_range[1])
+                ):
+                    continue
+            stats["chunks_selected"] += 1
+            stats["bytes_selected"] += c.data_len
+            splits.append((c.path, c.data_offset, c.data_len, c.compression, conn_blob))
+    return splits, stats
+
+
+def _decode_chunk(
+    path: str,
+    extent_off: int,
+    extent_len: int,
+    compression: str,
+    connections: dict[int, dict[str, str]],
+    time_range: tuple[int, int] | None = None,
+) -> Iterator[dict]:
+    lo = ros_key(time_range[0]) if time_range is not None else None
+    hi = ros_key(time_range[1]) if time_range is not None else None
     with open(path, "rb") as f:
         f.seek(extent_off)
         data = f.read(extent_len)
@@ -112,8 +220,14 @@ def _decode_chunk(path: str, extent_off: int, extent_len: int, compression: str,
         if op != OP_MESSAGE:
             continue
         conn_id = struct.unpack("<I", header["conn"])[0]
+        conn = connections.get(conn_id)
+        if conn is None:
+            # connection not selected by the topic pushdown — the payload
+            # is never deserialized (the expensive step)
+            continue
         ros_time = struct.unpack("<Q", header["time"])[0]
-        conn = connections.get(conn_id, {"topic": "?", "type": "?"})
+        if lo is not None and not (lo <= ros_key(ros_time) <= hi):
+            continue
         msg = decode_message(conn["type"], payload)
         yield {
             "bag": path,
@@ -132,19 +246,22 @@ def _decode_chunk(path: str, extent_off: int, extent_len: int, compression: str,
         }
 
 
-def read_bags_split(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Decode bags with chunk-level parallelism.
+def read_bags_split(
+    spark: SparkSession,
+    paths: list[str],
+    topics: list[str] | None = None,
+    time_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Decode bags with chunk-level parallelism and predicate pushdown.
 
     The layout scan runs on the driver (header-only, cheap); chunk extents
-    become the unit of work. Connection maps ride along in the split rows
-    (they are tiny: topic+type strings per connection).
+    become the unit of work, pre-pruned by ``topics``/``time_range`` via
+    the bag's chunk-info index (see :func:`plan_bag_splits`). Connection
+    maps ride along in the split rows (they are tiny: topic+type strings
+    per selected connection). Use :func:`plan_bag_splits` directly when
+    the pruning stats are wanted.
     """
-    splits = []
-    for p in paths:
-        connections, chunks = scan_bag_layout(p)
-        conn_blob = json.dumps({str(k): v for k, v in connections.items()})
-        for c in chunks:
-            splits.append((c.path, c.data_offset, c.data_len, c.compression, conn_blob))
+    splits, _ = plan_bag_splits(paths, topics, time_range)
     split_df = spark.createDataFrame(
         splits,
         "path string, data_offset bigint, data_len bigint, compression string, conn_json string",
@@ -159,7 +276,9 @@ def read_bags_split(spark: SparkSession, paths: list[str]) -> DataFrame:
                 pdf["path"], pdf["data_offset"], pdf["data_len"], pdf["compression"], pdf["conn_json"]
             ):
                 conns = {int(k): v for k, v in _json.loads(conn_json).items()}
-                rows.extend(_decode_chunk(path, int(off), int(ln), comp, conns))
+                rows.extend(
+                    _decode_chunk(path, int(off), int(ln), comp, conns, time_range)
+                )
             yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
     return split_df.mapInPandas(run, schema=BAG_RECORD_SCHEMA)

@@ -30,7 +30,8 @@ def test_layout_scan(spark):
     work = tempfile.mkdtemp(prefix="t_split_")
     try:
         path = _write_bag(work, n_frames=6, top_level_connections=True)
-        conns, chunks = scan_bag_layout(path)
+        layout = scan_bag_layout(path)
+        conns, chunks = layout.connections, layout.chunks
         assert len(conns) == 4 and conns[1]["type"] == "nav_msgs/Odometry"
         assert len(chunks) == 2
         assert chunks[0].compression == "none" and chunks[1].compression == "bz2"
@@ -69,5 +70,87 @@ def test_unsplittable_bag_raises(spark):
         path = _write_bag(work, n_frames=2, top_level_connections=False)
         with pytest.raises(ValueError, match="not split-readable"):
             scan_bag_layout(path)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _write_indexed_bag(work: str, **kw) -> str:
+    path = os.path.join(work, "indexed.bag")
+    with open(path, "wb") as f:
+        f.write(fx.build_indexed_bag(**kw))
+    return path
+
+
+def test_chunk_info_parsed(spark):
+    work = tempfile.mkdtemp(prefix="t_push_")
+    try:
+        path = _write_indexed_bag(work, n_frames=16, n_chunks=4)
+        layout = scan_bag_layout(path)
+        assert len(layout.chunks) == 4
+        assert len(layout.chunk_infos) == 4
+        # infos key by the chunk RECORD offset the writer recorded
+        for c in layout.chunks:
+            info = layout.chunk_infos[c.record_offset]
+            assert info.counts  # every chunk has counted connections
+        # camera (conn 0) only in even chunks, status (conn 2) in odd
+        infos = [layout.chunk_infos[c.record_offset] for c in layout.chunks]
+        assert [0 in i.counts for i in infos] == [True, False, True, False]
+        assert [2 in i.counts for i in infos] == [False, True, False, True]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_topic_time_pushdown_prunes_chunks(spark):
+    """Pushdown decode == full decode + DataFrame filter, and the planner
+    provably skipped chunk bytes (the decoded-bytes counter)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag_split import (
+        plan_bag_splits,
+    )
+
+    work = tempfile.mkdtemp(prefix="t_push_")
+    try:
+        path = _write_indexed_bag(work, n_frames=16, n_chunks=4)
+        cam = "/camera_front/image_raw"
+        t_lo, t_hi = fx.ros_time(1600000008, 8000), fx.ros_time(1600000015, 15000)
+
+        # planner stats: topic filter drops odd chunks (no camera), time
+        # filter drops chunk 0 (frames 0-3) -> 1 of 4 chunks survives
+        _, stats = plan_bag_splits([path], topics=[cam], time_range=(t_lo, t_hi))
+        assert stats["chunks_total"] == 4
+        assert stats["chunks_selected"] == 1
+        assert stats["bytes_selected"] < stats["bytes_total"]
+
+        pushed = read_bags_split(spark, [path], topics=[cam], time_range=(t_lo, t_hi))
+        full = read_bags_split(spark, [path])
+        from pyspark.sql import functions as F
+
+        sec = F.col("ros_time").bitwiseAND(F.lit(0xFFFFFFFF))
+        filtered = full.filter(
+            (F.col("topic") == cam) & sec.between(1600000008, 1600000015)
+        )
+        cols = ["topic", "msg_type", "ros_time", "seq"]
+        a = sorted(map(tuple, pushed.select(cols).collect()))
+        b = sorted(map(tuple, filtered.select(cols).collect()))
+        assert a == b and len(a) == 4  # camera frames 8..11 (chunk 2 only)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sequential_pushdown_matches_filter(spark):
+    work = tempfile.mkdtemp(prefix="t_push_")
+    try:
+        path = _write_indexed_bag(work, n_frames=8, n_chunks=2)
+        with open(path, "rb") as f:
+            blob = f.read()
+        cam = "/camera_front/image_raw"
+        t = (fx.ros_time(1600000000), fx.ros_time(1600000002, 2000))
+        pushed = list(decode_bag_bytes(path, blob, topics=[cam], time_range=t))
+        full = [
+            r for r in decode_bag_bytes(path, blob)
+            if r["topic"] == cam and 1600000000 <= (r["ros_time"] & 0xFFFFFFFF) <= 1600000002
+        ]
+        key = lambda r: (r["topic"], r["ros_time"], r["seq"])
+        assert sorted(map(key, pushed)) == sorted(map(key, full))
+        assert len(pushed) == 3
     finally:
         shutil.rmtree(work, ignore_errors=True)
