@@ -279,3 +279,99 @@ def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q61 — watermarked windowed counts on the PRODUCTION streaming path (ST3,
+# streaming/windows.py): two arrival-driven availableNow runs over one
+# checkpoint (the engine's run-per-arrival pattern; see windows.py note on
+# when Spark enforces the late filter):
+#   run 1 — A: the freshest hour of events    (commits wm1 = max - 4h)
+#   run 2 — B: late arrivals; rows in (max-24h, max-6h) target windows
+#      below wm1 -> DROPPED; rows in (max-3h, max-1h] are late but within
+#      the watermark -> AGGREGATED; then C: one synthetic far-future probe
+#      row that advances the watermark so every real window finalizes and
+#      emits (its own window never does).
+# The oracle is the batch aggregation over ONLY the admitted rows (A plus
+# within-watermark B) — hash-equality proves the engine dropped exactly
+# the beyond-watermark set, kept the within-watermark set, and emitted
+# each finalized window once. All slice boundaries carry >=1h margin from
+# the watermark so hour-window edge semantics cannot flip the result.
+# --------------------------------------------------------------------------
+@register(
+    "q61_watermarked_window",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    admitted AS (
+        SELECT e.ts, e.event_type FROM events e, m
+        WHERE e.ts > m.mx - INTERVAL 1 HOUR
+           OR (e.ts > m.mx - INTERVAL 3 HOUR AND e.ts <= m.mx - INTERVAL 1 HOUR)
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events
+    FROM admitted
+    GROUP BY 1, 2
+    """,
+)
+def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import glob
+    import os
+
+    from ..streaming.windows import watermarked_window_counts
+
+    events = load(spark, sf_dir, "events").select("ts", "event_type")
+    mx = events.agg(F.max("ts")).first()[0]
+
+    def between(lo_h: float | None, hi_h: float | None, strict_lo=True, strict_hi=True):
+        c = F.lit(True)
+        if lo_h is not None:
+            bound = F.lit(mx) - F.expr(f"INTERVAL {int(lo_h * 60)} MINUTES")
+            c = c & (F.col("ts") > bound if strict_lo else F.col("ts") >= bound)
+        if hi_h is not None:
+            bound = F.lit(mx) - F.expr(f"INTERVAL {int(hi_h * 60)} MINUTES")
+            c = c & (F.col("ts") < bound if strict_hi else F.col("ts") <= bound)
+        return c
+
+    batch_a = events.filter(between(1, None, strict_lo=True))          # ts > mx-1h
+    late_drop = events.filter(between(24, 6))                          # dropped slice
+    late_keep = events.filter(between(3, 1, strict_hi=False))          # admitted slice
+    batch_b = late_drop.unionAll(late_keep)
+    probe_ts = mx + datetime.timedelta(days=30, minutes=30)
+    batch_c = spark.createDataFrame([(probe_ts, "wm_probe")], "ts timestamp, event_type string")
+
+    work = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        now = int(__import__("time").time())
+
+        def land(i: int, name: str, df: DataFrame) -> None:
+            stage = f"{work}/{name}.stage"
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = f"{src}/{name}.parquet"
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))  # mtime = batch order
+
+        def drain() -> None:
+            watermarked_window_counts(
+                spark,
+                src,
+                batch_a.schema,
+                out_dir=f"{work}/out",
+                checkpoint_dir=f"{work}/ckpt",
+                delay="4 hours",
+                window="1 hour",
+            )
+
+        land(0, "a", batch_a)
+        drain()  # run 1: commits wm1 = max - 4h to the checkpoint
+        land(1, "b", batch_b)
+        land(2, "c", batch_c)
+        drain()  # run 2: late filter enforced from wm1; probe finalizes all
+        final = spark.read.parquet(f"{work}/out")
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

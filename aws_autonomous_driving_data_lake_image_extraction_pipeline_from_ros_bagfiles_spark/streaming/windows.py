@@ -1,0 +1,78 @@
+"""Watermarked event-time windows — the production streaming aggregation.
+
+The reference has no watermark concept (ST3): late label arrivals are
+absorbed by its upsert-not-insert semantics (process-queue-sync.py:85-97),
+which means its state (the DynamoDB table) is unbounded and a row can
+mutate forever. The engine's production path bounds state the Spark way:
+``withWatermark`` declares the lateness contract, the stateful windowed
+aggregation drops rows older than the watermark, and append mode emits
+each window exactly once when it finalizes — so the downstream table is
+immutable-once-written (what the reference's consumers actually assume).
+
+Semantics pinned in tests/test_watermark.py and oracle-checked by the
+q61 registry query:
+
+- rows later than the watermark are DROPPED (visible as
+  numRowsDroppedByWatermark in the query progress);
+- late-but-within-watermark rows ARE aggregated into their window;
+- only finalized windows (window end below the final watermark) are
+  emitted; in-flight windows produce no output.
+
+Operational note (measured on this Spark build, and the reason the
+engine's production pattern is run-per-arrival): the late-record filter
+is enforced from the watermark COMMITTED TO THE CHECKPOINT — a restart
+(new availableNow run over the same checkpoint) filters with the prior
+run's final watermark, while batches inside one run only apply eviction.
+The engine therefore drains the landing zone arrival-driven, one
+availableNow run per wake-up sharing one checkpoint — exactly the
+reference's queue-consumer lifecycle (ST1: one execution per S3 event
+batch, bag-queue-proc.py:16-21), and the shape under which the
+late-drop contract above is guaranteed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def watermarked_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "4 hours",
+    window: str = "1 hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """availableNow pass: watermarked tumbling-window counts, finalized
+    windows appended to ``out_dir`` as parquet (the streaming parquet sink
+    only supports append mode, which is exactly the emit-once contract)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            key_col,
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -36,12 +36,12 @@ def _write_batch(spark, path, rows):
 
 
 def test_windowed_agg_with_watermark_drops_too_late_rows(spark):
-    """Watermark guarantees: a window already finalized (evicted in an
-    earlier micro-batch) is emitted exactly once, and rows arriving after
-    its finalization are dropped rather than resurrecting it. NB the
-    drop guarantee applies only across batches — a late row landing in
-    the SAME batch that evicts its window may still be counted (watermark
-    is a lower bound, not an exact filter)."""
+    """Watermark guarantees under the engine's run-per-arrival pattern
+    (two availableNow runs over one checkpoint — see streaming/windows.py
+    for why the late filter is enforced from the CHECKPOINTED watermark):
+    a window already finalized in run 1 is emitted exactly once, and a
+    too-late row arriving in run 2 is provably dropped
+    (numRowsDroppedByWatermark) rather than resurrecting the window."""
     work = tempfile.mkdtemp(prefix="t_wm_")
     import time
 
@@ -50,41 +50,57 @@ def test_windowed_agg_with_watermark_drops_too_late_rows(spark):
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        # b1: two rows in window W1 + one at +50m (advances watermark)
+
+        schema = None
+
+        def drain():
+            # parquet sink, not memory: only a durable sink supports
+            # checkpoint recovery, which the run-per-arrival pattern needs
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").cast("long").alias("start_sec"), "n")
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sum(
+                (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+                for p in q.recentProgress
+                if p["stateOperators"]
+            )
+
+        # run 1: two rows in W1, a +50m row advancing the watermark to
+        # +20m, then a +80m row -> final committed wm = +50m; W1 (end
+        # ~ +10m) finalizes and is emitted during this run
         _write_batch(spark, f"{src}/b1.parquet", [(1, base + 60), (1, base + 120), (1, base + 50 * 60)])
         time.sleep(1.1)
-        # b2: +80m row -> watermark becomes +50m; W1 (end ~ +10m) is
-        # finalized and evicted during this batch
         _write_batch(spark, f"{src}/b2.parquet", [(1, base + 80 * 60)])
-        time.sleep(1.1)
-        # b3: a very late row aimed at the already-evicted W1 -> must be
-        # dropped (the cross-batch guaranteed-drop path)
-        _write_batch(spark, f"{src}/b3.parquet", [(1, base + 30)])
-
         schema = spark.read.parquet(f"{src}/b1.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", "30 minutes")
-            .groupBy(F.window("ts", "10 minutes").alias("w"))
-            .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").cast("long").alias("start_sec"), "n")
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("wm_out")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        rows = spark.table("wm_out").collect()
+        dropped1 = drain()
+        rows1 = spark.read.parquet(f"{work}/out").collect()
+        assert {r.start_sec: r.n for r in rows1}.get(w1) == 2  # W1 finalized in run 1
+
+        # run 2: a very late row aimed at the already-evicted W1 -> must
+        # be DROPPED by the checkpointed watermark (+50m), not resurrect W1
+        _write_batch(spark, f"{src}/b3.parquet", [(1, base + 30)])
+        dropped2 = drain()
+        rows = spark.read.parquet(f"{work}/out").collect()
         out = {r.start_sec: r.n for r in rows}
 
+        assert dropped1 == 0 and dropped2 >= 1  # the drop is observable
         # W1 emitted exactly once with only its two original rows; the b3
         # late row neither re-emitted nor mutated it
         assert out.get(w1) == 2
