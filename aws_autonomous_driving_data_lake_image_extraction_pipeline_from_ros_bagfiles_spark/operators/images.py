@@ -14,11 +14,13 @@ and Spark's built-in image source. All transforms are Arrow-batched
 - :func:`resize_shorter_edge` — proportional nearest-neighbor resize
   (im2rec.py:163-175's resize semantics)
 
-PNG/JPEG codec encode-decode requires an image library that is not in
-this container; :func:`encode_png` is therefore an explicit stub (the
-pipeline stores raw buffers + metadata instead, which is also the right
-call at 100 TB — parquet-compressed raw planes avoid a per-frame codec
-round-trip in every downstream transform).
+PNG encoding (K2, the reference's per-frame ``cv2.imwrite``/Pillow sink,
+bagstream.py:246-266) is provided by the pure-stdlib codec in
+:mod:`..functions.png` — :func:`encode_frames_png` stamps a ``png``
+column onto decoded frames. The canonical frame layout remains raw
+pixel buffers in parquet (no per-frame codec round-trip in every
+downstream transform at 100 TB); PNG encode is the sink stage on the
+way out, as in the reference.
 """
 
 from __future__ import annotations
@@ -145,11 +147,25 @@ def resize_shorter_edge(decoded: DataFrame, target_short: int) -> DataFrame:
     return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def encode_png(*_args, **_kwargs):
-    """PNG encoding requires an image codec library not present in this
-    container (SURVEY §2.2 K2 writes PNGs via Pillow). The engine persists
-    raw pixel buffers + metadata in parquet instead; wire a codec here when
-    the runtime provides one."""
-    raise NotImplementedError(
-        "PNG encode needs Pillow/libpng; store raw pixel buffers in parquet instead"
+def encode_frames_png(decoded: DataFrame, level: int = 6) -> DataFrame:
+    """K2: stamp a ``png`` column (real PNG bytes, stdlib codec) onto
+    decoded RGB frames — the engine's analog of the reference's per-frame
+    PNG write (bagstream.py:246-266)."""
+    from ..functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag", "topic", "ts", "seq", "img_width", "img_height"]].copy()
+            out["png"] = [
+                encode_png(bytes(p), w, h, 3, level)
+                for p, w, h in zip(pdf["pixels"], pdf["img_width"], pdf["img_height"])
+            ]
+            yield out
+
+    return decoded.mapInPandas(
+        run,
+        schema=(
+            "bag string, topic string, ts timestamp, seq bigint, "
+            "img_width int, img_height int, png binary"
+        ),
     )

@@ -74,11 +74,16 @@ def q32_bag_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("q33_frame_table")
 def q33_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import encode_frames_png
+
     rec = _demo_records(spark)
     frames = with_frame_filenames(with_frame_ids(image_view(rec), tiebreak="seq"))
     decoded = decode_frames(frames)
-    stats = decoded.select(
-        "topic", "ts", "seq", "img_width", "img_height", F.length("pixels").alias("n_bytes")
+    pngs = encode_frames_png(decoded)
+    stats = pngs.select(
+        "topic", "ts", "seq", "img_width", "img_height",
+        F.length("png").alias("png_bytes"),
+        (F.substring("png", 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")).alias("png_ok"),
     )
     names = frames.select("topic", "seq", "frame_id", "img_file")
     return names.join(stats, ["topic", "seq"]).orderBy("frame_id")

@@ -9,7 +9,9 @@ optimization:
   bagstream.py:171-182)
 - frames partitioned by ``(topic)`` with raw pixel buffers -> no per-frame
   PNG round-trip (K2); camera/day layout gives the enrich path a pruned
-  incremental scan
+  incremental scan. :func:`write_png_files` is the reference-parity sink:
+  real ``.png`` files (stdlib codec, functions/png.py), one per frame,
+  written from the executors (bagstream.py:246-266's cv2.imwrite)
 - detections partitioned by ``ts_key`` -> the wide table's natural query
   axis ("find frames with cars on day X", README.md:9-13)
 
@@ -41,6 +43,36 @@ def write_frames(frames: DataFrame, root: str) -> None:
     """K2: frame table with raw pixel/binary payloads, partitioned by
     topic; filenames (``img_file``) remain reference-compatible keys."""
     frames.write.mode("overwrite").partitionBy("topic").parquet(root)
+
+
+def write_png_files(decoded: DataFrame, root: str, name_col: str = "img_file") -> int:
+    """K2 reference-parity sink: encode each decoded frame to a real PNG
+    and write ``<root>/<topic-sanitized>/<img_file>`` from the executors —
+    the distributed analog of bagstream.py:246-266's per-frame cv2.imwrite
+    (at scale each task PUTs to the object store exactly like the
+    reference's upload queue, K4). Returns the number of files written."""
+
+    def write_batches(batches):
+        import os
+
+        import pandas as pd
+
+        from ..functions.png import encode_png
+
+        n = 0
+        for pdf in batches:
+            for topic, name, pix, w, h in zip(
+                pdf["topic"], pdf[name_col], pdf["pixels"], pdf["img_width"], pdf["img_height"]
+            ):
+                d = os.path.join(root, topic.strip("/").replace("/", "_"))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, name), "wb") as f:
+                    f.write(encode_png(bytes(pix), int(w), int(h), 3))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = decoded.mapInPandas(write_batches, schema="n bigint").collect()
+    return sum(r["n"] for r in counts)
 
 
 def write_detections(wide: DataFrame, root: str, partition_col: str = "ts_key") -> None:
