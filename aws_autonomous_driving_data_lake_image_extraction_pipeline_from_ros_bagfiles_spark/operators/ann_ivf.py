@@ -16,11 +16,18 @@ real trained quantizer, per ROADMAP item 3:
 
 MLlib is used for the trainer only; search is plain DataFrame ops — the
 trained model reduces to a centroid table usable by any engine.
+
+Two centroid-distance paths, switched on B (``_CODEGEN_MAX_B``): small
+B inlines centroids as codegen literals (JVM-only, zero Python); large B
+broadcasts one (B, d) numpy matrix and computes the argmin / probe order
+as a BLAS matmul inside an Arrow-batched Pandas UDF, keeping plan size
+O(1) in B (VERDICT r1 item 7 — literal trees blow up codegen at B≳1k).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
@@ -38,9 +45,16 @@ def train_quantizer(
     return [c.tolist() for c in model.clusterCenters()]
 
 
+# Above this many centroids the codegen literal path stops being the right
+# tool: each centroid inlines as a literal expression tree, so plan size and
+# codegen time grow O(B·d). The vectorized path broadcasts one (B, d) numpy
+# matrix and does the argmin as a BLAS matmul per Arrow batch instead.
+_CODEGEN_MAX_B = 32
+
+
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     """Codegen argmin over squared L2 to each centroid (no model object on
-    the executors — centroids inline as literals)."""
+    the executors — centroids inline as literals). Small-B path only."""
     dists = []
     for c in centroids:
         arr = F.array(*[F.lit(float(x)) for x in c])
@@ -52,10 +66,45 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     return best.cast("int")
 
 
+def _centroid_broadcast(df: DataFrame, centroids: list[list[float]]):
+    """Ship the (B, d) centroid matrix to executors once as a Spark
+    broadcast variable (the broadcast-table form of VERDICT item 7 — one
+    copy per executor, not one literal tree per expression)."""
+    return df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+
+def _sq_dists(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, d) x (B, d) -> (n, B) squared L2, one BLAS matmul."""
+    return (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2.0 * (mat @ cents.T)
+        + (cents * cents).sum(axis=1)
+    )
+
+
+def _nearest_centroid_vectorized(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _centroid_broadcast(df, centroids)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(mat, cents).argmin(axis=1).astype(np.int32))
+
+    return nearest(F.col(vec_col))
+
+
 def assign_buckets(
     corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
+    """Nearest-centroid bucket per vector. B <= 32 stays pure codegen
+    (JVM-only, no Python workers); beyond that the broadcast-matrix
+    Pandas-UDF path keeps plan size O(1) in B."""
+    if len(centroids) <= _CODEGEN_MAX_B:
+        return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
+    return corpus.withColumn("bucket", _nearest_centroid_vectorized(corpus, vec_col, centroids))
 
 
 def ivf_topk_batch(
@@ -79,15 +128,31 @@ def ivf_topk_batch(
     heap per query). Probe-bucket fan-out bounds join input to
     ~nprobe/B of |queries| x |corpus|.
     """
-    dists = []
-    for b, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        diff = F.zip_with(F.col(qvec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
-        d = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-        dists.append(F.struct(d.alias("d"), F.lit(b).alias("bucket")))
-    probe_buckets = F.transform(
-        F.slice(F.array_sort(F.array(*dists)), 1, nprobe), lambda s: s["bucket"]
-    )
+    if len(centroids) <= _CODEGEN_MAX_B:
+        dists = []
+        for b, c in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            diff = F.zip_with(F.col(qvec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
+            d = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+            dists.append(F.struct(d.alias("d"), F.lit(b).alias("bucket")))
+        probe_buckets = F.transform(
+            F.slice(F.array_sort(F.array(*dists)), 1, nprobe), lambda s: s["bucket"]
+        )
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        bc = _centroid_broadcast(queries, centroids)
+
+        @pandas_udf("array<int>")
+        def probe_udf(qvecs: pd.Series) -> pd.Series:
+            cents = bc.value
+            mat = np.stack(qvecs.to_numpy()).astype(np.float64)
+            # stable sort matches the codegen tie-break (equal distance ->
+            # lower bucket id first, as struct comparison falls through)
+            order = np.argsort(_sq_dists(mat, cents), axis=1, kind="stable")
+            return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+        probe_buckets = probe_udf(F.col(qvec_col))
     probes = queries.select(
         qid_col, qvec_col, F.explode(probe_buckets).alias("bucket")
     )

@@ -66,3 +66,45 @@ def test_ivf_batch_matches_per_query(spark):
         single = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=5, nprobe=3).collect()]
         assert [v for _, v in sorted(got[qid])] == single
     bucketed.unpersist()
+
+
+def test_large_b_vectorized_matches_codegen(spark):
+    """B=64 > _CODEGEN_MAX_B routes through the broadcast-matrix Pandas
+    UDF; it must assign the same buckets as the codegen literal path."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        _nearest_centroid,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_quantizer(emb, n_buckets=64)
+    vec = assign_buckets(emb, centroids)  # vectorized (64 > 32)
+    ref = emb.withColumn("bucket", _nearest_centroid("embedding", centroids))
+    got = {r.vec_id: r.bucket for r in vec.collect()}
+    want = {r.vec_id: r.bucket for r in ref.collect()}
+    assert got == want
+
+
+def test_large_b_batch_probe_matches_driver_numpy(spark):
+    """B=256: batched probe selection (Pandas-UDF path) must match the
+    driver-side numpy probe order used by single-query ivf_topk."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        ivf_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_quantizer(emb, n_buckets=256)
+    bucketed = assign_buckets(emb, centroids).cache()
+    qids = [0, 7]
+    queries = bucketed.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = bucketed.filter(~F.col("vec_id").isin(qids))
+    batch = ivf_topk_batch(corpus, centroids, queries, k=5, nprobe=16)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.rk, r.vec_id))
+    for qid in qids:
+        qvec = [float(x) for x in bucketed.filter(F.col("vec_id") == qid).first().embedding]
+        single = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=5, nprobe=16).collect()]
+        assert [v for _, v in sorted(got[qid])] == single
+    bucketed.unpersist()
