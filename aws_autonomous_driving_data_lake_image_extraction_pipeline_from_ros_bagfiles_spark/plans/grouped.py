@@ -244,3 +244,73 @@ def q60_bag_topic_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q62 — per-topic dynamic schema split (SURVEY §4.2 item 5, the reference's
+# two-pass lazy schema discovery, bagstream.py:324-342): discover the
+# topic/type set from the bag itself (a metadata aggregation, not a second
+# data scan), then materialize one TYPED view per discovered type
+# (from_json fixed schemas / the image binary+metadata layout). Each view
+# proves real typed parsing with a type-specific value checksum. The demo
+# fixture is deterministic, so the expected output is a constant oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q62_topic_schema_split",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('/camera_front/image_raw', 'sensor_msgs/Image',     CAST(8 AS BIGINT), 4,  CAST(112.0 AS DOUBLE)),
+        ('/odom',                   'nav_msgs/Odometry',     CAST(8 AS BIGINT), 10, CAST(30.8 AS DOUBLE)),
+        ('/scan',                   'sensor_msgs/LaserScan', CAST(8 AS BIGINT), 7,  CAST(227.44 AS DOUBLE)),
+        ('/status',                 'std_msgs/String',       CAST(8 AS BIGINT), 1,  CAST(8.0 AS DOUBLE))
+    ) AS t(topic, msg_type, n_msgs, typed_cols, checksum)
+    """,
+)
+def q62_topic_schema_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.topic_views import PAYLOAD_SCHEMAS, image_view, topic_view
+    from .pipeline import _demo_records
+
+    rec = _demo_records(spark)
+    # pass 1 — discovery: which (topic, msg_type) pairs exist (tiny result;
+    # the reference discovers this lazily per connection)
+    discovered = sorted(
+        (r.topic, r.msg_type)
+        for r in rec.select("topic", "msg_type").distinct().collect()
+    )
+    # pass 2 — one typed view per discovered type, each summarized with a
+    # checksum that only a correctly-parsed typed column can produce
+    checks = {
+        "nav_msgs/Odometry": F.col("pos_x") + F.col("lin_x"),
+        "sensor_msgs/LaserScan": F.col("angle_min") + F.col("range_max"),
+        "std_msgs/String": F.when(F.col("data").startswith("status-"), 1.0).otherwise(0.0),
+    }
+    parts = []
+    for topic, mt in discovered:
+        if mt == "sensor_msgs/Image":
+            view = image_view(rec).filter(F.col("topic") == topic)
+            typed_cols, chk = 4, F.col("img_width") + F.col("img_height")
+        elif mt in PAYLOAD_SCHEMAS:
+            view = topic_view(rec, mt).filter(F.col("topic") == topic)
+            typed_cols = PAYLOAD_SCHEMAS[mt].count(",") + 1
+            chk = checks[mt]
+        else:  # undeclared type: raw view, no typed checksum
+            view = rec.filter((F.col("topic") == topic) & (F.col("msg_type") == mt))
+            typed_cols, chk = 0, F.lit(0.0)
+        parts.append(
+            view.groupBy()
+            .agg(
+                F.count("*").alias("n_msgs"),
+                F.round(F.sum(chk.cast("double")), 6).alias("checksum"),
+            )
+            .select(
+                F.lit(topic).alias("topic"),
+                F.lit(mt).alias("msg_type"),
+                "n_msgs",
+                F.lit(typed_cols).alias("typed_cols"),
+                "checksum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("topic")
