@@ -8,7 +8,9 @@ import tempfile
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.upsert import (
+    compact_upsert_state,
     max_upsert_stream,
+    read_upsert_changes,
     read_upsert_state,
 )
 
@@ -42,5 +44,60 @@ def test_stream_equals_batch_and_duplicates_are_noops(spark):
         max_upsert_stream(**args)
         second = {r.k: r.mx for r in read_upsert_state(spark, f"{work}/state", ["k"], "mx").collect()}
         assert second == batch
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_and_cdc_read(spark):
+    work = tempfile.mkdtemp(prefix="t_compact_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        schema = "k bigint, v double"
+        # batch 0: keys 0..4 at v=10; batch 1: key 2 raised, key 9 new
+        spark.createDataFrame([(k, 10.0) for k in range(5)], schema).write.parquet(f"{src}/b0")
+        args = dict(
+            spark=spark, schema=spark.read.parquet(f"{src}/b0").schema,
+            state_dir=f"{work}/state", checkpoint_dir=f"{work}/ckpt",
+            key_cols=["k"], value_col="v",
+        )
+        max_upsert_stream(source_path=f"{src}/b0", **args)
+        spark.createDataFrame([(2, 99.0), (9, 1.0), (0, 5.0)], schema).write.mode("append").parquet(f"{src}/b0")
+        max_upsert_stream(source_path=f"{src}/b0", **args)
+
+        want = {0: 10.0, 1: 10.0, 2: 99.0, 3: 10.0, 4: 10.0, 9: 1.0}
+        got = {r.k: r.mx for r in read_upsert_state(spark, f"{work}/state", ["k"], "mx").collect()}
+        assert got == want
+
+        # CDC: since batch 0 -> only keys whose max changed in batch 1.
+        # Key 0's batch-1 value (5.0) did NOT raise its max -> not a change.
+        changes = {
+            r.k: (r.mx, r.last_batch)
+            for r in read_upsert_changes(spark, f"{work}/state", ["k"], "mx", since_batch=0).collect()
+        }
+        assert changes == {2: (99.0, 1), 9: (1.0, 1)}
+
+        # explicit compaction: same state, partials gone, one generation
+        gen = compact_upsert_state(spark, f"{work}/state", ["k"])
+        assert gen == 0
+        pdir = f"{work}/state/partials"
+        assert not os.path.isdir(pdir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(pdir)
+        )
+        after = {r.k: r.mx for r in read_upsert_state(spark, f"{work}/state", ["k"], "mx").collect()}
+        assert after == want
+        # CDC still answerable post-compaction (last_batch preserved)
+        changes2 = {
+            r.k: (r.mx, r.last_batch)
+            for r in read_upsert_changes(spark, f"{work}/state", ["k"], "mx", since_batch=0).collect()
+        }
+        assert changes2 == {2: (99.0, 1), 9: (1.0, 1)}
+
+        # a second compaction folds the first generation into the next
+        spark.createDataFrame([(3, 77.0)], schema).write.mode("append").parquet(f"{src}/b0")
+        max_upsert_stream(source_path=f"{src}/b0", **args)
+        assert compact_upsert_state(spark, f"{work}/state", ["k"]) == 1
+        final = {r.k: r.mx for r in read_upsert_state(spark, f"{work}/state", ["k"], "mx").collect()}
+        assert final == {**want, 3: 77.0}
     finally:
         shutil.rmtree(work, ignore_errors=True)
