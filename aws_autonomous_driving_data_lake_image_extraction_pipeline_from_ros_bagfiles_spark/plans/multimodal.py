@@ -1,0 +1,139 @@
+"""Multimodal audio/video queries (q63-q64): the decode / feature-extract
+/ frame-sample legs of a training-data pipeline over opaque binary
+columns (operators/audio.py, operators/video.py).
+
+Both fixtures are deterministic (seeded synth), so expected outputs are
+CONSTANT oracles — the same hash-checked pattern as q60/q62: the oracle
+pins decode + feature math end-to-end, not just row counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+def _audio_clips(spark: SparkSession) -> DataFrame:
+    """4 deterministic 1-second PCM16 sine clips at 8 kHz: clip i has
+    frequency 100*(i+1) Hz and amplitude 1000*(i+1)."""
+    from ..operators.audio import encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    rows = []
+    for i in range(4):
+        wave = (1000 * (i + 1) * np.sin(2 * np.pi * 100 * (i + 1) * t)).astype("<i2")
+        rows.append((i, bytearray(encode_wav(wave, rate))))
+    return spark.createDataFrame(rows, "clip_id bigint, wav binary")
+
+
+# --------------------------------------------------------------------------
+# q63 — audio decode + frame-level features: WAV (stdlib RIFF parse) ->
+# PCM -> per-1024-sample-window RMS / zero-crossing-rate -> per-clip
+# summary. RMS tracks amplitude (a/sqrt(2)); ZCR tracks frequency
+# (2f/rate) — the oracle constants are those physics, which only a
+# correct decode + feature chain reproduces.
+# --------------------------------------------------------------------------
+@register(
+    "q63_audio_features",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(7 AS BIGINT), CAST(706.383 AS DOUBLE), CAST(0.0249 AS DOUBLE)),
+        (CAST(1 AS BIGINT), CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(7 AS BIGINT), CAST(1413.714 AS DOUBLE), CAST(0.0499 AS DOUBLE)),
+        (CAST(2 AS BIGINT), CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(7 AS BIGINT), CAST(2121.068 AS DOUBLE), CAST(0.0748 AS DOUBLE)),
+        (CAST(3 AS BIGINT), CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(7 AS BIGINT), CAST(2828.54 AS DOUBLE), CAST(0.0998 AS DOUBLE))
+    ) AS t(clip_id, sample_rate, duration_s, n_frames, avg_rms, avg_zcr)
+    """,
+)
+def q63_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.audio import audio_features, decode_audio
+
+    decoded = decode_audio(_audio_clips(spark))
+    feats = audio_features(decoded, frame_len=1024)
+    meta = decoded.select("clip_id", "sample_rate", "duration_s")
+    summary = feats.groupBy("clip_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("rms"), 3).alias("avg_rms"),
+        F.round(F.avg("zcr"), 4).alias("avg_zcr"),
+    )
+    return (
+        meta.join(summary, "clip_id")
+        .select(
+            "clip_id",
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            "duration_s",
+            "n_frames",
+            "avg_rms",
+            "avg_zcr",
+        )
+        .orderBy("clip_id")
+    )
+
+
+def _videos(spark: SparkSession) -> DataFrame:
+    """2 deterministic raw-packed clips: 24 frames of 8x6 RGB at 12 fps;
+    pixel (v, f, y, x, c) = (37*v + 11*f + 5*y + 3*x + c) mod 256."""
+    from ..operators.video import encode_rawv
+
+    rows = []
+    for v in range(2):
+        n, w, h = 24, 8, 6
+        f_idx, y, x, c = np.meshgrid(
+            np.arange(n), np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        frames = ((37 * v + 11 * f_idx + 5 * y + 3 * x + c) % 256).astype(np.uint8)
+        rows.append((v, bytearray(encode_rawv(frames, fps=12.0))))
+    return spark.createDataFrame(rows, "video_id bigint, video binary")
+
+
+# --------------------------------------------------------------------------
+# q64 — video frame sampling: packed raw video -> k=4 uniformly spaced
+# frames per clip, sampled INSIDE the Arrow batch (only sampled pixels
+# leave the Python worker). Per-clip summary checksums the sampled
+# frame indices, their timestamps, and the mean pixel value — wrong
+# stride, wrong frame offsets, or wrong plane math all break the hash.
+# --------------------------------------------------------------------------
+@register(
+    "q64_video_frame_sample",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(46 AS BIGINT), CAST(3.8333 AS DOUBLE), CAST(87.8333 AS DOUBLE)),
+        (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(46 AS BIGINT), CAST(3.8333 AS DOUBLE), CAST(123.5 AS DOUBLE))
+    ) AS t(video_id, n_sampled, sum_frame_idx, sum_ts_offset, avg_pixel)
+    """,
+)
+def q64_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import sample_frames
+
+    sampled = sample_frames(_videos(spark), k_uniform=4)
+    # per-frame mean pixel via codegen on the binary column would need a
+    # byte-wise HOF; the pixel mean comes from the same Arrow pass instead
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def with_mean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["video_id", "frame_idx", "ts_offset_s"]].copy()
+            out["pix_mean"] = [
+                float(np.frombuffer(bytes(p), dtype=np.uint8).mean()) for p in pdf["pixels"]
+            ]
+            yield out
+
+    stats = sampled.mapInPandas(
+        with_mean,
+        schema="video_id bigint, frame_idx int, ts_offset_s double, pix_mean double",
+    )
+    return (
+        stats.groupBy("video_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("frame_idx").cast("bigint").alias("sum_frame_idx"),
+            F.round(F.sum("ts_offset_s"), 4).alias("sum_ts_offset"),
+            F.round(F.avg("pix_mean"), 4).alias("avg_pixel"),
+        )
+        .orderBy("video_id")
+    )
