@@ -402,6 +402,149 @@ def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q65 — streaming dedup ingest END-TO-END (the capstone composition,
+# streaming/dedup_ingest.py): three mtime-ordered document batches
+# (doc_id % 3 = 0, 1, 2) arrive one micro-batch each through a checkpointed
+# file source; each batch is admitted only where novel under the tiered
+# check (exact-within-batch -> exact-vs-corpus fingerprint -> intra-batch
+# LSH -> cross-corpus LSH), and survivors land under batch=<id> partitions.
+#
+# The oracle replays the SAME sequential admission in chained CTEs. The key
+# observation that makes this SQL-expressible: band collision and verified
+# Jaccard are PAIRWISE properties of two documents' texts, independent of
+# batch membership — so one global verified-near-dup relation ``np`` (both
+# directions) computed once over all documents, restricted per tier by
+# membership predicates, reproduces exactly what the engine's per-batch LSH
+# runs see. Admission is deliberately NOT transitive-closure (a doc dropped
+# for resembling an already-dropped doc stays dropped) — the oracle mirrors
+# the engine's keep-min anti-join semantics, not connected components.
+# --------------------------------------------------------------------------
+INGEST_THRESHOLD = 0.5
+_INGEST_BATCHES = 3
+
+
+def _ingest_oracle() -> str:
+    p = D.MERSENNE_P
+    sig_cols = ", ".join(
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}" for i in range(b * D.ROWS_PER_BAND, (b + 1) * D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+
+    def batch_ctes(i: int) -> str:
+        prior = [f"n{j}" for j in range(i)]
+        ek = f"ek{i} AS (SELECT min(doc_id) AS doc_id, fp FROM fps WHERE b = {i} GROUP BY fp)"
+        if prior:
+            cor_fp = " UNION ALL ".join(f"SELECT fp FROM {c}" for c in prior)
+            ff = f"ff{i} AS (SELECT doc_id, fp FROM ek{i} WHERE fp NOT IN ({cor_fp}))"
+        else:
+            ff = f"ff{i} AS (SELECT doc_id, fp FROM ek{i})"
+        ib = (
+            f"ib{i} AS (SELECT d.doc_id, d.fp FROM ff{i} d WHERE NOT EXISTS ("
+            f"SELECT 1 FROM np JOIN ff{i} a ON np.x = a.doc_id "
+            f"WHERE np.y = d.doc_id AND a.doc_id < d.doc_id))"
+        )
+        if prior:
+            cor_id = " UNION ALL ".join(f"SELECT doc_id FROM {c}" for c in prior)
+            nv = (
+                f"n{i} AS (SELECT d.doc_id, d.fp FROM ib{i} d WHERE NOT EXISTS ("
+                f"SELECT 1 FROM np WHERE np.x = d.doc_id AND np.y IN ({cor_id})))"
+            )
+        else:
+            nv = f"n{i} AS (SELECT doc_id, fp FROM ib{i})"
+        return ",\n    ".join([ek, ff, ib, nv])
+
+    chain = ",\n    ".join(batch_ctes(i) for i in range(_INGEST_BATCHES))
+    final = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS batch FROM n{i}" for i in range(_INGEST_BATCHES)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM shl),
+    sigs AS (SELECT doc_id, {sig_cols} FROM based),
+    bands AS ({band_selects}),
+    vcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    vinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM vcand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    vp AS (
+        SELECT i.id_a, i.id_b
+        FROM vinter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {INGEST_THRESHOLD}
+    ),
+    np AS (SELECT id_a AS x, id_b AS y FROM vp
+           UNION ALL SELECT id_b AS x, id_a AS y FROM vp),
+    fps AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                   doc_id % {_INGEST_BATCHES} AS b
+            FROM documents),
+    {chain}
+    SELECT doc_id, batch FROM ({final})
+    """
+
+
+@register("q65_dedup_ingest", oracle=_ingest_oracle())
+def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.dedup_ingest import run_dedup_ingest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="dedup_ingest_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        now = int(time.time())
+        for i in range(_INGEST_BATCHES):
+            part = docs.filter(F.col("doc_id") % _INGEST_BATCHES == i)
+            stage = f"{work}/b{i}.stage"
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = f"{src}/b{i}.parquet"
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (now - 60 + i * 10, now - 60 + i * 10))  # mtime = arrival order
+        run_dedup_ingest(
+            spark,
+            src,
+            docs.schema,
+            corpus_dir=f"{work}/corpus",
+            checkpoint_dir=f"{work}/ckpt",
+            threshold=INGEST_THRESHOLD,
+        )
+        final = spark.read.parquet(f"{work}/corpus").select(
+            "doc_id", F.col("batch").cast("int").alias("batch")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # q31 — fingerprint uniqueness per source (dedup audit rollup).
 # --------------------------------------------------------------------------
 @register(
