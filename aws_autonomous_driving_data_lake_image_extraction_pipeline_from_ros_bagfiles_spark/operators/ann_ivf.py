@@ -169,6 +169,50 @@ def ivf_topk_batch(
     )
 
 
+def save_ivf_index(
+    bucketed: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the index as a parquet pair so it survives sessions.
+
+    ``<path>/corpus`` is the bucket-assigned corpus written
+    ``partitionBy(bucket)`` — on read, a probe's ``bucket IN (...)``
+    predicate is a partition filter, so non-probed buckets are pruned at
+    the file index and never read (scan cost ~nprobe/B of the corpus, the
+    same property the in-memory path gets from a filter, but now durable).
+    ``<path>/centroids`` is the tiny (bucket, centroid) table — the entire
+    trained state of the quantizer, engine-portable.
+    """
+    (
+        bucketed.select(id_col, vec_col, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/corpus")
+    )
+    spark = bucketed.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(rows, "bucket int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(bucketed corpus, centroids) back from :func:`save_ivf_index`.
+
+    The corpus DataFrame carries ``bucket`` as a partition column; every
+    search function in this module works on it unchanged."""
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("bucket").collect()
+    centroids = [list(r.centroid) for r in cents]
+    corpus = spark.read.parquet(f"{path}/corpus")
+    return corpus, centroids
+
+
 def ivf_topk(
     bucketed: DataFrame,
     centroids: list[list[float]],

@@ -131,26 +131,34 @@ def minhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return hs.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, bk0..bk{BANDS-1}) wide band keys — the PERSISTABLE index shape.
+
+    One row per doc makes this storable as plain columns alongside the
+    corpus (streaming/dedup_ingest.py persists exactly these), so
+    re-checking a grown corpus never re-hashes its text: the signature
+    cost is paid once per document at admission."""
+    sig = minhash_table(df, text_col, id_col)
+    cols = [
+        F.md5(
+            F.concat_ws("|", *[f"s{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)])
+        ).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    return sig.select(F.col(id_col), *cols)
+
+
+def bands_long(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Wide (id, bk0..) -> join-ready long (id, band, band_key). Narrow op,
+    no hashing — safe to apply to persisted index columns on every read."""
+    arr = F.array(*[F.col(f"bk{b}") for b in range(BANDS)])
+    return wide.select(F.col(id_col), F.posexplode(arr).alias("band", "band_key"))
+
+
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_key) — one row per band, band_key = md5 of the
     band's signature slice. Join-ready for LSH bucketing."""
-    sig = minhash_table(df, text_col, id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[f"s{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    return bands_long(minhash_band_cols(df, text_col, id_col), id_col)
 
 
 def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -244,6 +252,7 @@ def minhash_lsh_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, then exact-Jaccard verify.
 
@@ -255,11 +264,13 @@ def minhash_lsh_pairs(
     hashing (a single parquet file would otherwise pin the CPU-heavy md5
     stage to one core), and the bands table — 4 small rows per doc — is
     cached because the bucket self-join would recompute the signatures for
-    each side.
+    each side. Callers holding precomputed/persisted band rows pass them as
+    ``bands`` to skip the hashing entirely.
     """
     spark = df.sparkSession
     src = df.select(id_col, text_col).repartition(spark.sparkContext.defaultParallelism)
-    bands = _cached(minhash_bands(src, text_col, id_col))
+    if bands is None:
+        bands = _cached(minhash_bands(src, text_col, id_col))
     left = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (
@@ -279,22 +290,25 @@ def minhash_lsh_join(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    left_bands: DataFrame | None = None,
+    right_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup join: (left id_a, right id_b, jaccard).
 
     The incremental-ingest shape of dedup — dedupe a NEW batch (left)
     against the EXISTING corpus (right) without any self-pairing. Same
     banded-LSH candidate generation as :func:`minhash_lsh_pairs`; the
-    right side's bands are what a production pipeline would precompute
-    and store alongside the corpus, so only the left (new) side pays
+    right side's bands are what a production pipeline precomputes and
+    stores alongside the corpus (``right_bands``, see
+    streaming/dedup_ingest.py), so only the left (new) side pays
     signature hashing per run.
     """
     spark = left.sparkSession
     par = spark.sparkContext.defaultParallelism
     lsrc = left.select(id_col, text_col).repartition(par)
     rsrc = right.select(id_col, text_col).repartition(par)
-    lbands = _cached(minhash_bands(lsrc, text_col, id_col))
-    rbands = _cached(minhash_bands(rsrc, text_col, id_col))
+    lbands = left_bands if left_bands is not None else _cached(minhash_bands(lsrc, text_col, id_col))
+    rbands = right_bands if right_bands is not None else _cached(minhash_bands(rsrc, text_col, id_col))
     cand = (
         lbands.select(F.col(id_col).alias("id_a"), "band", "band_key")
         .join(rbands.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])

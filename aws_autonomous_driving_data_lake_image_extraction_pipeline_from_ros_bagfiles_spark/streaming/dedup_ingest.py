@@ -6,10 +6,17 @@ fingerprint within the batch, exact fingerprint against the corpus (a
 cheap md5 equi-anti-join that also catches documents shorter than the
 3-token shingle width, which MinHash cannot see), and near-dup MinHash-LSH
 both within the batch and against the corpus — and only novel documents
-are appended. This is the canonical LLM-data ingestion loop; the check
-cost stays bounded because the corpus side's band table is effectively an
-index (here recomputed per batch; on a table format it would be persisted
-and appended).
+are appended.
+
+The check cost stays bounded because the corpus side's dedup state is a
+PERSISTED INDEX, not recomputed: every admitted document is stored with
+its fingerprint (``fp``) and its four LSH band keys (``bk0..bk3``) as
+plain columns. A later batch's corpus tiers read those columns — an
+md5 equi-anti-join and a band equi-join — and never re-tokenize or
+re-hash corpus text. Per-batch work is therefore O(batch + matches)
+regardless of corpus size; without the index it would be O(corpus) per
+batch, i.e. quadratic over the life of the ingest. (Corpus text is
+touched only to exact-verify the few LSH candidates.)
 
 Delivery semantics: the checkpointed file source gives AT-LEAST-ONCE
 batch delivery — a crash between the output write and the checkpoint
@@ -17,9 +24,7 @@ commit replays the batch. The append is made idempotent by writing each
 batch's survivors under a batch_id-derived subdirectory with overwrite
 mode: a replayed batch overwrites its own previous output instead of
 appending it twice. (A plain ``mode("append")`` here would be the classic
-at-least-once double-write bug.) The corpus is read with
-``recursiveFileLookup`` so the batch subdirectories are invisible to the
-schema.
+at-least-once double-write bug.)
 """
 
 from __future__ import annotations
@@ -29,18 +34,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.dedup import (
+    BANDS,
+    bands_long,
     exact_dedup,
+    minhash_band_cols,
     minhash_lsh_join,
     minhash_lsh_pairs,
     release_caches,
     text_fingerprint,
+    _cached,
 )
+
+_INDEX_COLS = ["fp"] + [f"bk{b}" for b in range(BANDS)]
 
 
 def dedup_batch_against_corpus(
     batch: DataFrame, corpus: DataFrame | None, threshold: float
 ) -> DataFrame:
-    """Novel documents of *batch*, cheapest tier first.
+    """Novel documents of *batch*, cheapest tier first, WITH their index
+    columns (fp, bk0..bk3) attached for persistence.
 
     1. exact dedup within the batch (keep min id);
     2. exact fingerprint anti-join against the corpus — catches exact
@@ -48,23 +60,56 @@ def dedup_batch_against_corpus(
        are invisible to the LSH tier;
     3. intra-batch near-dups (LSH self-join, keep min id);
     4. cross-corpus near-dups (LSH join).
+
+    The batch's signatures are hashed ONCE (``minhash_band_cols``) and
+    reused across tiers 3 and 4 and the persisted output. A corpus that
+    carries persisted index columns is never re-hashed; a bare
+    (doc_id, text) corpus still works — its index is derived on the fly.
     """
+    spark = batch.sparkSession
     keepers = exact_dedup(batch).select(F.col("keeper_id").alias("doc_id"))
     batch = batch.join(F.broadcast(keepers), "doc_id", "left_semi")
 
-    if corpus is not None and not corpus.isEmpty():
-        corpus_fps = corpus.select(text_fingerprint(F.col("text")).alias("fp")).distinct()
+    has_corpus = corpus is not None and not corpus.isEmpty()
+    if has_corpus:
+        if "fp" in corpus.columns:
+            corpus_fps = corpus.select("fp").distinct()
+        else:
+            corpus_fps = corpus.select(text_fingerprint(F.col("text")).alias("fp")).distinct()
         batch = batch.withColumn("fp", text_fingerprint(F.col("text"))).join(
             corpus_fps, "fp", "left_anti"
         ).drop("fp")
 
-    intra = minhash_lsh_pairs(batch, threshold)
+    # one hashing pass over the batch; tiers below reuse it
+    hashed = batch.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wide = _cached(minhash_band_cols(hashed))
+    blong = bands_long(wide)
+
+    intra = minhash_lsh_pairs(batch, threshold, bands=blong)
     batch = batch.join(intra.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti")
 
-    if corpus is not None and not corpus.isEmpty():
-        cross = minhash_lsh_join(batch, corpus, threshold)
+    if has_corpus:
+        if all(f"bk{b}" in corpus.columns for b in range(BANDS)):
+            rlong = bands_long(corpus.select("doc_id", *[f"bk{b}" for b in range(BANDS)]))
+        else:
+            rlong = None
+        cross = minhash_lsh_join(
+            batch,
+            corpus.select("doc_id", "text"),
+            threshold,
+            left_bands=blong,
+            right_bands=rlong,
+        )
         batch = batch.join(cross.select(F.col("id_a").alias("doc_id")), "doc_id", "left_anti")
-    return batch
+
+    # attach the index columns the corpus persists (left join: sub-shingle
+    # docs have no bands — their bk* stay NULL and never band-match, while
+    # fp still guards them exactly)
+    return batch.withColumn("fp", text_fingerprint(F.col("text"))).join(
+        wide, "doc_id", "left"
+    )
 
 
 def read_corpus(
@@ -99,7 +144,9 @@ def run_dedup_ingest(
     """availableNow pass: each micro-batch of documents is deduped against
     itself and the current corpus; survivors land under
     ``corpus_dir/batch=<id>`` with overwrite, so a replayed batch (the
-    at-least-once case) rewrites its own output instead of duplicating it."""
+    at-least-once case) rewrites its own output instead of duplicating it.
+    Survivors carry their index columns (fp, bk0..bk3), so later batches'
+    corpus checks are joins against stored state, not recomputation."""
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:

@@ -108,3 +108,42 @@ def test_large_b_batch_probe_matches_driver_numpy(spark):
         single = [r.vec_id for r in ivf_topk(corpus, centroids, qvec, k=5, nprobe=16).collect()]
         assert [v for _, v in sorted(got[qid])] == single
     bucketed.unpersist()
+
+
+def test_index_persistence_roundtrip_and_pruning(spark, tmp_path):
+    """save_ivf_index/load_ivf_index: identical search results from the
+    persisted index, and the probe's bucket predicate prunes partitions at
+    the file index (PartitionFilters on the parquet scan, fewer files)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = train_quantizer(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, centroids)
+    save_ivf_index(bucketed, centroids, str(tmp_path / "idx"))
+
+    corpus2, cents2 = load_ivf_index(spark, str(tmp_path / "idx"))
+    assert cents2 == [[float(x) for x in c] for c in centroids]
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    mem = [
+        r.vec_id
+        for r in ivf_topk(
+            bucketed.filter(F.col("vec_id") != 0), centroids, qvec, k=10, nprobe=3
+        ).collect()
+    ]
+    disk_df = ivf_topk(
+        corpus2.filter(F.col("vec_id") != 0), cents2, qvec, k=10, nprobe=3
+    )
+    assert [r.vec_id for r in disk_df.collect()] == mem
+
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the probed scan must touch strictly fewer partition dirs than exist
+    import re
+
+    m = re.search(r"partition read: (\d+)", plan)
+    if m:  # metric text varies by Spark version; the filter assert above is the gate
+        assert int(m.group(1)) < 8
