@@ -31,6 +31,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     relational,
     select_trainprep,
     sessions,
+    temporal,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
