@@ -247,12 +247,28 @@ def ngram_jaccard_pairs(
     return _attach_jaccard(inter, sizes).filter(F.col("jaccard") >= threshold)
 
 
+def cap_band_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, band_key) buckets holding more than *max_bucket_size*
+    docs — the LSH analog of q23's stop-shingle guard. A bucket of f docs
+    contributes f^2/2 candidate pairs, so one boilerplate/template cluster
+    (or an adversarial corpus of near-identical docs) turns the bucketed
+    join quadratic; hot buckets carry almost no discriminating signal and
+    their members are still guarded by the exact-fingerprint tier and
+    their remaining (cold) bands. Cost: one extra aggregate on the tiny
+    band table."""
+    freq = bands.groupBy("band", "band_key").agg(F.count("*").alias("f"))
+    return bands.join(
+        freq.filter(F.col("f") <= max_bucket_size), ["band", "band_key"]
+    ).drop("f")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, then exact-Jaccard verify.
 
@@ -271,6 +287,8 @@ def minhash_lsh_pairs(
     src = df.select(id_col, text_col).repartition(spark.sparkContext.defaultParallelism)
     if bands is None:
         bands = _cached(minhash_bands(src, text_col, id_col))
+    if max_bucket_size is not None:
+        bands = cap_band_buckets(bands, max_bucket_size)
     left = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (
@@ -292,6 +310,7 @@ def minhash_lsh_join(
     id_col: str = "doc_id",
     left_bands: DataFrame | None = None,
     right_bands: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup join: (left id_a, right id_b, jaccard).
 
@@ -309,6 +328,20 @@ def minhash_lsh_join(
     rsrc = right.select(id_col, text_col).repartition(par)
     lbands = left_bands if left_bands is not None else _cached(minhash_bands(lsrc, text_col, id_col))
     rbands = right_bands if right_bands is not None else _cached(minhash_bands(rsrc, text_col, id_col))
+    if max_bucket_size is not None:
+        # a cross bucket of (fl, fr) docs emits fl*fr pairs; cap the
+        # COMBINED occupancy so either side's hot bucket trips the guard
+        combined = lbands.select("band", "band_key").unionAll(
+            rbands.select("band", "band_key")
+        )
+        ok = (
+            combined.groupBy("band", "band_key")
+            .agg(F.count("*").alias("f"))
+            .filter(F.col("f") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        lbands = lbands.join(ok, ["band", "band_key"])
+        rbands = rbands.join(ok, ["band", "band_key"])
     cand = (
         lbands.select(F.col(id_col).alias("id_a"), "band", "band_key")
         .join(rbands.select(F.col(id_col).alias("id_b"), "band", "band_key"), ["band", "band_key"])

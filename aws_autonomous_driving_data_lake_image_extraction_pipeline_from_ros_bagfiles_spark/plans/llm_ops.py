@@ -161,6 +161,49 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q68 — MinHash LSH with the STOP-BUCKET guard binding (ROADMAP #11): band
+# buckets holding more than Q68_MAX_BUCKET docs are dropped before the
+# self-join — the guard that keeps candidate generation linear when a
+# boilerplate/template cluster (or adversarial corpus) floods one bucket
+# with f docs and f^2/2 pairs. Cap=2 BINDS on this corpus (result differs
+# from q24), so the hash-match proves the guard executes, bucket counts
+# and all, not merely that it is plumbed through.
+# --------------------------------------------------------------------------
+Q68_MAX_BUCKET = 2
+
+
+def _minhash_capped_oracle() -> str:
+    base = _minhash_oracle()
+    out = base.replace(
+        """cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),""",
+        f"""bfreq AS (SELECT band, band_key FROM bands
+              GROUP BY 1, 2 HAVING count(*) <= {Q68_MAX_BUCKET}),
+    jbands AS (SELECT b.* FROM bands b JOIN bfreq USING (band, band_key)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM jbands a JOIN jbands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),""",
+    )
+    assert out != base, "cap splice failed: cand CTE text drifted from _minhash_oracle"
+    return out
+
+
+@register("q68_minhash_lsh_capped", oracle=_minhash_capped_oracle())
+def q68_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket_size=Q68_MAX_BUCKET)
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    result = spark.createDataFrame(out.collect(), out.schema)
+    D.release_caches()
+    return result
+
+
+# --------------------------------------------------------------------------
 # q57 — CROSS-corpus near-dup join (incremental-ingest dedup): new batch
 # (doc_id % 3 = 0) against existing corpus (the rest). Same LSH machinery
 # as q24 but left-right instead of self-join; the oracle rebuilds both

@@ -208,3 +208,35 @@ def test_minhash_cross_join_no_self_pairs(spark):
     assert (2, 1) in pairs and (4, 1) in pairs
     assert all(b != 3 for (_, b) in pairs)  # dissimilar corpus doc absent
     assert all(a in (2, 4) and b in (1, 3) for (a, b) in pairs)  # strictly cross-side
+
+
+def test_lsh_stop_bucket_cap(spark):
+    """An adversarial template cluster floods every band bucket; the cap
+    drops those buckets (bounded candidates) while distinct near-dup pairs
+    outside the flood still surface. Exact dedup remains the tier that
+    owns the flooded family."""
+    import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.dedup as D
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(40)]  # identical: every band hot
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=4)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in pairs                      # cold pair survives
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # flood suppressed
+    # the flooded family is exact-dup territory: one keeper, 40 copies
+    fam = D.exact_dedup(docs).filter("n_copies = 40").first()
+    assert fam.keeper_id == 0
+    D.release_caches()
+
+    # cross-join cap: flood on the right side suppresses those buckets too
+    left = spark.createDataFrame([(200, template)], "doc_id long, text string")
+    right = docs.filter("doc_id < 40")
+    cross = D.minhash_lsh_join(left, right, 0.5, max_bucket_size=4)
+    assert cross.count() == 0
+    D.release_caches()
