@@ -314,3 +314,72 @@ def q62_topic_schema_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("topic")
+
+
+# --------------------------------------------------------------------------
+# q69 — the bag reader as a Spark DataSource (`format("rosbag")`) with
+# PLANNER-driven filter pushdown: a plain `.filter(topic == cam)` reaches
+# BagDataSourceReader.pushFilters, which prunes chunks through the op-6
+# index and applies the filter exactly (the consumed filter leaves no
+# topic residual in the plan). Proof of pruning is external: the pushed
+# read plans 2 of 4 chunk partitions (camera lives only in even chunks of
+# the indexed fixture). n_diff checks the DataSource rows equal the
+# kwargs-driven split reader's rows. Constant oracle — the fixture is
+# deterministic (same pattern as q60/q62).
+# --------------------------------------------------------------------------
+@register(
+    "q69_bag_datasource",
+    oracle="""
+    SELECT '/camera_front/image_raw' AS topic,
+           CAST(8 AS BIGINT) AS n_msgs,
+           CAST(1600000000 AS BIGINT) AS min_sec,
+           CAST(1600000011 AS BIGINT) AS max_sec,
+           2 AS parts_pushed,
+           4 AS parts_full,
+           CAST(0 AS BIGINT) AS n_diff
+    """,
+)
+def q69_bag_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bag_datasource import register_rosbag_source
+    from ..sources.rosbag_fixtures import build_indexed_bag
+    from ..sources.rosbag_split import read_bags_split
+
+    cam = "/camera_front/image_raw"
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key, "false")
+    work = tempfile.mkdtemp(prefix="bag_dsv2_")
+    try:
+        spark.conf.set(conf_key, "true")
+        path = os.path.join(work, "indexed.bag")
+        with open(path, "wb") as f:
+            f.write(build_indexed_bag(n_frames=16, n_chunks=4))
+        register_rosbag_source(spark)
+        full = spark.read.format("rosbag").option("path", path).load()
+        pushed = (
+            spark.read.format("rosbag").option("path", path).load()
+            .filter(F.col("topic") == cam)
+        )
+        parts_full = full.rdd.getNumPartitions()
+        parts_pushed = pushed.rdd.getNumPartitions()
+        cmp_cols = ["topic", "msg_type", "ros_time", "seq"]
+        split_rows = read_bags_split(spark, [path], topics=[cam]).select(cmp_cols)
+        n_diff = (
+            pushed.select(cmp_cols).exceptAll(split_rows).count()
+            + split_rows.exceptAll(pushed.select(cmp_cols)).count()
+        )
+        sec = F.col("ros_time").bitwiseAND(F.lit(0xFFFFFFFF))
+        out = (
+            pushed.groupBy("topic")
+            .agg(
+                F.count("*").alias("n_msgs"),
+                F.min(sec).alias("min_sec"),
+                F.max(sec).alias("max_sec"),
+            )
+            .withColumn("parts_pushed", F.lit(parts_pushed))
+            .withColumn("parts_full", F.lit(parts_full))
+            .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set(conf_key, prior)
+        shutil.rmtree(work, ignore_errors=True)

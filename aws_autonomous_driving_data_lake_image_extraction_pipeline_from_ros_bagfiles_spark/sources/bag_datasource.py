@@ -1,0 +1,125 @@
+"""Spark 4 Python DataSource for ROS bag files — ``spark.read.format("rosbag")``.
+
+ROADMAP #4's endgame: the chunk-split reader (``rosbag_split``) re-hosted
+behind Spark's DataSource API so the PLANNER drives predicate pushdown,
+not a Python keyword argument. ``df.filter(col("topic") == t)`` reaches
+:meth:`BagDataSourceReader.pushFilters`, which prunes whole chunks through
+the bag's own op-6 chunk index (reference: these records are skipped as
+process_unknown, bagstream.py:364-371; the unused ``topics_to_extract``
+env intent is ecs_stack.py:180,308) and then applies the filter EXACTLY
+per message, so the consumed filter never reaches Spark as residual.
+
+Split planning (one :class:`InputPartition` per surviving chunk) reuses
+``plan_bag_splits`` — a pruned read is visible externally as fewer RDD
+partitions, which is what q69 and tests/test_bag_datasource.py assert.
+
+Requires ``spark.sql.python.filterPushdown.enabled=true`` (off by default
+in Spark 4.1) for pushFilters to be consulted; without it the source still
+works, just with Spark applying all filters post-scan.
+
+Exactness contract for consumed filters: ``plan_bag_splits`` restricts the
+connection map shipped to each split to the selected topics, and
+``_decode_chunk`` drops any message whose connection is absent — so topic
+Equality/In pushdown filters rows exactly, not just coarsely per chunk.
+Time-range pruning stays an OPTION (``timerange``) rather than a pushed
+filter because the packed ros_time column's integer order is not time
+order (nsec occupies the high word): a raw ``ros_time > x`` predicate
+cannot soundly prune chunks whose index carries time-ordered bounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+from .rosbag import BAG_RECORD_SCHEMA, _RECORD_COLUMNS
+from .rosbag_split import _decode_chunk, plan_bag_splits
+
+
+class BagDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        raw = options.get("path") or options.get("paths")
+        if not raw:
+            raise ValueError("rosbag source requires a 'path' option (file, glob, or comma list)")
+        paths: list[str] = []
+        for pat in raw.split(","):
+            matches = sorted(glob.glob(pat.strip()))
+            if not matches:
+                raise FileNotFoundError(f"rosbag source: no files match {pat.strip()!r}")
+            paths.extend(matches)
+        self._paths = paths
+        topics = options.get("topics")
+        self._topics: list[str] | None = (
+            [t.strip() for t in topics.split(",")] if topics else None
+        )
+        tr = options.get("timerange")
+        self._time_range: tuple[int, int] | None = None
+        if tr:
+            lo, hi = tr.split(":")
+            self._time_range = (int(lo), int(hi))
+
+    def _restrict_topics(self, wanted: Sequence[str]) -> None:
+        self._topics = (
+            sorted(set(wanted))
+            if self._topics is None
+            else sorted(set(self._topics) & set(wanted))
+        )
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("topic",)
+                and isinstance(f.value, str)
+            ):
+                self._restrict_topics([f.value])
+            elif (
+                isinstance(f, In)
+                and f.attribute == ("topic",)
+                and all(isinstance(v, str) for v in f.value)
+            ):
+                self._restrict_topics(list(f.value))
+            else:
+                yield f  # residual — Spark applies it after the scan
+
+    def partitions(self) -> list[InputPartition]:
+        splits, _ = plan_bag_splits(self._paths, self._topics, self._time_range)
+        # Spark maps an empty partition list to a single read(None) call
+        return [InputPartition(s) for s in splits] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None or partition.value is None:
+            return
+        path, off, ln, comp, conn_json = partition.value
+        conns = {int(k): v for k, v in json.loads(conn_json).items()}
+        for rec in _decode_chunk(path, int(off), int(ln), comp, conns, self._time_range):
+            yield tuple(rec[c] for c in _RECORD_COLUMNS)
+
+
+class RosbagDataSource(DataSource):
+    """``format("rosbag")``: schema-stable bag records, one task per chunk."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rosbag"
+
+    def schema(self) -> str:
+        return BAG_RECORD_SCHEMA
+
+    def reader(self, schema) -> BagDataSourceReader:
+        return BagDataSourceReader(dict(self.options))
+
+
+def register_rosbag_source(spark) -> None:
+    """Idempotently register ``format("rosbag")`` on this session."""
+    spark.dataSource.register(RosbagDataSource)
