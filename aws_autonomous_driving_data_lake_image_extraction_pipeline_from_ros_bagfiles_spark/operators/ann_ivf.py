@@ -187,7 +187,12 @@ def save_ivf_index(
     trained state of the quantizer, engine-portable.
     """
     (
+        # co-locate each bucket before the partitioned write: without this,
+        # every input partition opens a writer per bucket it touches
+        # (O(tasks x B) small files); with it, each bucket lands as one
+        # contiguous file set — the layout a 100 TB corpus needs anyway
         bucketed.select(id_col, vec_col, "bucket")
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/corpus")

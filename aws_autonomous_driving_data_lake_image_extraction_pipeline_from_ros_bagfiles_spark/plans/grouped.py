@@ -383,3 +383,85 @@ def q69_bag_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(conf_key, prior)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q70 — IVF index persistence (ROADMAP #9): train + bucket-assign once,
+# save_ivf_index writes the (centroids, partitionBy(bucket) corpus)
+# parquet pair, load_ivf_index restores it in what would be a NEW session,
+# and batched search over the loaded index must equal search over the
+# in-memory index row-for-row (n_diff). partition_pruned proves the
+# durable layout keeps the nprobe/B scan property: a probe's bucket
+# predicate lands in PartitionFilters on the parquet scan, so non-probed
+# buckets are never read. KMeans specifics never reach the output, so the
+# oracle is a constant.
+# --------------------------------------------------------------------------
+@register(
+    "q70_ivf_index_persist",
+    oracle="""
+    SELECT 5 AS n_queries,
+           CAST(25 AS BIGINT) AS rows_mem,
+           CAST(25 AS BIGINT) AS rows_loaded,
+           CAST(0 AS BIGINT) AS n_diff,
+           TRUE AS centroids_roundtrip,
+           TRUE AS partition_pruned
+    """,
+)
+def q70_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import (
+        assign_buckets,
+        ivf_topk,
+        ivf_topk_batch,
+        load_ivf_index,
+        save_ivf_index,
+        train_quantizer,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = train_quantizer(emb, n_buckets=8)
+    bucketed = assign_buckets(emb, centroids).cache()
+    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        save_ivf_index(bucketed, centroids, work)
+        corpus2, cents2 = load_ivf_index(spark, work)
+        roundtrip = cents2 == [[float(x) for x in c] for c in centroids]
+
+        queries = bucketed.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        n_queries = queries.count()
+        # k x n_queries rows each — collect once, multiset-diff driver-side
+        # (identical float paths on both sides, so exact equality is the bar)
+        mem = sorted(
+            map(tuple, ivf_topk_batch(bucketed, centroids, queries, k=5, nprobe=3).collect())
+        )
+        loaded = sorted(
+            map(tuple, ivf_topk_batch(corpus2, cents2, queries, k=5, nprobe=3).collect())
+        )
+        rows_mem, rows_loaded = len(mem), len(loaded)
+        n_diff = sum(a != b for a, b in zip(mem, loaded)) + abs(rows_mem - rows_loaded)
+
+        # single-query probe over the durable layout: the bucket IN (...)
+        # predicate must be a partition filter, not a post-scan filter
+        qvec = [float(x) for x in queries.first().qvec]
+        probe_df = ivf_topk(corpus2, cents2, qvec, k=5, nprobe=3)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        pruned = "PartitionFilters" in plan and "bucket" in plan
+
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_queries),
+                    int(rows_mem),
+                    int(rows_loaded),
+                    int(n_diff),
+                    bool(roundtrip),
+                    bool(pruned),
+                )
+            ],
+            "n_queries int, rows_mem bigint, rows_loaded bigint, "
+            "n_diff bigint, centroids_roundtrip boolean, partition_pruned boolean",
+        )
+    finally:
+        bucketed.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
