@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import pii as PII
 from ..operators import similarity as S
 from ..operators import text as T
 from ..tables import load
@@ -605,4 +606,94 @@ def q31_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct(D.text_fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — PII redaction (curation scrub). The synthetic corpus carries no
+# real PII, so the query first plants deterministic doc_id-derived PII
+# snippets — with the SAME expression in Spark and the oracle — then
+# redacts and counts via operators/pii.py. md5 + length of the redacted
+# text pin the masking byte-for-byte; the regexes live in the Java/RE2
+# common subset so both engines agree. Pure scan-side codegen: no
+# shuffle, no UDF — the 100 TB shape for a corpus scrub.
+# --------------------------------------------------------------------------
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+
+    def pad(mod: int, width: int):
+        return F.lpad((d % mod).cast("string"), width, "0")
+
+    def maybe(mod: int, col):
+        return F.when(d % mod == 0, col).otherwise(F.lit(""))
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com"),
+            maybe(3, F.concat(F.lit(" ssn 123-45-"), pad(10000, 4))),
+            maybe(5, F.concat(F.lit(" call 555-"), pad(1000, 3), F.lit("-"), pad(10000, 4))),
+            maybe(
+                7,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d % 250).cast("string"),
+                ),
+            ),
+            maybe(11, F.concat(F.lit(" card 4111-1111-1111-"), pad(10000, 4))),
+        ).alias("text"),
+    )
+
+
+def _pii_oracle() -> str:
+    red = "t"
+    for _, pat, mask in PII.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{mask}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{cat}"
+        for cat, pat, _ in PII.PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII.PII_PATTERNS
+    )
+    return f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+               AS t
+        FROM documents)
+    SELECT doc_id,
+           md5({red}) AS red_fp,
+           CAST(length({red}) AS BIGINT) AS red_len,
+           {counts},
+           CAST({total} AS BIGINT) AS n_pii
+    FROM injected
+    """
+
+
+@register("q71_pii_redaction", oracle=_pii_oracle())
+def q71_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = PII.redact_pii(_pii_injected(docs))
+    return scrubbed.select(
+        "doc_id",
+        F.md5("redacted").alias("red_fp"),
+        F.length("redacted").cast("bigint").alias("red_len"),
+        *[f"n_{cat}" for cat, _, _ in PII.PII_PATTERNS],
+        "n_pii",
     )
