@@ -697,3 +697,74 @@ def q71_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"n_{cat}" for cat, _, _ in PII.PII_PATTERNS],
         "n_pii",
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — deterministic stratified sampling audit. Both variants of
+# operators/sampling.py over the documents table, stratified by lang:
+# per-stratum Bernoulli fractions (shuffle-free hash filter) and
+# exact-n-per-stratum (WindowGroupLimit top-n). Membership is pinned —
+# not just counts — via per-stratum id sums; the oracle rebuilds the
+# identical 60-bit md5 hash, thresholds embedded as integer literals
+# computed by the same driver-side function.
+# --------------------------------------------------------------------------
+Q72_FRACTIONS = {"de": 0.25, "en": 0.5}
+Q72_DEFAULT_FRACTION = 0.1
+Q72_N_PER_STRATUM = 20
+
+
+def _stratified_oracle() -> str:
+    from ..operators.sampling import fraction_threshold
+
+    cases = " ".join(
+        f"WHEN '{v}' THEN {fraction_threshold(f)}" for v, f in sorted(Q72_FRACTIONS.items())
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM documents),
+    fs AS (SELECT * FROM h
+           WHERE hv < CASE lang {cases} ELSE {fraction_threshold(Q72_DEFAULT_FRACTION)} END),
+    ex AS (SELECT * FROM (
+               SELECT h.*, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+               FROM h)
+           WHERE rn <= {Q72_N_PER_STRATUM}),
+    base AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+    fagg AS (SELECT lang, count(*) AS n_frac, sum(doc_id) AS frac_id_sum FROM fs GROUP BY 1),
+    eagg AS (SELECT lang, count(*) AS n_exact, sum(doc_id) AS exact_id_sum FROM ex GROUP BY 1)
+    SELECT b.lang, b.n_total,
+           CAST(COALESCE(n_frac, 0) AS BIGINT) AS n_frac,
+           CAST(COALESCE(frac_id_sum, 0) AS BIGINT) AS frac_id_sum,
+           CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(exact_id_sum, 0) AS BIGINT) AS exact_id_sum
+    FROM base b LEFT JOIN fagg USING (lang) LEFT JOIN eagg USING (lang)
+    """
+
+
+@register("q72_stratified_sample", oracle=_stratified_oracle())
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SMP
+
+    docs = load(spark, sf_dir, "documents")
+    frac = SMP.stratified_sample(
+        docs, "lang", Q72_FRACTIONS, Q72_DEFAULT_FRACTION, id_col="doc_id"
+    )
+    exact = SMP.stratified_sample_exact(docs, "lang", Q72_N_PER_STRATUM, id_col="doc_id")
+
+    base = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    fagg = frac.groupBy("lang").agg(
+        F.count("*").alias("n_frac"), F.sum("doc_id").alias("frac_id_sum")
+    )
+    eagg = exact.groupBy("lang").agg(
+        F.count("*").alias("n_exact"), F.sum("doc_id").alias("exact_id_sum")
+    )
+    out = base.join(fagg, "lang", "left").join(eagg, "lang", "left")
+    return out.select(
+        "lang",
+        "n_total",
+        F.coalesce("n_frac", F.lit(0)).cast("bigint").alias("n_frac"),
+        F.coalesce("frac_id_sum", F.lit(0)).cast("bigint").alias("frac_id_sum"),
+        F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce("exact_id_sum", F.lit(0)).cast("bigint").alias("exact_id_sum"),
+    )

@@ -1,0 +1,74 @@
+"""Stratified sampling: determinism, per-stratum guarantees, plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.sampling import (
+    HASH_SPACE,
+    fraction_threshold,
+    stratified_sample,
+    stratified_sample_exact,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.tables import load
+
+    return load(spark, SF_DIR, "documents")
+
+
+def test_fraction_sample_is_deterministic(docs):
+    ids1 = sorted(r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.5}, 0.1).select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.5}, 0.1).select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_fraction_sample_rate_per_stratum(docs):
+    """Observed rate within a loose binomial envelope per stratum."""
+    out = (
+        stratified_sample(docs, "lang", {"en": 0.5}, 0.1)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in out:
+        target = 0.5 if r.lang == "en" else 0.1
+        rate = r["count"] / totals[r.lang]
+        assert abs(rate - target) < 0.15, (r.lang, rate, target)
+
+
+def test_fraction_sample_no_shuffle(docs):
+    plan = (
+        stratified_sample(docs, "lang", {"en": 0.5}, 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_exact_sample_counts_and_limit_pushdown(docs):
+    out = stratified_sample_exact(docs, "lang", 7)
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, total in totals.items():
+        assert counts.get(lang, 0) == min(7, total)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # top-n below the exchange
+
+
+def test_exact_sample_subset_of_larger_n(docs):
+    small = {r.doc_id for r in stratified_sample_exact(docs, "lang", 5).select("doc_id").collect()}
+    big = {r.doc_id for r in stratified_sample_exact(docs, "lang", 10).select("doc_id").collect()}
+    assert small < big
+
+
+def test_threshold_bounds():
+    assert fraction_threshold(0.0) == 0
+    assert fraction_threshold(1.0) == HASH_SPACE
+    with pytest.raises(ValueError):
+        fraction_threshold(1.5)
