@@ -71,3 +71,68 @@ def token_count(text: Column) -> Column:
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fp"))
+
+
+def ngrams_all(text: Column, n: int) -> Column:
+    """Non-distinct word n-grams (repetition analysis needs multiplicity,
+    unlike dedup's distinct shingle sets)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - top_word_frac: most frequent word's share of all tokens
+    - dup_word_frac: share of tokens belonging to words occurring >= 2x
+    - top_2gram_frac: most frequent 2-gram's share of all 2-grams
+
+    Machine-generated / boilerplate text scores high on all three; the
+    scalar quality features (q49) cannot see this — repetition needs
+    per-term multiplicities. Shape: explode -> two-level aggregate, so
+    the heavy first level (doc_id, term) is map-side combinable and the
+    shuffle carries one row per distinct term per doc, never the corpus
+    body. Explode+groupBy is deliberate: a HOF-over-array form would be
+    interpreted (non-codegen) and Catalyst's project-collapsing would
+    re-inline the gram build into every aggregate (see BENCH_NOTES).
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    ws = (
+        words.groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("top_word_c"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_word_mass"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(ngrams_all(F.col(text_col), 2)).alias("g")
+    )
+    gs = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_2gram"), F.max("c").alias("top_2gram_c"))
+    )
+    out = ws.join(gs, id_col, "left")
+    n_tok = F.col("n_tok").cast("double")
+    n2 = F.coalesce(F.col("n_2gram"), F.lit(0)).cast("double")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        (F.col("top_word_c") / n_tok).alias("top_word_frac"),
+        (F.col("dup_word_mass") / n_tok).alias("dup_word_frac"),
+        F.when(n2 > 0, F.coalesce(F.col("top_2gram_c"), F.lit(0)) / n2)
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+    )

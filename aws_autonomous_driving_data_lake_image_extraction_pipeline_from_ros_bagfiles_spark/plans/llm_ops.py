@@ -768,3 +768,68 @@ def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
         F.coalesce("exact_id_sum", F.lit(0)).cast("bigint").alias("exact_id_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — repetition-based quality filter (Gopher-style). Complements q49's
+# scalar features with the signals that need per-term multiplicities:
+# top-word share, duplicate-word mass, top-2-gram share. The repetitive
+# flag compares the UNROUNDED doubles against shared literals — both
+# engines do the identical IEEE division, so the flag is exact; the
+# reported fractions are rounded for display only. Thresholds were
+# chosen to BIND on this corpus (all three fire on some docs).
+# --------------------------------------------------------------------------
+Q73_TOP_WORD = 0.15
+Q73_DUP_WORD = 0.9
+Q73_TOP_2GRAM = 0.05
+
+
+@register(
+    "q73_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wx AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    wc AS (SELECT doc_id, t, count(*) AS c FROM wx GROUP BY 1, 2),
+    ws AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_word_c,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_word_mass
+           FROM wc GROUP BY 1),
+    g AS (SELECT doc_id,
+                 list_filter(list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 1
+                     THEN x || ' ' || w[i+1] END), s -> s IS NOT NULL) AS gl
+          FROM toks),
+    gx AS (SELECT doc_id, unnest(gl) AS gram FROM g),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM gx GROUP BY 1, 2),
+    gs AS (SELECT doc_id, sum(c) AS n_2gram, max(c) AS top_2gram_c FROM gc GROUP BY 1),
+    j AS (SELECT ws.doc_id,
+                 CAST(n_tok AS BIGINT) AS n_tok,
+                 top_word_c * 1.0 / n_tok AS twf,
+                 dup_word_mass * 1.0 / n_tok AS dwf,
+                 CASE WHEN COALESCE(n_2gram, 0) > 0
+                      THEN COALESCE(top_2gram_c, 0) * 1.0 / n_2gram
+                      ELSE 0.0 END AS tgf
+          FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id)
+    SELECT doc_id, n_tok,
+           round(twf, 6) AS top_word_frac,
+           round(dwf, 6) AS dup_word_frac,
+           round(tgf, 6) AS top_2gram_frac,
+           CAST(twf > {Q73_TOP_WORD} OR dwf > {Q73_DUP_WORD}
+                OR tgf > {Q73_TOP_2GRAM} AS INT) AS repetitive
+    FROM j
+    """,
+)
+def q73_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = T.repetition_stats(docs)
+    rep = (
+        (F.col("top_word_frac") > Q73_TOP_WORD)
+        | (F.col("dup_word_frac") > Q73_DUP_WORD)
+        | (F.col("top_2gram_frac") > Q73_TOP_2GRAM)
+    )
+    return stats.select(
+        "doc_id",
+        "n_tok",
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        rep.cast("int").alias("repetitive"),
+    )

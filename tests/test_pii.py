@@ -57,3 +57,26 @@ def test_plan_is_scan_side(pii_df):
 
 def test_patterns_are_ordered_email_first():
     assert PII_PATTERNS[0][0] == "email"
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats (same curation-filter family)
+# ---------------------------------------------------------------------------
+def test_repetition_stats_flags_boilerplate(spark):
+    from pyspark.sql import Row
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam spam spam"),
+            Row(doc_id=2, text="all words here are fully distinct tokens friend"),
+            Row(doc_id=3, text="one"),  # single token: no 2-grams
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_word_frac == 1.0 and out[1].top_2gram_frac == 1.0
+    assert out[2].dup_word_frac == 0.0 and out[2].top_word_frac == 0.125
+    assert out[3].n_tok == 1 and out[3].top_2gram_frac == 0.0
