@@ -833,3 +833,44 @@ def q73_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
         rep.cast("int").alias("repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — benchmark-contamination check (GPT-3 appendix-C style). src0 plays
+# the held-out benchmark; every other source is the training corpus. A
+# doc is contaminated if it shares a word 4-gram with the benchmark
+# (4 binds on this corpus: 3 flags nearly everything, 5 nearly nothing).
+# The benchmark's distinct-gram set is broadcast, so the corpus gram
+# stream is map-side semi-joined — never shuffled; broadcast asserted in
+# tests. n_hits counts occurrences, n_grams_hit distinct leaked grams.
+# --------------------------------------------------------------------------
+Q74_NGRAM = 4
+Q74_BENCH_SOURCE = "src0"
+
+
+@register(
+    "q74_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_filter(list_transform(w, (x, i) ->
+                     CASE WHEN i <= len(w) - {Q74_NGRAM - 1}
+                          THEN list_aggregate(w[i:i+{Q74_NGRAM - 1}], 'string_agg', ' ') END),
+                     s -> s IS NOT NULL)) AS gram
+          FROM toks),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = '{Q74_BENCH_SOURCE}')
+    SELECT doc_id,
+           count(*) AS n_hits,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_grams_hit
+    FROM g
+    WHERE source <> '{Q74_BENCH_SOURCE}' AND gram IN (SELECT gram FROM bench)
+    GROUP BY 1
+    """,
+)
+def q74_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == Q74_BENCH_SOURCE)
+    train = docs.filter(F.col("source") != Q74_BENCH_SOURCE)
+    return contamination_report(train, bench, n=Q74_NGRAM)
