@@ -81,3 +81,57 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_budgets(
+    sources: list[str],
+    weights: dict[str, int],
+    default_weight: int,
+    total_budget: int,
+) -> dict[str, int]:
+    """Integer per-source token budgets from mixture weights.
+
+    Pure integer arithmetic (total * w // sum_w) so any re-implementation
+    (including a SQL oracle) reproduces the budgets exactly.
+    """
+    k = sum(weights.get(s, default_weight) for s in sources)
+    return {s: total_budget * weights.get(s, default_weight) // k for s in sources}
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "source",
+    token_count_col: Column | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each domain toward its token budget (domain reweighting).
+
+    Per-source keep fraction = min(1, budget_s / tokens_s); rows are then
+    kept by the deterministic hash filter. The only data-dependent input
+    is the per-source token total — a |sources|-row aggregate collected
+    to the driver to derive thresholds (planning over a tiny rollup, the
+    legitimate driver-side step even at 100 TB; the corpus itself is
+    filtered scan-side, no shuffle). Budget_s / tokens_s is a single
+    int/int IEEE division so an oracle reproduces thresholds exactly.
+    """
+    tok = token_count_col if token_count_col is not None else F.size(F.split(F.col("text"), " "))
+    with_tok = df.withColumn("__tok", tok)
+    totals = {
+        r[stratum_col]: r["tok_total"]
+        for r in with_tok.groupBy(stratum_col)
+        .agg(F.sum("__tok").alias("tok_total"))
+        .collect()
+    }
+    unknown = set(totals) - set(budgets)
+    if unknown:
+        raise ValueError(f"no budget for sources: {sorted(unknown)}")
+    thresholds = {
+        s: fraction_threshold(min(1.0, budgets[s] / totals[s])) for s in totals
+    }
+    hv = uniform_hash(F.col(id_col), salt)
+    thr: Column = F.lit(-1)
+    for s in sorted(thresholds):
+        thr = F.when(F.col(stratum_col) == s, F.lit(thresholds[s])).otherwise(thr)
+    return with_tok.filter(hv < thr).drop("__tok")

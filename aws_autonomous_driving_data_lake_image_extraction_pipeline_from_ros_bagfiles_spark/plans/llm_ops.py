@@ -874,3 +874,85 @@ def q74_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == Q74_BENCH_SOURCE)
     train = docs.filter(F.col("source") != Q74_BENCH_SOURCE)
     return contamination_report(train, bench, n=Q74_NGRAM)
+
+
+# --------------------------------------------------------------------------
+# q75 — domain-mixture resampling to per-source token budgets (the DoReMi /
+# Pile-style "domain reweighting" step). Integer budgets come from
+# mixture weights (src2 overweighted so its fraction caps at 1.0 at
+# sf0.01 — the least() path executes); per-source keep fraction is
+# budget/tokens as ONE int/int IEEE division, so the oracle reproduces
+# every threshold bit-for-bit. The corpus filter itself is scan-side
+# (no shuffle); only the |sources|-row planning rollup aggregates.
+# Membership pinned via id sums, not just counts.
+# --------------------------------------------------------------------------
+Q75_SOURCES = [f"src{i}" for i in range(20)]
+Q75_WEIGHTS = {"src1": 3, "src2": 12}
+Q75_DEFAULT_WEIGHT = 1
+Q75_TOTAL_BUDGET = 20_000
+
+
+def _mixture_oracle() -> str:
+    from ..operators.sampling import HASH_SPACE, mixture_budgets
+
+    budgets = mixture_budgets(
+        Q75_SOURCES, Q75_WEIGHTS, Q75_DEFAULT_WEIGHT, Q75_TOTAL_BUDGET
+    )
+    bcases = " ".join(f"WHEN '{s}' THEN {b}" for s, b in sorted(budgets.items()))
+    bexpr = f"CASE source {bcases} END"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+               CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM documents),
+    agg AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total
+            FROM t GROUP BY 1),
+    thr AS (SELECT source, n_docs, tok_total,
+                   CAST({bexpr} AS BIGINT) AS budget,
+                   CAST(floor(least(1.0, {bexpr} / CAST(tok_total AS DOUBLE))
+                        * {float(HASH_SPACE)}) AS BIGINT) AS kthr
+            FROM agg),
+    s AS (SELECT t.source, t.doc_id, t.tok
+          FROM t JOIN thr USING (source) WHERE t.hv < kthr),
+    sagg AS (SELECT source, count(*) AS n_sampled,
+                    CAST(sum(tok) AS BIGINT) AS tok_sampled,
+                    CAST(sum(doc_id) AS BIGINT) AS id_sum
+             FROM s GROUP BY 1)
+    SELECT th.source, th.n_docs, th.tok_total, th.budget,
+           CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(tok_sampled, 0) AS BIGINT) AS tok_sampled,
+           CAST(COALESCE(id_sum, 0) AS BIGINT) AS id_sum
+    FROM thr th LEFT JOIN sagg USING (source)
+    """
+
+
+@register("q75_domain_mixture", oracle=_mixture_oracle())
+def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_budgets, mixture_sample
+
+    budgets = mixture_budgets(
+        Q75_SOURCES, Q75_WEIGHTS, Q75_DEFAULT_WEIGHT, Q75_TOTAL_BUDGET
+    )
+    docs = load(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(tok).alias("tok_total")
+    )
+    bmap = F.create_map(*[F.lit(x) for kv in sorted(budgets.items()) for x in kv])
+    sampled = mixture_sample(docs, budgets).groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(tok).alias("tok_sampled"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    return (
+        base.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("tok_total").cast("bigint").alias("tok_total"),
+            bmap[F.col("source")].cast("bigint").alias("budget"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.coalesce("tok_sampled", F.lit(0)).cast("bigint").alias("tok_sampled"),
+            F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        )
+    )

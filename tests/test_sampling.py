@@ -72,3 +72,57 @@ def test_threshold_bounds():
     assert fraction_threshold(1.0) == HASH_SPACE
     with pytest.raises(ValueError):
         fraction_threshold(1.5)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (domain reweighting)
+# ---------------------------------------------------------------------------
+def test_mixture_budgets_integer_split():
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.sampling import (
+        mixture_budgets,
+    )
+
+    b = mixture_budgets(["a", "b", "c"], {"a": 2}, 1, 1000)
+    assert b == {"a": 500, "b": 250, "c": 250}
+
+
+def test_mixture_sample_caps_and_rates(docs):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.sampling import (
+        mixture_budgets,
+        mixture_sample,
+    )
+    from pyspark.sql import functions as F
+
+    sources = [f"src{i}" for i in range(20)]
+    budgets = mixture_budgets(sources, {"src2": 12}, 1, 20_000)
+    out = mixture_sample(docs, budgets)
+    tok = F.size(F.split(F.col("text"), " "))
+    got = {
+        r.source: (r.n, r.toks)
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(tok).alias("toks"))
+        .collect()
+    }
+    full = {
+        r.source: (r.n, r.toks)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(tok).alias("toks"))
+        .collect()
+    }
+    # src2's budget exceeds its total tokens -> fraction caps at 1.0, all kept
+    assert got["src2"] == full["src2"]
+    # an unweighted source is genuinely downsampled near its budget
+    n, toks = got["src0"]
+    assert 0 < n < full["src0"][0]
+    assert toks < full["src0"][1]
+
+
+def test_mixture_sample_unknown_source_raises(docs):
+    import pytest as _pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    with _pytest.raises(ValueError, match="no budget"):
+        mixture_sample(docs, {"src0": 1000})
