@@ -956,3 +956,47 @@ def q75_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — greedy sequence packing into fixed context windows (training-batch
+# prep). Packing is sequential within a shard, so the Spark shape is
+# groupBy(source).applyInPandas with a per-group linear scan — one
+# shuffle, shards pack in parallel. The oracle replays the identical
+# greedy recurrence as a DuckDB recursive CTE; every doc's (bin, pos,
+# bin_fill) is hash-pinned, not just bin counts.
+# --------------------------------------------------------------------------
+Q76_CAPACITY = 256
+
+
+@register(
+    "q76_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS tok FROM documents),
+    ordered AS (
+        SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM t),
+    packed AS (
+        SELECT source, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos, tok AS bin_fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.source, o.rn, o.doc_id, o.tok,
+               CASE WHEN p.bin_fill + o.tok > {Q76_CAPACITY} THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.bin_fill + o.tok > {Q76_CAPACITY} THEN 0 ELSE p.pos + 1 END,
+               CASE WHEN p.bin_fill + o.tok > {Q76_CAPACITY} THEN o.tok
+                    ELSE p.bin_fill + o.tok END
+        FROM packed p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1)
+    SELECT source, doc_id, tok, bin, pos, bin_fill FROM packed
+    """,
+)
+def q76_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " "))
+    return pack_sequences(
+        docs.select("source", "doc_id", tok.alias("tok")), capacity=Q76_CAPACITY
+    )
