@@ -1000,3 +1000,51 @@ def q76_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs.select("source", "doc_id", tok.alias("tok")), capacity=Q76_CAPACITY
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — int8 embedding quantization audit. Codes use the explicit
+# floor(x/scale + 0.5) half-up form so the oracle reproduces them
+# bit-for-bit (round() half-even vs half-away varies by engine); floats
+# cast to double before arithmetic, error sums fold left-to-right per
+# the repo's cross-engine float rule. Output pins per-vector code
+# checksums and reconstruction error — a wrong scale, rounding mode, or
+# cast order all flip the hash.
+# --------------------------------------------------------------------------
+@register(
+    "q77_int8_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings),
+    codes AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qvec
+        FROM q)
+    SELECT vec_id,
+           round(scale, 9) AS scale_r,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           CAST(list_min(qvec) AS BIGINT) AS q_min,
+           CAST(list_max(qvec) AS BIGINT) AS q_max,
+           round(list_sum(list_transform(list_zip(qvec, v),
+                 p -> abs(p[1] * scale - p[2]))) / len(v), 9) AS mae
+    FROM codes
+    """,
+)
+def q77_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import dequant_error, quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = dequant_error(quantize_int8(emb))
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.round("mae", 9).alias("mae"),
+    )
