@@ -1048,3 +1048,65 @@ def q77_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").alias("q_max"),
         F.round("mae", 9).alias("mae"),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — two-stage quantized retrieval: int8 shortlist (k*expand) by
+# descaled integer dot product, exact float64 cosine rerank. The
+# integer dot products are exact in both engines, so shortlist
+# membership and final ranking are deterministic; the oracle rebuilds
+# normalize -> quantize -> ip -> approx -> shortlist -> rerank with the
+# identical expression order.
+# --------------------------------------------------------------------------
+Q78_K = 5
+Q78_EXPAND = 4
+
+
+@register(
+    "q78_quantized_retrieval",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    nrm AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nr FROM base),
+    normed AS (SELECT vec_id,
+                      CASE WHEN nr > 0 THEN list_transform(v, x -> x / nr) ELSE v END AS vn
+               FROM nrm),
+    sc AS (SELECT vec_id, vn,
+                  list_max(list_transform(vn, x -> abs(x))) / 127.0 AS scale
+           FROM normed),
+    codes AS (SELECT vec_id, vn, scale,
+                     CASE WHEN scale > 0
+                          THEN list_transform(vn, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                          ELSE list_transform(vn, x -> CAST(0 AS BIGINT)) END AS qvec
+              FROM sc),
+    qside AS (SELECT qvec AS qq, scale AS qs FROM codes WHERE vec_id = 0),
+    qraw AS (SELECT v AS qe FROM base WHERE vec_id = 0),
+    stage1 AS (
+        SELECT c.vec_id, c.vn,
+               CAST(list_sum(list_transform(list_zip(c.qvec, q.qq), p -> p[1] * p[2])) AS BIGINT) AS ip,
+               CAST(list_sum(list_transform(list_zip(c.qvec, q.qq), p -> p[1] * p[2])) AS DOUBLE)
+                   * c.scale * q.qs AS approx
+        FROM codes c, qside q
+        WHERE c.vec_id <> 0),
+    short AS (SELECT * FROM stage1 ORDER BY approx DESC, vec_id LIMIT {Q78_K * Q78_EXPAND}),
+    rer AS (
+        SELECT s.vec_id, s.ip,
+               list_sum(list_transform(list_zip(s.vn, r.qe), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(s.vn, x -> x * x)))
+                  * sqrt(list_sum(list_transform(r.qe, x -> x * x)))) AS cos
+        FROM short s, qraw r)
+    SELECT vec_id, ip, round(cos, 6) AS cos_r
+    FROM rer ORDER BY cos DESC, vec_id LIMIT {Q78_K}
+    """,
+)
+def q78_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    out = quantized_topk(corpus, query, k=Q78_K, expand=Q78_EXPAND)
+    return out.select("vec_id", "ip", F.round("cos", 6).alias("cos_r"))

@@ -44,3 +44,50 @@ def test_reconstruction_bound(vecs):
 def test_no_shuffle_no_python(vecs):
     plan = quantize_int8(vecs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quantized_topk (two-stage retrieval)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.tables import load
+
+    return load(spark, "/root/testdata/sf0.01", "embeddings")
+
+
+def test_quantized_retrieval_recall_vs_brute(emb):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.quantize import (
+        quantized_topk,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    query = emb.filter(F.col("vec_id") == 0).select("vec_id", F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    approx = {r.vec_id for r in quantized_topk(corpus, query, k=5, expand=4).collect()}
+    exact = {r.vec_id for r in cosine_topk(corpus, query.select("qe"), 5).collect()}
+    # int8 over 64 dims is near-lossless: demand >= 4/5 overlap
+    assert len(approx & exact) >= 4, (approx, exact)
+
+
+def test_quantized_retrieval_no_full_sort(emb):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.quantize import (
+        quantized_topk,
+    )
+
+    query = emb.filter(F.col("vec_id") == 0).select("vec_id", F.col("embedding").alias("qe"))
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    plan = (
+        quantized_topk(corpus, query, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
