@@ -1110,3 +1110,57 @@ def q78_quantized_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
     out = quantized_topk(corpus, query, k=Q78_K, expand=Q78_EXPAND)
     return out.select("vec_id", "ip", F.round("cos", 6).alias("cos_r"))
+
+
+# --------------------------------------------------------------------------
+# q79 — vocabulary induction + OOV audit (tokenizer prep). Build the
+# top-N token vocabulary by corpus frequency (ties break on token so
+# the cutoff is deterministic), then score every doc's out-of-vocab
+# rate via a BROADCAST membership join on the exploded token stream —
+# the corpus is never shuffled by token; only the per-doc rollup and
+# the |vocab|-sized wordcount aggregate shuffle. The build-artifact-
+# then-apply shape every tokenizer pipeline runs at scale.
+# --------------------------------------------------------------------------
+Q79_VOCAB_SIZE = 20
+
+
+@register(
+    "q79_vocab_oov",
+    oracle=f"""
+    WITH wx AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    wc AS (SELECT t, count(*) AS c FROM wx GROUP BY 1),
+    vocab AS (SELECT t FROM wc ORDER BY c DESC, t LIMIT {Q79_VOCAB_SIZE}),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END AS oov
+        FROM wx)
+    SELECT doc_id,
+           count(*) AS n_tok,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+    FROM flags GROUP BY 1
+    """,
+)
+def q79_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wx = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    vocab = (
+        wx.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(Q79_VOCAB_SIZE)
+        .select("t", F.lit(0).alias("in_vocab"))
+    )
+    flagged = wx.join(F.broadcast(vocab), "t", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
