@@ -1,0 +1,280 @@
+"""Text retrieval & language-model scoring over the documents table —
+the ranking/quality layer of an LLM training-data pipeline (beyond-
+reference, SURVEY §7 M6 family): BM25 keyword retrieval, per-source
+TF-IDF signature terms, sub-document chunk dedup (CCNet/RefinedWeb-style
+line dedup generalized to fixed token windows), and unigram-LM log-prob
+quality scoring (the cheap stand-in for perplexity filtering).
+
+Scale notes (100 TB framing):
+- Every aggregate here is a map-side-combinable groupBy on a small key
+  (token / hash / doc_id); corpus-level artifacts (df table, vocabulary,
+  corpus stats) are tiny and broadcast — the token stream itself is never
+  shuffled by anything wider than doc_id.
+- Top-k is `orderBy().limit(k)` → TakeOrderedAndProject (no global sort),
+  or a partitioned rank window — never a single-partition window.
+- Scores are rounded to 6 decimals on BOTH engines before any ordering
+  that feeds a limit, so the oracle hash cannot drift on a final ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q80 — BM25 keyword retrieval (Lucene idf form, k1=1.2, b=0.75): score
+# every document for a fixed query-term set, return the top 20. The df
+# table and the (n_docs, avgdl) corpus stats are tiny frames
+# broadcast into the per-(doc, term) tf aggregate; the only wide exchange
+# is the tf groupBy on (doc_id, term) — map-side combinable.
+# --------------------------------------------------------------------------
+Q80_TERMS = ["spark", "vector", "merge"]
+Q80_K1 = 1.2
+Q80_B = 0.75
+Q80_TOPK = 20
+
+_Q80_TERMS_SQL = ", ".join(f"'{t}'" for t in Q80_TERMS)
+
+
+@register(
+    "q80_bm25",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    qtok AS (SELECT * FROM tok WHERE t IN ({_Q80_TERMS_SQL})),
+    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+    tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+           FROM qtok GROUP BY 1, 2),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * ({Q80_K1} + 1)
+                   / (tf.tf + {Q80_K1} * (1 - {Q80_B}
+                      + {Q80_B} * tf.dl / corpus.avgdl))) AS raw
+        FROM tf JOIN dft USING (t) CROSS JOIN corpus
+        GROUP BY 1)
+    SELECT doc_id, round(raw, 6) AS bm25
+    FROM scored
+    ORDER BY round(raw, 6) DESC, doc_id
+    LIMIT {Q80_TOPK}
+    """,
+)
+def q80_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    corpus = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    tok = d.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
+    ).filter(F.col("t").isin(Q80_TERMS))
+    dft = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (Q80_K1 + 1)
+        / (
+            F.col("tf")
+            + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(Q80_TOPK)
+
+
+# --------------------------------------------------------------------------
+# q81 — per-source TF-IDF signature terms: for every source, the top 5
+# tokens by tf·idf where tf counts occurrences within the source and idf
+# is the smoothed inverse source-frequency ln((1+S)/(1+sf)). The rank
+# window is PARTITIONED by source (no global funnel); the source-frequency
+# table is |vocab|-sized and broadcast.
+# --------------------------------------------------------------------------
+Q81_TOPK = 5
+
+
+@register(
+    "q81_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    ns AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+    sf AS (SELECT t, count(DISTINCT source) AS src_df FROM tok GROUP BY 1),
+    tf AS (SELECT source, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    scored AS (
+        SELECT tf.source, tf.t,
+               round(tf.tf * ln((1.0 + ns.n_src) / (1.0 + sf.src_df)), 6)
+                   AS tfidf
+        FROM tf JOIN sf USING (t) CROSS JOIN ns),
+    ranked AS (
+        SELECT source, t AS term, tfidf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tfidf DESC, t) AS rk
+        FROM scored)
+    SELECT source, term, tfidf, rk FROM ranked WHERE rk <= {Q81_TOPK}
+    """,
+)
+def q81_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    ns = docs.agg(F.countDistinct("source").alias("n_src"))
+    sf = (
+        tok.select("source", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("src_df"))
+    )
+    tf = tok.groupBy("source", "t").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(sf), "t")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_src")) / (1.0 + F.col("src_df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= Q81_TOPK
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — sub-document chunk dedup: split every document into fixed 10-token
+# windows (the deterministic stand-in for line/paragraph units, which the
+# synthetic word-soup corpus lacks), md5 each chunk, and report per-doc how
+# many of its chunks also occur elsewhere (any second occurrence, same doc
+# or not). The CCNet / RefinedWeb line-dedup shape: only 32-byte hashes
+# shuffle, never chunk text; the global chunk-frequency table joins back
+# on the hash.
+#
+# Chunks are built by slicing the token ARRAY (array_slice / list slicing
+# on both engines) — never collect_list after an explode, whose order is
+# not guaranteed.
+# --------------------------------------------------------------------------
+Q82_CHUNK = 10
+
+
+@register(
+    "q82_chunk_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest(list_transform(
+                      range(1, CAST(ceil(len(w) / {Q82_CHUNK}.0) AS BIGINT) + 1),
+                      i -> md5(array_to_string(
+                          w[(i - 1) * {Q82_CHUNK} + 1 : i * {Q82_CHUNK}],
+                          ' ')))) AS h
+           FROM d),
+    freq AS (SELECT h, count(*) AS n FROM ch GROUP BY 1)
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           round(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM ch JOIN freq USING (h)
+    GROUP BY 1
+    """,
+)
+def q82_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(float(Q82_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", F.slice("w", (i - 1) * Q82_CHUNK + 1, Q82_CHUNK)
+            )
+        ),
+    )
+    ch = d.select("doc_id", F.explode(chunks).alias("h"))
+    freq = ch.groupBy("h").agg(F.count("*").alias("n"))
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+            F.round(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — unigram-LM log-probability scoring: estimate p(t) from corpus
+# counts (MLE; every scored token is in-corpus by construction), then
+# score each document by its mean token log-prob — the cheap proxy for
+# perplexity-based quality filtering (CCNet's KenLM stage). The unigram
+# table is |vocab|-sized and broadcast; the token stream shuffles only on
+# doc_id for the final rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q83_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok),
+    lm AS (SELECT t, count(*) AS c FROM tok GROUP BY 1)
+    SELECT tok.doc_id,
+           count(*) AS n_tok,
+           round(avg(ln(lm.c * 1.0 / tot.n)), 6) AS mean_logprob
+    FROM tok JOIN lm USING (t) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def q83_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tot = tok.agg(F.count("*").alias("n"))
+    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    return (
+        tok.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -77,3 +77,33 @@ def test_q23_shingle_join_is_freq_capped(spark):
 
     plan = _plan(spark, "q23_ngram_jaccard")
     assert f"(f#" in plan and f"<= {Q23_MAX_SHINGLE_FREQ})" in plan
+
+
+def test_q80_bm25_broadcasts_and_takeordered(spark):
+    # BM25's corpus stats + df table must broadcast (never shuffle the
+    # token stream by term for them) and the final top-k must be a
+    # per-partition heap, not a global sort.
+    plan = _plan(spark, "q80_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q81_tfidf_rank_window_is_partitioned(spark):
+    # The per-source top-5 rank must partition by source — no global
+    # single-partition window funnel — and prune below the sort. (A
+    # SinglePartition exchange does appear for the one-row countDistinct
+    # scalar aggregate; that is fine. The Window node itself must not
+    # have an empty partition spec.)
+    plan = _plan(spark, "q81_tfidf_terms")
+    assert "hashpartitioning(source" in plan
+    assert "WindowGroupLimit [source" in plan
+
+
+def test_q82_chunks_shuffle_hashes_only(spark):
+    # Chunk dedup shuffles 32-byte md5 hashes, never chunk text: the
+    # chunk column must be hashed before the exchange feeding the
+    # frequency aggregate (no raw `w` array past the first projection).
+    plan = _plan(spark, "q82_chunk_dedup")
+    assert "md5" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # freq agg + join + rollup
