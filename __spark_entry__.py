@@ -23,6 +23,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
 # Importing the query modules populates the registry.
 from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans import (  # noqa: F401
     analytics,
+    events_analytics,
     grouped,
     llm_ops,
     multimodal,
@@ -32,6 +33,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     select_trainprep,
     sessions,
     temporal,
+    text_ir,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

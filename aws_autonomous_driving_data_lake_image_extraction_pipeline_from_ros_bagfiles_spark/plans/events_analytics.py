@@ -1,0 +1,226 @@
+"""Product-analytics operators over the events stream: ordered conversion
+funnels, weekly cohort retention, and time-bucket gap-fill with LOCF
+interpolation (the hypertable `time_bucket_gapfill`/`locf` shape).
+
+Beyond-reference additions (SURVEY §7 M6 family): the reference pipeline
+tracks frame/detection events through SQS + DynamoDB counters
+(infrastructure/process-queue-sync); these are the analytical queries a
+fleet-scale deployment runs over that same event stream.
+
+Time is compared as epoch MICROSECONDS (bigint) on both engines (see
+plans/temporal.py) and bucketed with pure integer arithmetic — epoch days
+`ts_us DIV 86_400_000_000`, epoch weeks `day DIV 7` — so no calendar /
+timezone function can diverge between Spark and DuckDB.
+
+Scale notes:
+- The funnel is stage-chained min-aggregates joined on user_id: every
+  stage is a map-side-combinable groupBy; nothing wider than user_id ever
+  shuffles, and stage outputs (one row per converting user) shrink
+  monotonically.
+- Retention shuffles (user, week) pairs — already deduplicated by the
+  distinct — then aggregates the tiny (cohort, offset) matrix.
+- Gap-fill materializes the scaffold with a per-user `sequence()` explode
+  (no driver loop) and fills via the count-of-non-null window-group trick,
+  which both engines run as ordinary partitioned windows on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+_DAY_US = 86_400_000_000
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — ordered conversion funnel signup → click → purchase: a user counts
+# for stage N only with a stage-N event STRICTLY AFTER their stage-(N-1)
+# entry time (min-ts semantics, the standard product-analytics funnel).
+# Output: one row per stage with the surviving-user count and the mean
+# hours from signup for that stage's entry event.
+# --------------------------------------------------------------------------
+@register(
+    "q84_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT ev.user_id, min(ev.ts_us) AS t2, min(s1.t1) AS t1
+           FROM ev JOIN s1 USING (user_id)
+           WHERE ev.event_type = 'click' AND ev.ts_us > s1.t1 GROUP BY 1),
+    s3 AS (SELECT ev.user_id, min(ev.ts_us) AS t3, min(s2.t1) AS t1
+           FROM ev JOIN s2 USING (user_id)
+           WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.t2 GROUP BY 1)
+    SELECT '1_signup' AS stage, count(*) AS n_users,
+           round(avg(0.0), 6) AS mean_hours_from_signup FROM s1
+    UNION ALL
+    SELECT '2_click', count(*),
+           round(avg((t2 - t1) / 3600000000.0), 6) FROM s2
+    UNION ALL
+    SELECT '3_purchase', count(*),
+           round(avg((t3 - t1) / 3600000000.0), 6) FROM s3
+    """,
+)
+def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    hours = lambda a, b: (F.col(a) - F.col(b)) / 3.6e9  # noqa: E731
+    return (
+        s1.agg(
+            F.lit("1_signup").alias("stage"),
+            F.count("*").alias("n_users"),
+            F.round(F.avg(F.lit(0.0)), 6).alias("mean_hours_from_signup"),
+        )
+        .unionAll(
+            s2.agg(
+                F.lit("2_click").alias("stage"),
+                F.count("*").alias("n_users"),
+                F.round(F.avg(hours("t2", "t1")), 6).alias(
+                    "mean_hours_from_signup"
+                ),
+            )
+        )
+        .unionAll(
+            s3.agg(
+                F.lit("3_purchase").alias("stage"),
+                F.count("*").alias("n_users"),
+                F.round(F.avg(hours("t3", "t1")), 6).alias(
+                    "mean_hours_from_signup"
+                ),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — weekly cohort retention: users are cohorted by the epoch-week of
+# their first event; a cohort is "retained at offset k" by the distinct
+# users with any event in cohort_week + k. Pure integer week arithmetic
+# (epoch days DIV 7) — no calendar functions to disagree on.
+# --------------------------------------------------------------------------
+@register(
+    "q85_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id,
+                       epoch_us(ts) // 86400000000 // 7 AS wk
+                FROM events),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, wk FROM ev)
+    SELECT cohort.cohort_wk,
+           active.wk - cohort.cohort_wk AS week_offset,
+           count(DISTINCT active.user_id) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q85_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.floor(F.col("ts_us") / _DAY_US / 7).alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — daily gap-fill + last-observation-carried-forward: every user gets
+# a row for every day in the corpus span; days without events inherit the
+# user's previous daily mean `value` (NULL before the first observation).
+# The TimescaleDB `time_bucket_gapfill` + `locf` shape.
+#
+# Fill machinery: `grp = count(non-null) over (user order by day)` starts a
+# new group at each observation, then `max(daily) over (user, grp)` smears
+# the single non-null of the group forward. Two partitioned windows, one
+# shuffle on user_id (the scaffold's sequence-explode inherits it).
+# --------------------------------------------------------------------------
+@register(
+    "q86_gapfill_locf",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+                FROM events),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    daily AS (SELECT user_id, day, avg(value) AS v FROM ev GROUP BY 1, 2),
+    scaffold AS (
+        SELECT u.user_id, s.day
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+                    FROM span) s),
+    joined AS (
+        SELECT scaffold.user_id, scaffold.day, daily.v,
+               count(daily.v) OVER (PARTITION BY scaffold.user_id
+                                    ORDER BY scaffold.day
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+        FROM scaffold LEFT JOIN daily USING (user_id, day))
+    SELECT user_id, day,
+           round(max(v) OVER (PARTITION BY user_id, grp), 6) AS filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM joined
+    """,
+)
+def q86_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.floor(F.col("ts_us") / _DAY_US).alias("day"), "value"
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    daily = ev.groupBy("user_id", "day").agg(F.avg("value").alias("v"))
+    scaffold = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = scaffold.join(daily, ["user_id", "day"], "left").withColumn(
+        "grp", F.count("v").over(w_run)
+    )
+    w_grp = Window.partitionBy("user_id", "grp")
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.max("v").over(w_grp), 6).alias("filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
