@@ -21,7 +21,7 @@ seeds are engine-private.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # MinHash geometry: 16 hash functions in 4 bands of 4 rows. With these
@@ -260,6 +260,76 @@ def cap_band_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     return bands.join(
         freq.filter(F.col("f") <= max_bucket_size), ["band", "band_key"]
     ).drop("f")
+
+
+def salted_band_pairs(
+    bands: DataFrame, block_size: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs from the band table with BLOCKED (salted) self-join:
+    the straggler-proof alternative to :func:`cap_band_buckets`.
+
+    ``cap_band_buckets`` *drops* hot buckets; this keeps them but bounds
+    the work any single task can receive. Bucket members are numbered and
+    grouped into blocks of ``block_size``; each side replicates its rows
+    across the block pairs it participates in, and the join key becomes
+    (band, band_key, block_a, block_b) — so one task emits at most
+    block_size² pairs instead of bucket² . Shuffle volume for a bucket of
+    n docs is O(n²/block_size) replicated ROWS (vs O(n²) PAIRS landing on
+    one task unsalted): same total output, spread over n/block_size tasks.
+
+    Exactly equivalent to the plain bucket self-join with ``id_a < id_b``
+    (each ordered pair materializes once: the lower-id side targets the
+    higher side's block) — q87's oracle hash-checks that equivalence.
+    """
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    wcnt = Window.partitionBy("band", "band_key")
+    rows = bands.select(
+        F.col(id_col),
+        "band",
+        "band_key",
+        ((F.row_number().over(w) - 1) / block_size).cast("int").alias("blk"),
+        F.ceil(F.count("*").over(wcnt) / block_size).cast("int").alias("nblk"),
+    )
+    left = rows.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        "band_key",
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.col("nblk") - 1)).alias("bb"),
+    )
+    right = rows.select(
+        F.col(id_col).alias("id_b"),
+        "band",
+        "band_key",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
+    )
+    return (
+        left.join(right, ["band", "band_key", "ba", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_salted(
+    df: DataFrame,
+    threshold: float,
+    block_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with blocked candidate generation — same
+    result set, no single-task hot bucket (the adversarial-corpus path)."""
+    spark = df.sparkSession
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bands = _cached(minhash_bands(src, text_col, id_col))
+    cand = salted_band_pairs(bands, block_size, id_col)
+    return _jaccard_on_pairs(cand, src, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_lsh_pairs(

@@ -205,6 +205,27 @@ def q68_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q87 — MinHash LSH with BLOCKED (salted) candidate generation (ROADMAP
+# #11 endgame): instead of dropping hot band buckets (q68's cap), bucket
+# members are blocked and the self-join key carries (block_a, block_b),
+# so no task ever emits more than block_size² pairs. The oracle is q24's
+# — bit-identical output proves the salted join is a pure physical
+# rewrite of the plain bucket self-join.
+# --------------------------------------------------------------------------
+Q87_BLOCK = 4
+
+
+@register("q87_salted_lsh", oracle=_minhash_oracle())
+def q87_salted_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs_salted(docs, threshold=0.2, block_size=Q87_BLOCK)
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    result = spark.createDataFrame(out.collect(), out.schema)
+    D.release_caches()
+    return result
+
+
+# --------------------------------------------------------------------------
 # q57 — CROSS-corpus near-dup join (incremental-ingest dedup): new batch
 # (doc_id % 3 = 0) against existing corpus (the rest). Same LSH machinery
 # as q24 but left-right instead of self-join; the oracle rebuilds both

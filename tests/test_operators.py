@@ -240,3 +240,47 @@ def test_lsh_stop_bucket_cap(spark):
     cross = D.minhash_lsh_join(left, right, 0.5, max_bucket_size=4)
     assert cross.count() == 0
     D.release_caches()
+
+
+def test_salted_band_join_equivalence_and_bound(spark):
+    """The blocked (salted) band self-join is a pure physical rewrite:
+    identical verified pairs to the plain bucket join, while an
+    adversarial template cluster that floods a bucket gets spread across
+    (block_a, block_b) join keys of at most block_size rows per side."""
+    import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(24)]  # one hot bucket per band
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = D.minhash_lsh_pairs(docs, threshold=0.5)
+    salted = D.minhash_lsh_pairs_salted(docs, threshold=0.5, block_size=4)
+    assert {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in plain.collect()} == {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in salted.collect()
+    }
+    D.release_caches()
+
+    # the flood really is a hot bucket (24 docs share every band key)...
+    bands = D.minhash_bands(docs.select("doc_id", "text"))
+    hot = bands.groupBy("band", "band_key").count().agg(F.max("count")).first()[0]
+    assert hot >= 24
+    # ...yet after blocking, no (band, band_key, ba, bb) join key carries
+    # more than block_size rows on the replicated left side
+    w = D.Window.partitionBy("band", "band_key").orderBy("doc_id")
+    wcnt = D.Window.partitionBy("band", "band_key")
+    blocked = bands.select(
+        "band",
+        "band_key",
+        ((F.row_number().over(w) - 1) / 4).cast("int").alias("ba"),
+        F.ceil(F.count("*").over(wcnt) / 4).cast("int").alias("nblk"),
+    ).select(
+        "band", "band_key", "ba",
+        F.explode(F.sequence(F.col("ba"), F.col("nblk") - 1)).alias("bb"),
+    )
+    per_key = blocked.groupBy("band", "band_key", "ba", "bb").count()
+    assert per_key.agg(F.max("count")).first()[0] <= 4
