@@ -224,3 +224,57 @@ def q86_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v").over(w_grp), 6).alias("filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — stream-stream inner join (streaming twin of the q67 keyed range
+# join): clicks joined to every same-user view within the preceding hour,
+# run as two watermarked readStream handles over one landed copy of the
+# events table, drained with availableNow and appended to parquet. The
+# oracle is the equivalent BATCH range join — hash-equality proves the
+# streaming join emitted exactly the batch result, once. See
+# streaming/stream_join.py for the state-eviction contract.
+# --------------------------------------------------------------------------
+@register(
+    "q88_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+)
+def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream_join import stream_stream_click_view_join
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        stage = f"{work}/ev.stage"
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        stream_stream_click_view_join(
+            spark,
+            src,
+            events.schema,
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        out = spark.read.parquet(f"{work}/out")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,80 @@
+"""Stream-stream inner join with watermark-bounded state — the streaming
+twin of the keyed range join (plans/temporal.py q67) and the last of the
+Structured Streaming join shapes the engine exposes.
+
+Spark's stream-stream inner join buffers BOTH sides in state; the
+watermark plus the time-range join condition is what lets it evict: a
+buffered view can be dropped once the click-side watermark passes
+``view.ts + tolerance``, so state is bounded by (event rate × delay),
+never by stream length. Without the range condition the state grows
+unboundedly — that is why ``tolerance`` is a required argument here, not
+an optional nicety.
+
+Reference analog: the service joins each frame with its prediction by
+exact frame id after a blocking wait (service/app/main.py polling);
+SURVEY ST4 maps that to a join the engine can now run stream-to-stream
+with no wait loop at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_stream_click_view_join(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    tolerance: str = "1 hour",
+    delay: str = "40 days",
+) -> None:
+    """availableNow drain: join every click with ALL of the same user's
+    views in (click.ts - tolerance, click.ts], append matches to
+    ``out_dir``. Two independent readStream handles over the same landing
+    directory (a supported self-join); both sides carry watermarks so the
+    join state is evictable."""
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", delay)
+    )
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", delay)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND v_ts <= c_ts "
+            f"AND v_ts >= c_ts - INTERVAL {tolerance}"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
