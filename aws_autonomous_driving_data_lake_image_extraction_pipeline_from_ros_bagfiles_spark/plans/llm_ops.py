@@ -226,6 +226,39 @@ def q87_salted_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q89 — LSH over a PERSISTED signature index (ROADMAP #12): the wide
+# (doc_id, bk0..bk3) index — the same shape the streaming ingest stores
+# with its corpus — is written to parquet once, read back, and candidate
+# generation runs as a READ-ONLY join over the stored band keys; no
+# document is re-tokenized or re-hashed. Only the exact-Jaccard verify touches text, and only for
+# candidates. Same oracle as q24: the persisted path is bit-identical.
+# --------------------------------------------------------------------------
+@register("q89_persisted_lsh_index", oracle=_minhash_oracle())
+def q89_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        # build + persist the index once (production: at ingest, q65-style)
+        D.minhash_band_cols(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        ).write.mode("overwrite").parquet(f"{work}/index")
+        # query time: stored band keys only — no re-hashing
+        persisted = D.bands_long(spark.read.parquet(f"{work}/index"))
+        pairs = D.minhash_lsh_pairs(docs, threshold=0.2, bands=persisted)
+        out = pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+        D.release_caches()
+        return result
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # q57 — CROSS-corpus near-dup join (incremental-ingest dedup): new batch
 # (doc_id % 3 = 0) against existing corpus (the rest). Same LSH machinery
 # as q24 but left-right instead of self-join; the oracle rebuilds both

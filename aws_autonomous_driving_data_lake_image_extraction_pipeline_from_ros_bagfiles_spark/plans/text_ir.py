@@ -278,3 +278,73 @@ def q83_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — KMV (k-minimum-values) distinct-count sketch per source, audited
+# against the exact count. Unlike HLL/approx_count_distinct — whose
+# estimates are engine-implementation-specific — KMV over md5-derived
+# hashes is fully DETERMINISTIC, so the sketch itself is oracle-checked,
+# not just bounded: estimate = (k-1) / kth_min_normalized_hash when the
+# group holds >= k distinct values, else the exact count.
+#
+# The sketch is MERGEABLE (union of k-min sets -> k-min of union), which
+# is the 100 TB property: per-partition partial sketches combine
+# associatively, so distinct-count audits over petabyte token streams
+# never shuffle raw values — here the shuffle is already only the
+# (source, token-hash) distinct, and the rank window prunes to k rows per
+# group via WindowGroupLimit.
+# --------------------------------------------------------------------------
+Q90_K = 64
+_Q90_SCALE = float(2**60)
+
+
+@register(
+    "q90_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT source,
+                        CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+                             AS BIGINT) AS h
+                 FROM documents),
+    exact AS (SELECT source, count(*) AS exact_distinct FROM tok GROUP BY 1),
+    ranked AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM tok),
+    sk AS (SELECT source, count(*) AS n_in_sketch, max(h) AS kth
+           FROM ranked WHERE rk <= {Q90_K} GROUP BY 1)
+    SELECT sk.source,
+           exact.exact_distinct,
+           round(CASE WHEN sk.n_in_sketch < {Q90_K}
+                      THEN sk.n_in_sketch * 1.0
+                      ELSE ({Q90_K} - 1) / (sk.kth / {_Q90_SCALE!r})
+                 END, 6) AS kmv_estimate
+    FROM sk JOIN exact USING (source)
+    """,
+)
+def q90_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    exact = tok.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        tok.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= Q90_K)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_in_sketch"), F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_in_sketch") < Q90_K, F.col("n_in_sketch").cast("double")
+    ).otherwise((Q90_K - 1) / (F.col("kth") / F.lit(_Q90_SCALE)))
+    return (
+        sk.join(exact, "source")
+        .select("source", "exact_distinct", F.round(est, 6).alias("kmv_estimate"))
+    )

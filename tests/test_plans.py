@@ -107,3 +107,11 @@ def test_q82_chunks_shuffle_hashes_only(spark):
     plan = _plan(spark, "q82_chunk_dedup")
     assert "md5" in plan
     assert plan.count("Exchange hashpartitioning") <= 3  # freq agg + join + rollup
+
+
+def test_q90_kmv_sketch_prunes_to_k(spark):
+    # The k-min selection must prune below the sort (WindowGroupLimit),
+    # and the distinct must shuffle hashes, not raw tokens.
+    plan = _plan(spark, "q90_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert "md5" in plan
