@@ -1,0 +1,78 @@
+"""Fixed-iteration PageRank over an edge DataFrame — the second iterative
+graph operator next to connected components (operators/components.py), and
+the centrality measure a dedup pipeline uses to pick the CANONICAL
+document of a near-dup family (rank the similarity graph, keep the most
+central member) rather than min-id.
+
+Spark-first shape: each iteration is one equi-join of the rank vector
+with the edge list (both partitioned by the join key) plus one
+map-side-combinable aggregate — no driver-side graph, no RDDs. Every
+loop-carried or loop-reused frame is localCheckpointed to truncate
+lineage (same discipline as components.py).
+
+The iteration count is FIXED, not convergence-driven, so the computation
+is expressible as unrolled SQL — which is exactly what lets q91's DuckDB
+oracle replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Ranks after ``iterations`` rounds of r' = (1-d)/N + d·Σ r(u)/deg(u)
+    over incoming neighbors u. ``edges`` is treated as DIRECTED; pass both
+    orientations for an undirected graph. Nodes = endpoints of edges (an
+    edge graph has no dangling nodes when symmetrized).
+
+    Returns (node, rank).
+
+    Every frame referenced more than once across the loop (edges, nodes,
+    deg, and each round's ranks) is localCheckpointed: without it, round
+    k's plan re-derives every predecessor — including re-running whatever
+    pipeline PRODUCED the edge list — once per reference, and the whole
+    computation goes super-linear in ``iterations``.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionAll(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # scalar: dimension of the rank vector, tiny result
+    deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node", src_col), src_col
+            )
+            .join(deg.withColumnRenamed("node", src_col), src_col)
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1218,3 +1218,105 @@ def q79_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — PageRank over the near-dup similarity graph (operators/pagerank.py):
+# rank the symmetrized q24 LSH pair graph for 3 damped iterations — the
+# centrality a dedup pipeline uses to pick each family's CANONICAL doc.
+# The iteration count is fixed, so the oracle UNROLLS all three rounds in
+# SQL over the identically-rebuilt pair graph: the whole iterative
+# computation is hash-checked, not just its shape.
+# --------------------------------------------------------------------------
+Q91_DAMPING = 0.85
+Q91_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    p = D.MERSENNE_P
+    sig_cols = ", ".join(
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}" for i in range(b * D.ROWS_PER_BAND, (b + 1) * D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    d = Q91_DAMPING
+    rounds = []
+    prev = "r0"
+    for i in range(1, Q91_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (SELECT np.y AS node, sum({prev}.rank / deg.deg) AS mass
+           FROM np JOIN {prev} ON np.x = {prev}.node
+                   JOIN deg ON np.x = deg.node GROUP BY 1),
+    r{i} AS (SELECT nodes.node,
+                    (1 - {d}) / nn.n + {d} * coalesce(c{i}.mass, 0) AS rank
+             FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (node))"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM shl),
+    sigs AS (SELECT doc_id, {sig_cols} FROM based),
+    bands AS ({band_selects}),
+    vcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    vinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM vcand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    vp AS (
+        SELECT i.id_a, i.id_b
+        FROM vinter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.2
+    ),
+    np AS (SELECT id_a AS x, id_b AS y FROM vp
+           UNION ALL SELECT id_b AS x, id_a AS y FROM vp),
+    nodes AS (SELECT DISTINCT x AS node FROM np),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT x AS node, count(*) AS deg FROM np GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {rounds_sql}
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+@register("q91_pagerank_neardup", oracle=_pagerank_oracle())
+def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    # materialize the pair list (tiny) before iterating: every PageRank
+    # round references the edge frame several times, and an unmaterialized
+    # edge list would re-run the whole LSH pipeline per reference
+    pairs = spark.createDataFrame(lsh.collect(), lsh.schema)
+    D.release_caches()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=Q91_DAMPING, iterations=Q91_ITERS)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )

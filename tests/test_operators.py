@@ -284,3 +284,29 @@ def test_salted_band_join_equivalence_and_bound(spark):
     )
     per_key = blocked.groupBy("band", "band_key", "ba", "bb").count()
     assert per_key.agg(F.max("count")).first()[0] <= 4
+
+
+def test_pagerank_ring_uniform_and_star_center(spark):
+    """On a symmetrized ring every node keeps rank 1/N (uniform is the
+    stationary distribution); on a star the center out-ranks the leaves."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    n = 8
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(
+        ring + [(b, a) for a, b in ring], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in ranks.values())
+
+    star = [(0, i) for i in range(1, 5)]
+    sedges = spark.createDataFrame(
+        star + [(b, a) for a, b in star], "src long, dst long"
+    )
+    sranks = {r.node: r.rank for r in pagerank(sedges, iterations=4).collect()}
+    assert sranks[0] > max(v for k, v in sranks.items() if k != 0)
+    assert abs(sum(sranks.values()) - 1.0) < 1e-9  # mass conserved
