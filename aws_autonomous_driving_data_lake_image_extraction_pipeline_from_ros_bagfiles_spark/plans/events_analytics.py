@@ -278,3 +278,56 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q92 — streaming dedup with watermark-bounded state: the events table is
+# landed TWICE (the at-least-once redelivery case) and drained through
+# dropDuplicatesWithinWatermark — each event_id must come out exactly
+# once. Oracle: the events table itself. Complements the engine's
+# idempotent-merge reconciliation (ST2/q35) with the Spark-native
+# stateful-dedup form; state is bounded by the watermark, not stream
+# length (see streaming/windows.py::dedup_within_watermark).
+# --------------------------------------------------------------------------
+@register(
+    "q92_stream_dedup",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    """,
+)
+def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.windows import dedup_within_watermark
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        stage = f"{work}/ev.stage"
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        now = int(time.time())
+        for i in range(2):  # same payload delivered twice
+            shutil.copy(part, f"{src}/delivery{i}.parquet")
+            os.utime(f"{src}/delivery{i}.parquet", (now - 30 + i * 10,) * 2)
+        shutil.rmtree(stage, ignore_errors=True)
+        dedup_within_watermark(
+            spark,
+            src,
+            events.schema,
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            keys=["event_id"],
+        )
+        out = spark.read.parquet(f"{work}/out").select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -76,3 +76,40 @@ def watermarked_window_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "40 days",
+) -> None:
+    """availableNow drain of ``dropDuplicatesWithinWatermark``: the
+    built-in stateful dedup whose state is BOUNDED by the watermark (a
+    key is forgotten once the watermark passes its event time + delay),
+    unlike plain ``dropDuplicates`` whose key state grows forever.
+
+    This is the Spark-native form of the engine's at-least-once
+    reconciliation (ST2): a source that re-delivers (the reference's SQS
+    redelivery, here a file landed twice) emits each key exactly once as
+    long as the duplicate arrives within the lateness contract.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
