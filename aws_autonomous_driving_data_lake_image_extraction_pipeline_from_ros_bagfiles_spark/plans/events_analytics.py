@@ -331,3 +331,92 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q93 — daily OHLC (open/high/low/close) per event type: first/last are
+# selected with min_by/max_by over a zero-padded (ts_us, event_id)
+# composite key, so the result is deterministic even under equal
+# timestamps — never "first row Spark happens to see". One map-side-
+# combinable groupBy; no window, no sort.
+# --------------------------------------------------------------------------
+@register(
+    "q93_ohlc",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+        FROM events)
+    SELECT event_type, day,
+           round(arg_min(value, ord), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ord), 6) AS close,
+           count(*) AS n
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def q93_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("ts_us") / _DAY_US).alias("day"),
+        "value",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("ord"),
+    )
+    return ev.groupBy("event_type", "day").agg(
+        F.round(F.min_by("value", "ord"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", "ord"), 6).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — 7-day trailing moving average of daily event value per type,
+# via a RANGE frame over the integer day (RANGE, not ROWS: a type with a
+# missing day must average over the CALENDAR week, not the last 7
+# present rows). Daily rollup first, so the window runs over ~30 rows
+# per type, not the raw stream.
+# --------------------------------------------------------------------------
+@register(
+    "q94_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               sum(value) AS total
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           round(total, 6) AS total,
+           round(avg(total) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM daily
+    """,
+)
+def q94_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "event_type", F.floor(F.col("ts_us") / _DAY_US).alias("day")
+        )
+        .agg(F.sum("value").alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("total", 6).alias("total"),
+        F.round(F.avg("total").over(w), 6).alias("ma7"),
+    )
