@@ -465,3 +465,78 @@ def q70_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         bucketed.unpersist()
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q95 — STREAMING bag ingest through the Python DataSource
+# (`spark.readStream.format("rosbag")`, sources/bag_datasource.py
+# BagStreamReader): two bags land in a directory across two availableNow
+# runs sharing one checkpoint — the reference's S3-drop → queue → decode
+# lifecycle (S1/ST1) with the engine's run-per-arrival pattern. The
+# second run must decode ONLY the new file (offset = sorted file count);
+# n_diff proves stream output ≡ batch DataSource read of the same files,
+# exactly once. Constant oracle — the fixtures are deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "q95_bag_stream",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('/camera_front/image_raw', CAST(12 AS BIGINT), CAST(0 AS BIGINT)),
+        ('/odom', CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+        ('/status', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(topic, n_msgs, n_diff)
+    """,
+)
+def q95_bag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bag_datasource import register_rosbag_source
+    from ..sources.rosbag_fixtures import build_indexed_bag
+
+    register_rosbag_source(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(conf_key, "false")
+    work = tempfile.mkdtemp(prefix="bag_stream_")
+    try:
+        spark.conf.set(conf_key, "true")  # reader declares pushFilters
+        src = f"{work}/in"
+        os.makedirs(src)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("rosbag")
+                .option("path", src)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        with open(f"{src}/a.bag", "wb") as f:
+            f.write(build_indexed_bag(n_frames=8, n_chunks=2))
+        drain()  # run 1: sees only a.bag
+        with open(f"{src}/b.bag", "wb") as f:
+            f.write(build_indexed_bag(n_frames=12, n_chunks=3))
+        drain()  # run 2: offset says a.bag is consumed; decodes b.bag only
+
+        streamed = spark.read.parquet(f"{work}/out")
+        batch = (
+            spark.read.format("rosbag")
+            .option("path", f"{src}/*.bag")
+            .load()
+        )
+        cmp_cols = ["topic", "msg_type", "ros_time", "seq"]
+        n_diff = (
+            streamed.select(cmp_cols).exceptAll(batch.select(cmp_cols)).count()
+            + batch.select(cmp_cols).exceptAll(streamed.select(cmp_cols)).count()
+        )
+        out = (
+            streamed.groupBy("topic")
+            .agg(F.count("*").alias("n_msgs"))
+            .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set(conf_key, prior)
+        shutil.rmtree(work, ignore_errors=True)

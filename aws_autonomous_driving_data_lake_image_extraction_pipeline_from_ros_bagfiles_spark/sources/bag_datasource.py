@@ -36,6 +36,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -106,6 +107,56 @@ class BagDataSourceReader(DataSourceReader):
             yield tuple(rec[c] for c in _RECORD_COLUMNS)
 
 
+class BagStreamReader(DataSourceStreamReader):
+    """Streaming half of ``format("rosbag")`` — the literal S1 shape:
+    ``spark.readStream.format("rosbag")`` over a landing DIRECTORY of bag
+    files (the reference's S3 drop zone, bag-queue-proc.py's unit of
+    work). The offset is the count of bag files in stable sorted order —
+    a landing zone is append-only, so the sorted prefix below a committed
+    offset never changes and replay after a crash re-plans exactly the
+    same files. Each micro-batch maps the NEW files through
+    ``plan_bag_splits``: decode parallelism stays one task per chunk,
+    identical to the batch reader.
+    """
+
+    def __init__(self, options: dict) -> None:
+        raw = options.get("path") or options.get("paths")
+        if not raw:
+            raise ValueError("rosbag stream requires a 'path' option (dir or glob)")
+        self._pattern = raw if any(ch in raw for ch in "*?[") else raw.rstrip("/") + "/*.bag"
+        topics = options.get("topics")
+        self._topics: list[str] | None = (
+            [t.strip() for t in topics.split(",")] if topics else None
+        )
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(self._pattern))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        new_files = self._files()[start["n"] : end["n"]]
+        if not new_files:
+            return [InputPartition(None)]
+        splits, _ = plan_bag_splits(new_files, self._topics, None)
+        return [InputPartition(s) for s in splits] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None or partition.value is None:
+            return
+        path, off, ln, comp, conn_json = partition.value
+        conns = {int(k): v for k, v in json.loads(conn_json).items()}
+        for rec in _decode_chunk(path, int(off), int(ln), comp, conns, None):
+            yield tuple(rec[c] for c in _RECORD_COLUMNS)
+
+    def commit(self, end: dict) -> None:
+        pass  # landing zone is the source of truth; nothing to release
+
+
 class RosbagDataSource(DataSource):
     """``format("rosbag")``: schema-stable bag records, one task per chunk."""
 
@@ -118,6 +169,9 @@ class RosbagDataSource(DataSource):
 
     def reader(self, schema) -> BagDataSourceReader:
         return BagDataSourceReader(dict(self.options))
+
+    def streamReader(self, schema) -> BagStreamReader:
+        return BagStreamReader(dict(self.options))
 
 
 def register_rosbag_source(spark) -> None:

@@ -83,3 +83,45 @@ def test_timerange_option_prunes(spark, bag_path):
 def test_missing_path_errors(spark, bag_path):
     with pytest.raises(Exception, match="no files match"):
         spark.read.format("rosbag").option("path", os.path.dirname(bag_path) + "/*.nope").load().count()
+
+
+def test_bag_stream_reader_incremental_offsets(spark, tmp_path):
+    """The streaming reader's offset is the sorted file count: a second
+    availableNow run over the same checkpoint decodes ONLY newly landed
+    bags, and the union equals a batch read of the directory."""
+    import os
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.bag_datasource import (
+        register_rosbag_source,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag_fixtures import (
+        build_indexed_bag,
+    )
+
+    register_rosbag_source(spark)
+    src = tmp_path / "in"
+    os.makedirs(src)
+
+    def drain():
+        q = (
+            spark.readStream.format("rosbag")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.bag").write_bytes(build_indexed_bag(n_frames=4, n_chunks=2))
+    drain()
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    (src / "b.bag").write_bytes(build_indexed_bag(n_frames=4, n_chunks=2))
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2 * n1  # second run added exactly b.bag's rows
+    # no duplicates: every (topic, seq, ros_time) appears exactly... twice
+    # (a.bag and b.bag are identical fixtures), so distinct count is n1
+    assert out.select("topic", "seq", "ros_time").distinct().count() == n1
