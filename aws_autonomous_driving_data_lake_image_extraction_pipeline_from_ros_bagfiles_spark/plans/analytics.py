@@ -310,3 +310,153 @@ def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — hyperplane (cosine) LSH near-dup: the label-FREE counterpart of
+# q42's label-blocked scan. Sixteen deterministic Rademacher hyperplanes
+# (coefficients ±1 from md5(plane:dim) parity — reproducible on any
+# engine, no RNG state) give each vector a 16-bit sign signature, banded
+# 4×4 exactly like MinHash bands; candidates come only from band-bucket
+# equi-joins and the exact-cosine verify is candidate-scoped. Recall
+# against q42 is partial by design (that is the LSH trade); the oracle
+# rebuilds the identical planes/bands/verify, so the WHOLE pipeline is
+# hash-checked, not just the output shape.
+# --------------------------------------------------------------------------
+Q98_PLANES = 16
+Q98_BAND_BITS = 4
+Q98_DIM = 64
+Q98_THRESHOLD = 0.3
+
+
+def _q98_coeffs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for d in range(Q98_DIM)
+        ]
+        for p in range(Q98_PLANES)
+    ]
+
+
+def _q98_oracle() -> str:
+    coeffs = _q98_coeffs()
+    projs = ", ".join(
+        "CASE WHEN list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ([{c}]::DOUBLE[])[i])) >= 0 THEN 1 ELSE 0 END AS b{p}".format(
+            c=", ".join(str(v) for v in coeffs[p]), p=p
+        )
+        for p in range(Q98_PLANES)
+    )
+    n_bands = Q98_PLANES // Q98_BAND_BITS
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {band} AS band, {key} AS band_key FROM sigs".format(
+            band=b,
+            key=" + ".join(
+                f"b{b * Q98_BAND_BITS + i} * {1 << (Q98_BAND_BITS - 1 - i)}"
+                for i in range(Q98_BAND_BITS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sigs AS (SELECT vec_id, {projs} FROM embeddings),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(ea.embedding::DOUBLE[], (x, i) -> x * (eb.embedding::DOUBLE[])[i]))
+                 / (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x * x)))
+                    * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x * x)))), 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_sum(list_transform(ea.embedding::DOUBLE[], (x, i) -> x * (eb.embedding::DOUBLE[])[i]))
+          / (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x * x)))
+             * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x * x)))) >= {Q98_THRESHOLD}
+    """
+
+
+@register("q98_hyperplane_lsh", oracle=_q98_oracle())
+def q98_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
+    coeffs = _q98_coeffs()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bits = [
+        F.when(
+            dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
+            )
+            >= 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"b{p}")
+        for p in range(Q98_PLANES)
+    ]
+    sigs = emb.select("vec_id", *bits)
+    n_bands = Q98_PLANES // Q98_BAND_BITS
+    band_frames = [
+        sigs.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            sum(
+                (
+                    F.col(f"b{b * Q98_BAND_BITS + i}")
+                    * (1 << (Q98_BAND_BITS - 1 - i))
+                    for i in range(Q98_BAND_BITS)
+                ),
+                F.lit(0),
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+    bands = bands.cache()
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= Q98_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    bands.unpersist()
+    return result

@@ -420,3 +420,35 @@ def q94_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 6).alias("total"),
         F.round(F.avg("total").over(w), 6).alias("ma7"),
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — semi-structured props: the events table's JSON payload column is
+# parsed in-plan (get_json_object — codegen, no Python) and aggregated
+# per event type. The schema-on-read path every telemetry pipeline needs
+# when the payload evolves faster than the table schema.
+# --------------------------------------------------------------------------
+@register(
+    "q97_props_json",
+    oracle="""
+    SELECT event_type,
+           count(json_extract(props, '$.k')) AS n_with_k,
+           CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+           CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+           round(avg(json_extract(props, '$.k')::BIGINT), 6) AS mean_k
+    FROM events GROUP BY 1
+    """,
+)
+def q97_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("mean_k"),
+        )
+    )

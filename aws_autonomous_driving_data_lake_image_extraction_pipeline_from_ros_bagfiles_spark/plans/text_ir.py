@@ -348,3 +348,45 @@ def q90_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.join(exact, "source")
         .select("source", "exact_distinct", F.round(est, 6).alias("kmv_estimate"))
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — deterministic hash split: the REPRODUCIBLE train/val/test
+# assignment (60/20/20 by md5(doc_id) mod 10) that production corpora
+# use instead of randomSplit (q36): membership is a pure function of the
+# row, so it survives reruns, repartitioning, late-arriving shards, and
+# engine changes — and is therefore fully oracle-checkable, where
+# q36's sampler can only ever be rows-only. Pure projection: no shuffle
+# for the assignment; one tiny aggregate for the audit counts.
+# --------------------------------------------------------------------------
+@register(
+    "q96_hash_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CASE WHEN b < 6 THEN 'train'
+                    WHEN b < 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 10 AS b
+              FROM documents))
+    SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM assigned GROUP BY 1
+    """,
+)
+def q96_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    assigned = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
