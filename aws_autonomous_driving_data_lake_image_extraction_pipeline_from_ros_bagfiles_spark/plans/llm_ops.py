@@ -1320,3 +1320,87 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — EXACT set-similarity join via prefix filtering (the PPJoin family):
+# the deterministic-complete alternative to LSH. Shingles are globally
+# ordered rarest-first; a pair with Jaccard >= t MUST share a shingle in
+# each side's first n - ceil(t*n) + 1 shingles (pigeonhole), so the
+# candidate join indexes only prefixes — and because the ordering is
+# rarest-first, hot shingles land OUTSIDE prefixes, which is what keeps
+# the join linear without q23's lossy frequency cap. Verify is exact
+# Jaccard, candidate-scoped. 100% recall at the threshold (cf. q24/q98,
+# whose banding trades recall); the oracle rebuilds the same ordering,
+# prefixes, and verify.
+# --------------------------------------------------------------------------
+Q99_T = 0.5
+
+
+@register(
+    "q99_ppjoin",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    freq AS (SELECT shingle, count(*) AS f FROM shx GROUP BY 1),
+    ordered AS (
+        SELECT shx.doc_id, shx.shingle,
+               row_number() OVER (PARTITION BY shx.doc_id
+                                  ORDER BY freq.f, shx.shingle) AS rn
+        FROM shx JOIN freq USING (shingle)),
+    prefix AS (
+        SELECT o.doc_id, o.shingle
+        FROM ordered o JOIN sizes USING (doc_id)
+        WHERE o.rn <= sizes.n - CAST(ceil({Q99_T} * sizes.n) AS BIGINT) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {Q99_T}
+    """,
+)
+def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = D._cached(D.shingles_long(src))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(Q99_T * F.col("n")).cast("bigint") + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pairs = D._jaccard_on_pairs(cand, src, "text", "doc_id").filter(
+        F.col("jaccard") >= Q99_T
+    )
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    result = spark.createDataFrame(out.collect(), out.schema)
+    D.release_caches()
+    return result
