@@ -452,3 +452,70 @@ def q97_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("mean_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — stream-STATIC enrichment join, completing the engine's streaming
+# join matrix (stream-stream q88, stateful sessions q48, watermarked aggs
+# q61, stateful dedup q92): the events stream is enriched against the
+# static customer dimension (broadcast — the stream side never shuffles)
+# and rolled up per market segment. The reference's analog is each ECS
+# task pulling per-bag config from the static DynamoDB/env tables while
+# consuming the queue. Oracle: the equivalent batch join.
+# --------------------------------------------------------------------------
+@register(
+    "q100_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_static_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        stage = f"{work}/ev.stage"
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        enriched = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .join(F.broadcast(customer), "user_id")  # stream side unshuffled
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{work}/out")
+            .groupBy("segment", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
