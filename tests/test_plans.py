@@ -115,3 +115,28 @@ def test_q90_kmv_sketch_prunes_to_k(spark):
     plan = _plan(spark, "q90_kmv_distinct")
     assert "WindowGroupLimit" in plan
     assert "md5" in plan
+
+
+def test_q86_gapfill_windows_partitioned_no_cartesian(spark):
+    # The scaffold build broadcasts the 1-row span (BroadcastNestedLoop
+    # is fine THERE and only there); both fill windows must partition by
+    # user_id — a global window would funnel every user through one task.
+    plan = _plan(spark, "q86_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    assert "Window [" in plan and "[user_id" in plan.split("Window [")[1]
+
+
+def test_q94_moving_avg_two_exchanges_max(spark):
+    # Daily rollup shuffles (event_type, day); the RANGE window re-keys to
+    # event_type. Nothing else may shuffle.
+    plan = _plan(spark, "q94_moving_avg")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SinglePartition" not in plan
+
+
+def test_q96_hash_split_no_join_no_window(spark):
+    # Membership is a pure row function: the assignment needs zero joins
+    # and zero windows; the only exchange feeds the audit aggregate.
+    plan = _plan(spark, "q96_hash_split")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
