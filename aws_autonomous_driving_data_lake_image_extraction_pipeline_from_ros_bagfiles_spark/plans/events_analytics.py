@@ -519,3 +519,62 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q101 — exactly-once Python streaming SINK (sources/manifest_sink.py):
+# events stream through a custom DataSourceStreamWriter whose commit
+# point is one atomic manifest rename per micro-batch; the read side
+# lists manifests and reads only committed files, plus an orphaned
+# staged file is planted to prove uncommitted data stays invisible.
+# Oracle: the events table itself — committed view ≡ source, exactly
+# once, with the orphan ignored.
+# --------------------------------------------------------------------------
+@register(
+    "q101_manifest_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest_sink import read_committed, register_manifest_sink
+
+    register_manifest_sink(spark)
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="manifest_sink_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        stage = f"{work}/ev.stage"
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        sink = f"{work}/sink"
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .writeStream.format("manifest_sink")
+            .option("path", sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # a crashed writer's leftover: staged but never committed — the
+        # committed view must not see it
+        os.makedirs(f"{sink}/_staging", exist_ok=True)
+        with open(f"{sink}/_staging/orphan.jsonl", "w") as f:
+            f.write('{"event_id": -1, "user_id": -1, "event_type": "ghost"}\n')
+        out = read_committed(
+            spark, sink, "event_id long, user_id long, event_type string"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
