@@ -101,3 +101,31 @@ def test_compaction_and_cdc_read(spark):
         assert final == {**want, 3: 77.0}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_manifest_sink_replay_and_orphan_invisibility(spark, tmp_path):
+    """Replayed commit for the same batchId OVERWRITES its manifest (files
+    listed exactly once) and staged-uncommitted files are invisible."""
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.manifest_sink import (
+        ManifestStreamWriter,
+        read_committed,
+    )
+
+    schema = StructType([StructField("x", LongType())])
+    w = ManifestStreamWriter({"path": str(tmp_path)}, schema)
+    m1 = w.write(iter([(1,), (2,)]))
+    w.commit([m1], batchId=0)
+    # at-least-once replay of batch 0: a fresh attempt re-stages and
+    # re-commits — the manifest must be replaced, not appended
+    m1b = w.write(iter([(1,), (2,)]))
+    w.commit([m1b], batchId=0)
+    # an aborted/crashed attempt leaves a staged orphan
+    orphan = w.write(iter([(99,)]))
+    df = read_committed(spark, str(tmp_path), "x long")
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+    w.abort([orphan], batchId=1)
+    import os
+
+    assert not os.path.exists(orphan.path)
