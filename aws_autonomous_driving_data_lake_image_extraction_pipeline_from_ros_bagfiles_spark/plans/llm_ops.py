@@ -1332,9 +1332,11 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the join linear without q23's lossy frequency cap. Verify is exact
 # Jaccard, candidate-scoped. 100% recall at the threshold (cf. q24/q98,
 # whose banding trades recall); the oracle rebuilds the same ordering,
-# prefixes, and verify.
+# prefixes, and verify. Threshold 0.8 is the regime prefix filtering is
+# built for: prefix length (1-t)·n+1 ≈ 21% of each doc — at t near 0.5
+# prefixes approach half the corpus and the filter stops paying.
 # --------------------------------------------------------------------------
-Q99_T = 0.5
+Q99_T = 0.8
 
 
 @register(
