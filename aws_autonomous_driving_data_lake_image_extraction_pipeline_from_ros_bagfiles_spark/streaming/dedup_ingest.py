@@ -140,13 +140,25 @@ def run_dedup_ingest(
     corpus_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    adaptive: bool = False,
 ) -> None:
     """availableNow pass: each micro-batch of documents is deduped against
     itself and the current corpus; survivors land under
     ``corpus_dir/batch=<id>`` with overwrite, so a replayed batch (the
     at-least-once case) rewrites its own output instead of duplicating it.
     Survivors carry their index columns (fp, bk0..bk3), so later batches'
-    corpus checks are joins against stored state, not recomputation."""
+    corpus checks are joins against stored state, not recomputation.
+
+    ``adaptive=False`` (default) turns AQE off for the drain and restores
+    the prior setting after: a micro-batch is size-BOUNDED, so AQE's
+    per-stage materialization jobs are pure sequential driver latency —
+    measured 2x on the whole ingest (30 s -> 15.6 s, 3 batches at
+    sf0.01). Pass True when batches are large enough to need runtime
+    re-planning (skew split, coalescing) — the crossover is when a batch
+    stops fitting the static shuffle-partition sizing."""
+    aqe_key = "spark.sql.adaptive.enabled"
+    prior_aqe = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, str(adaptive).lower())
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -155,10 +167,13 @@ def run_dedup_ingest(
         novel.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
         release_caches()  # only the dedup module's band/shingle caches
 
-    q = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(aqe_key, prior_aqe)
