@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL inputs,
+not just the fixtures — the codec round-trip, decoder failure containment,
+and the salted-aggregation ≡ plain-aggregation equivalence the skew
+mitigation depends on.
+
+Spark-backed properties cap ``max_examples`` (each example is a job) and
+disable deadlines; the pure-Python codec properties run at full default
+example counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.functions.png import (
+    decode_png,
+    encode_png,
+)
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_exact(w, h, channels, seed):
+    """encode → decode is pixel-exact for every size/channel/content —
+    including the adversarial flat and high-entropy rows the adaptive
+    filter heuristic chooses differently on."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=h * w * channels, dtype=np.uint8).tobytes()
+    out, ow, oh, oc = decode_png(encode_png(pixels, w, h, channels))
+    assert (ow, oh, oc) == (w, h, channels)
+    assert out == pixels
+
+
+@given(
+    cut=st.integers(0, 200),
+    flip_at=st.integers(0, 199),
+    flip_to=st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decoder_contains_corruption(cut, flip_at, flip_to):
+    """Truncation or byte corruption NEVER hangs or returns silently-wrong
+    dimensions: the decoder either raises a clean error or round-trips the
+    original pixels exactly (a flipped byte in unconsumed padding or a
+    same-value flip is legitimately survivable)."""
+    import struct
+    import zlib
+
+    pixels = bytes(range(48)) * 2  # 8x4 RGB
+    good = encode_png(pixels, 8, 4, 3)
+    truncated = good[: min(cut, len(good))]
+    corrupted = bytearray(good)
+    corrupted[flip_at % len(good)] = flip_to
+
+    for blob in (bytes(truncated), bytes(corrupted)):
+        try:
+            out, w, h, c = decode_png(blob)
+        except (ValueError, zlib.error, struct.error, IndexError):
+            continue  # clean, typed failure
+        assert (w, h, c) == (8, 4, 3) and out == pixels
+
+
+@pytest.mark.parametrize("salt_n", [1, 4, 16])
+def test_salted_agg_equivalence_random(spark, salt_n):
+    """salted_agg must be bit-identical to the plain groupBy for algebraic
+    aggregates on randomized skewed data (one hot key + uniform tail)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.skew import (
+        salted_agg,
+    )
+
+    rng = random.Random(salt_n)
+    rows = [("hot", rng.randint(0, 5), float(rng.randint(0, 100))) for _ in range(400)]
+    rows += [(f"k{rng.randint(0, 30)}", rng.randint(0, 5), float(rng.randint(0, 100))) for _ in range(200)]
+    df = spark.createDataFrame(rows, "k string, a int, v double")
+
+    aggs = {"mx": ("max", "v"), "mn": ("min", "a"), "sm": ("sum", "v"), "ct": ("count", "a")}
+    got = {
+        r.k: (r.mx, r.mn, r.sm, r.ct)
+        for r in salted_agg(df, ["k"], aggs, salt_n=salt_n).collect()
+    }
+    want = {
+        r.k: (r.mx, r.mn, r.sm, r.ct)
+        for r in df.groupBy("k")
+        .agg(
+            F.max("v").alias("mx"),
+            F.min("a").alias("mn"),
+            F.sum("v").alias("sm"),
+            F.count("a").alias("ct"),
+        )
+        .collect()
+    }
+    assert got == want
