@@ -578,3 +578,54 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q102 — robust anomaly detection per event type: median + MAD (median
+# absolute deviation), flag rows whose robust z-score |x - med| / MAD
+# exceeds 3. The outlier screen that, unlike mean/stddev z-scores
+# (grouped.py q51 family), is itself immune to the outliers it hunts.
+# Two grouped exact percentiles (one over values, one over deviations) +
+# a broadcast of the tiny per-type stats back onto the stream; output is
+# the flagged rows only.
+# --------------------------------------------------------------------------
+@register(
+    "q102_mad_anomaly",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - med.med), 0.5) AS mad
+        FROM events e JOIN med USING (event_type) GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round(abs(e.value - med.med) / mad.mad, 6) AS robust_z
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE abs(e.value - med.med) / mad.mad > 3
+    """,
+)
+def q102_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    z = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(z > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("robust_z"),
+        )
+        .withColumn("robust_z", F.round("robust_z", 6))
+    )
