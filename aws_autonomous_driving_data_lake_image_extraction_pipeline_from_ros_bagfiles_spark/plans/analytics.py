@@ -460,3 +460,93 @@ def q98_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     bands.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# q103 — INCREMENTAL IVF index maintenance: new vectors are assigned with
+# the STORED centroids and appended into the bucket-partitioned corpus —
+# no retrain, no rewrite of existing partitions (the arrival path of a
+# production vector index; quantizer drift is a periodic offline rebuild,
+# not a per-batch cost). Exactness check is KMeans-proof: with nprobe = B
+# the probe set covers every bucket, so IVF search over (index + delta)
+# must equal brute-force top-k over the full corpus REGARDLESS of what
+# the trained centroids are — which is what makes the oracle a constant.
+# --------------------------------------------------------------------------
+Q103_B = 8
+Q103_K = 5
+Q103_QUERIES = [3, 7, 11, 19, 23]
+
+
+@register(
+    "q103_ivf_incremental",
+    oracle=f"""
+    SELECT CAST({len(Q103_QUERIES)} AS BIGINT) AS n_queries,
+           CAST({len(Q103_QUERIES) * Q103_K} AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_diff
+    """,
+)
+def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.ann_ivf import (
+        assign_buckets,
+        ivf_topk_batch,
+        load_ivf_index,
+        save_ivf_index,
+        train_quantizer,
+    )
+    from ..operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)  # the later arrivals
+    work = tempfile.mkdtemp(prefix="ivf_incr_")
+    try:
+        cents = train_quantizer(base, Q103_B)
+        save_ivf_index(assign_buckets(base, cents), cents, f"{work}/ix")
+        loaded, stored_cents = load_ivf_index(spark, f"{work}/ix")
+        # incremental append: assign with the STORED centroids, land only
+        # the delta rows into the partitioned layout
+        (
+            assign_buckets(delta, stored_cents)
+            .select("vec_id", "embedding", "bucket")
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{work}/ix/corpus")
+        )
+        grown, _ = load_ivf_index(spark, f"{work}/ix")
+
+        queries = emb.filter(F.col("vec_id").isin(Q103_QUERIES)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        served = ivf_topk_batch(
+            grown, stored_cents, queries, k=Q103_K, nprobe=Q103_B
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        brute = (
+            queries.crossJoin(emb)
+            .select(
+                "qid",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= Q103_K)
+        )
+        cmp_cols = ["qid", "vec_id", "rk"]
+        n_diff = (
+            served.select(cmp_cols).exceptAll(brute.select(cmp_cols)).count()
+            + brute.select(cmp_cols).exceptAll(served.select(cmp_cols)).count()
+        )
+        out = served.agg(
+            F.countDistinct("qid").alias("n_queries"),
+            F.count("*").alias("n_rows"),
+            F.lit(n_diff).cast("bigint").alias("n_diff"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
