@@ -49,6 +49,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # scalar: dimension of the rank vector, tiny result
+    if n == 0:
+        # an empty graph has no rank vector; returning an empty frame (not
+        # dividing by zero) lets callers compose with empty pair sets
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = (
         edges.groupBy(F.col(src_col).alias("node"))
         .agg(F.count("*").alias("deg"))

@@ -310,3 +310,12 @@ def test_pagerank_ring_uniform_and_star_center(spark):
     sranks = {r.node: r.rank for r in pagerank(sedges, iterations=4).collect()}
     assert sranks[0] > max(v for k, v in sranks.items() if k != 0)
     assert abs(sum(sranks.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges, iterations=2).count() == 0
