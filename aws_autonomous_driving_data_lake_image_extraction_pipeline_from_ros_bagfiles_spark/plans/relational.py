@@ -488,3 +488,61 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nation", "region", "n_customers", "total_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — the TPC-H Q5 shape: six-table snowflake with TWO fact legs
+# (orders⋈lineitem) and the correlated dimension constraint
+# c_nationkey = s_nationkey ("local supplier volume"). The declarative
+# form leaves join ORDER to Catalyst: dims broadcast, the fact-fact join
+# keys on orderkey, the date filter lands at the orders scan
+# (PushedFilters), and the nation constraint is a post-join equality —
+# exactly the query class where hand-scheduling loses to the optimizer.
+# Bucketed orders/lineitem (tables.ensure_bucketed) drop the fact
+# exchange in the bench path.
+# --------------------------------------------------------------------------
+@register(
+    "q104_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q104_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -140,3 +140,12 @@ def test_q96_hash_split_no_join_no_window(spark):
     plan = _plan(spark, "q96_hash_split")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q104_snowflake_pushdown_and_broadcasts(spark):
+    # The date filter must reach the orders parquet scan; every dimension
+    # join must broadcast; only the fact-fact join may shuffle.
+    plan = _plan(spark, "q104_local_supplier_volume")
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
