@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.paths import extension_rewrite
 from ..operators.detections import explode_labels, stub_detector
-from ..tables import load, table_path
+from ..tables import load, normalize_event_ts, table_path
 from .registry import register
 
 # Stub-detector long form as SQL (shared with q34's oracle).
@@ -243,7 +243,7 @@ def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, "events")
-    schema = spark.read.parquet(src).schema  # ts = bigint nanos here
+    schema = spark.read.parquet(src).schema  # raw reader type for ts
     work = tempfile.mkdtemp(prefix="stream_window_")
     try:
         os.makedirs(f"{work}/in")
@@ -252,7 +252,7 @@ def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
             (
-                batch_df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                normalize_event_ts(batch_df)
                 .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
                 .agg(F.count("*").alias("partial_n"))
                 .select(

@@ -107,12 +107,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if bucketed is not None:
         return spark.table(bucketed)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read the raw int64 nanos and convert to a real
-        # TimestampType (micros) with integer division — `DIV` stays in the
-        # bigint domain (a double roundtrip would lose precision at 1e18).
-        # DuckDB performs the identical nanos->micros truncation, so oracle
-        # comparisons agree.
+        # events.parquet's `ts` physical type has varied across testdata
+        # generations (TIMESTAMP(NANOS) stored as int64 vs plain micros
+        # TIMESTAMP without UTC adjustment). Normalize every generation to
+        # TimestampType (micros, UTC session) so downstream plans and
+        # oracles see one type:
+        #   - nanos-as-bigint: integer `DIV 1000` stays in the bigint
+        #     domain (a double roundtrip would lose precision at 1e18) and
+        #     matches DuckDB's nanos->micros truncation;
+        #   - TIMESTAMP_NTZ (micros, no tz): cast — value-preserving under
+        #     the UTC session timezone, and DuckDB's TIMESTAMP is NTZ with
+        #     the same wall-clock values.
         #
         # DELIBERATE session-wide conf change (there is no per-read option
         # for this legacy flag, and restoring it after load() would break
@@ -121,6 +126,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exist until Spark grows a reader option; documented here and in
         # the verify skill.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_event_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce an events frame's ``ts`` to TimestampType whatever the
+    physical source type was (see load() for the per-generation rationale).
+    Streaming readers that scan events.parquet directly need this too —
+    their micro-batch frames carry the raw reader type."""
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
