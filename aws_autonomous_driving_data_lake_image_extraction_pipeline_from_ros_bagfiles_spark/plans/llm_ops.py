@@ -1306,10 +1306,13 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     lsh = D.minhash_lsh_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    # materialize the pair list (tiny) before iterating: every PageRank
-    # round references the edge frame several times, and an unmaterialized
-    # edge list would re-run the whole LSH pipeline per reference
-    pairs = spark.createDataFrame(lsh.collect(), lsh.schema)
+    # Cut the lineage before iterating: every PageRank round references the
+    # edge frame several times, and an unmaterialized edge list would re-run
+    # the whole LSH pipeline per reference. localCheckpoint materializes the
+    # pair partitions on the executors — no driver round-trip, so the same
+    # plan holds when the near-dup edge list of a 100 TB corpus is billions
+    # of rows (a .collect() here would OOM the driver).
+    pairs = lsh.localCheckpoint(eager=True)
     D.release_caches()
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
