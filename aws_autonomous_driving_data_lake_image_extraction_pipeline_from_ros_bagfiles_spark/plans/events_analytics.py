@@ -264,6 +264,7 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/in"
         os.makedirs(src)
         stage = f"{work}/ev.stage"
+        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
         events.coalesce(1).write.mode("overwrite").parquet(stage)
         shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
         shutil.rmtree(stage, ignore_errors=True)
@@ -310,6 +311,7 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/in"
         os.makedirs(src)
         stage = f"{work}/ev.stage"
+        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
         events.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(f"{stage}/part-*.parquet")[0]
         now = int(time.time())
@@ -492,6 +494,7 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/in"
         os.makedirs(src)
         stage = f"{work}/ev.stage"
+        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
         events.coalesce(1).write.mode("overwrite").parquet(stage)
         shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
         shutil.rmtree(stage, ignore_errors=True)
@@ -553,6 +556,7 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/in"
         os.makedirs(src)
         stage = f"{work}/ev.stage"
+        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
         events.coalesce(1).write.mode("overwrite").parquet(stage)
         shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
         shutil.rmtree(stage, ignore_errors=True)

@@ -621,6 +621,7 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_INGEST_BATCHES):
             part = docs.filter(F.col("doc_id") % _INGEST_BATCHES == i)
             stage = f"{work}/b{i}.stage"
+            # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
             part.coalesce(1).write.mode("overwrite").parquet(stage)
             dst = f"{src}/b{i}.parquet"
             shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
@@ -1311,7 +1312,12 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole LSH pipeline per reference. localCheckpoint materializes the
     # pair partitions on the executors — no driver round-trip, so the same
     # plan holds when the near-dup edge list of a 100 TB corpus is billions
-    # of rows (a .collect() here would OOM the driver).
+    # of rows (a .collect() here would OOM the driver). Caveat (ADVICE r3):
+    # localCheckpoint blocks live only on executors — under executor loss
+    # or dynamic-allocation scale-down the truncated lineage cannot be
+    # recomputed; a long-lived cluster run should use reliable
+    # checkpoint() with spark.sparkContext.setCheckpointDir on shared
+    # storage instead. local-mode (this harness) is unaffected.
     pairs = lsh.localCheckpoint(eager=True)
     D.release_caches()
     edges = pairs.select(

@@ -258,7 +258,10 @@ def q35_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, "events")
-    schema = spark.read.parquet(src).schema  # ts arrives as bigint nanos
+    schema = spark.read.parquet(src).schema  # raw reader type for ts
+    # (ts is timestamp[us] in the driver data; nanosAsLong stays set so a
+    # nanos-written variant of the table degrades to bigint, which
+    # normalize_event_ts also handles)
     work = tempfile.mkdtemp(prefix="stream_upsert_")
     try:
         # the streaming file source wants a directory (it is the landing

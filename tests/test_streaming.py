@@ -129,3 +129,53 @@ def test_manifest_sink_replay_and_orphan_invisibility(spark, tmp_path):
     import os
 
     assert not os.path.exists(orphan.path)
+
+
+def test_q41_partials_replay_idempotent(spark, tmp_path):
+    """q41's additive partials land under batch_id= with dynamic overwrite
+    (upsert.py:87-96 pattern). foreachBatch is at-least-once: re-running
+    the SAME batch function with the SAME batch_id must overwrite that
+    batch's partition, not append a second copy — the compacted SUM is
+    unchanged. (Plain mode('append') double-counts here; VERDICT r2/r3.)"""
+    events = (
+        spark.read.option("nanosAsLong", "true")
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(200)
+        .cache()
+    )
+    state = str(tmp_path / "state")
+
+    def batch_fn(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("partial_n"))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    batch_fn(half1, 0)
+    batch_fn(half2, 1)
+
+    def compacted():
+        return {
+            r.event_type: r.n
+            for r in spark.read.parquet(state)
+            .groupBy("event_type")
+            .agg(F.sum("partial_n").alias("n"))
+            .collect()
+        }
+
+    want = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert compacted() == want
+
+    batch_fn(half2, 1)  # at-least-once replay of the same micro-batch
+    assert compacted() == want, "replayed batch_id must not double-count"
+    events.unpersist()
