@@ -1,0 +1,226 @@
+"""Model-evaluation queries (SURVEY §2 A9): VOC07 mAP@IoU-0.5.
+
+The reference evaluates every training epoch with gluoncv's
+``VOC07MApMetric(iou_thresh=0.5)`` (train_yolov3.py:110, epoch loop at
+150-180) — a driver-side accumulator. Here the same metric is a
+distributed DataFrame computation (operators/map_metric.py): greedy VOC
+matching per (image, class) via cogrouped applyInPandas, then the
+11-point-interpolated AP per class as rank/cumsum windows.
+
+The fixture detections/ground-truth derive from ``part`` with pure
+integer arithmetic, replicated verbatim in the DuckDB oracle. The
+geometry is a disjoint 1000x1000 cell grid — one GT box per cell, every
+detection confined to its own cell — so each detection overlaps at most
+ONE ground-truth box. Under that one-overlap geometry the greedy rule
+("argmax-IoU GT, claimed by the highest-confidence detection, no
+fallback") reduces exactly to a per-GT rank window, which is what makes
+the metric SQL-expressible for the oracle while the Spark side still
+runs the GENERAL greedy matcher (the multi-overlap case is pinned by
+tests/test_map_metric.py against hand-computed expectations).
+
+Fixture mix per part row p (GT box 400x400 at cell offset +100):
+  det A (p%7!=0): same-size box jittered by (p*7%200, p*13%200) — IoU
+        crosses 0.5 both ways (inter=(400-dx)(400-dy) vs 106667 cutoff);
+  det B (p%2==0): jitter up to 300 — a second, usually-weaker candidate
+        on the same GT (duplicate-detection FP when both clear 0.5);
+  det C (p%5==0): far-corner box, IoU exactly 0 — guaranteed FP;
+  no det (p%7==0 and p%2==1 and p%5!=0): missed GT — recall < 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.map_metric import (
+    voc07_average_precision,
+    voc_greedy_match,
+)
+from ..tables import load
+from .registry import register
+
+# Shared derivation constants (mirrored literally in the oracle SQL).
+_N_IMAGES = 20
+_N_CLASSES = 3
+
+_MAP_FIXTURE_CTE = f"""
+    gt AS (
+        SELECT p_partkey AS cell,
+               p_partkey % {_N_IMAGES} AS image_id,
+               CAST(p_partkey % {_N_CLASSES} AS INT) AS class_id,
+               CAST((p_partkey % 100) * 1000 + 100 AS DOUBLE) AS x1,
+               CAST((p_partkey // 100) * 1000 + 100 AS DOUBLE) AS y1,
+               CAST((p_partkey % 100) * 1000 + 500 AS DOUBLE) AS x2,
+               CAST((p_partkey // 100) * 1000 + 500 AS DOUBLE) AS y2
+        FROM part
+    ),
+    det AS (
+        SELECT cell, image_id, class_id, p_partkey * 3 AS det_id,
+               ((p_partkey * 31) % 97 + 1) / 100.0 AS conf,
+               x1 + (p_partkey * 7) % 200 AS x1,
+               y1 + (p_partkey * 13) % 200 AS y1,
+               x2 + (p_partkey * 7) % 200 AS x2,
+               y2 + (p_partkey * 13) % 200 AS y2
+        FROM gt JOIN part ON p_partkey = cell
+        WHERE p_partkey % 7 != 0
+        UNION ALL
+        SELECT cell, image_id, class_id, p_partkey * 3 + 1,
+               ((p_partkey * 41) % 97 + 1) / 100.0,
+               x1 + (p_partkey * 11) % 300,
+               y1 + (p_partkey * 17) % 300,
+               x2 + (p_partkey * 11) % 300,
+               y2 + (p_partkey * 17) % 300
+        FROM gt JOIN part ON p_partkey = cell
+        WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT cell, image_id, class_id, p_partkey * 3 + 2,
+               ((p_partkey * 59) % 97 + 1) / 100.0,
+               x1 + 500, y1 + 500, x1 + 850, y1 + 850
+        FROM gt JOIN part ON p_partkey = cell
+        WHERE p_partkey % 5 = 0
+    )
+"""
+
+# The one-overlap reduction of greedy matching (oracle only; the Spark
+# side runs the general matcher): a detection's sole candidate GT is its
+# cell's box, so TP = IoU >= 0.5 AND highest (conf, det_id) among that
+# GT's IoU >= 0.5 detections.
+_MAP_ORACLE = f"""
+    WITH {_MAP_FIXTURE_CTE},
+    scored AS (
+        -- union = 2*160000 - inter holds for the 400x400 det A/B boxes;
+        -- det C (350x350) always has inter = 0 and takes the ELSE branch
+        SELECT class_id, det_id, conf,
+               CASE WHEN inter > 0
+                    THEN inter / (160000.0 + 160000.0 - inter)
+                    ELSE 0.0 END AS iou
+        FROM (
+            SELECT d.class_id, d.det_id, d.conf,
+                   greatest(least(d.x2, g.x2) - greatest(d.x1, g.x1), 0)
+                 * greatest(least(d.y2, g.y2) - greatest(d.y1, g.y1), 0) AS inter
+            FROM det d JOIN gt g ON d.cell = g.cell
+        )
+    ),
+    matched AS (
+        SELECT class_id, det_id, conf,
+               CASE WHEN iou >= 0.5 AND row_number() OVER (
+                        PARTITION BY det_id // 3, (iou >= 0.5)
+                        ORDER BY conf DESC, det_id
+                    ) = 1
+                    THEN 1 ELSE 0 END AS tp
+        FROM scored
+    ),
+    npos AS (
+        SELECT class_id, count(*) AS n_pos FROM gt GROUP BY 1
+    ),
+    ranked AS (
+        SELECT m.class_id, n.n_pos,
+               row_number() OVER (PARTITION BY m.class_id
+                                  ORDER BY conf DESC, det_id) AS rn,
+               sum(tp) OVER (PARTITION BY m.class_id
+                             ORDER BY conf DESC, det_id
+                             ROWS UNBOUNDED PRECEDING) AS ctp
+        FROM matched m JOIN npos n USING (class_id)
+    ),
+    grid AS (SELECT i / 10.0 AS r FROM generate_series(0, 10) AS t(i)),
+    best AS (
+        SELECT class_id, r, max(ctp / rn) AS mp
+        FROM ranked JOIN grid ON ctp / n_pos >= r
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT n.class_id, n.n_pos,
+               coalesce(d.n_det, 0) AS n_det
+        FROM npos n LEFT JOIN (
+            SELECT class_id, count(*) AS n_det FROM det GROUP BY 1
+        ) d USING (class_id)
+    ),
+    ap AS (
+        SELECT s.class_id, s.n_pos, s.n_det,
+               sum(coalesce(b.mp, 0.0)) / 11.0 AS ap
+        FROM sizes s CROSS JOIN grid g
+        LEFT JOIN best b ON b.class_id = s.class_id AND b.r = g.r
+        GROUP BY 1, 2, 3
+    )
+    SELECT class_id, n_pos, n_det, round(ap, 6) AS ap FROM ap
+    UNION ALL
+    SELECT -1, CAST(sum(n_pos) AS BIGINT), CAST(sum(n_det) AS BIGINT),
+           round(avg(ap), 6)
+    FROM ap
+"""
+
+
+def _map_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Detections + GT DataFrames from ``part`` — same integer arithmetic
+    as the oracle CTE, as codegen column expressions."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    p = F.col("p_partkey")
+    gx1 = ((p % 100) * 1000 + 100).cast("double")
+    gy1 = (F.floor(p / 100) * 1000 + 100).cast("double")
+    gt = part.select(
+        p.alias("cell"),
+        (p % _N_IMAGES).alias("image_id"),
+        (p % _N_CLASSES).cast("int").alias("class_id"),
+        gx1.alias("x1"),
+        gy1.alias("y1"),
+        (gx1 + 400).alias("x2"),
+        (gy1 + 400).alias("y2"),
+    )
+
+    def jittered(mult_x: int, mult_y: int, mod: int, slot: int, conf_mult: int):
+        dx = (p * mult_x) % mod
+        dy = (p * mult_y) % mod
+        return part.select(
+            (p % _N_IMAGES).alias("image_id"),
+            (p % _N_CLASSES).cast("int").alias("class_id"),
+            (p * 3 + slot).alias("det_id"),
+            (((p * conf_mult) % 97 + 1) / 100.0).alias("conf"),
+            (gx1 + dx).alias("x1"),
+            (gy1 + dy).alias("y1"),
+            (gx1 + 400 + dx).alias("x2"),
+            (gy1 + 400 + dy).alias("y2"),
+        )
+
+    det_a = jittered(7, 13, 200, 0, 31).filter(p % 7 != 0)
+    det_b = jittered(11, 17, 300, 1, 41).filter(p % 2 == 0)
+    det_c = part.filter(p % 5 == 0).select(
+        (p % _N_IMAGES).alias("image_id"),
+        (p % _N_CLASSES).cast("int").alias("class_id"),
+        (p * 3 + 2).alias("det_id"),
+        (((p * 59) % 97 + 1) / 100.0).alias("conf"),
+        (gx1 + 500).alias("x1"),
+        (gy1 + 500).alias("y1"),
+        (gx1 + 850).alias("x2"),
+        (gy1 + 850).alias("y2"),
+    )
+    dets = det_a.unionByName(det_b).unionByName(det_c)
+    return dets, gt.drop("cell")
+
+
+# --------------------------------------------------------------------------
+# q105 — VOC07 mAP@0.5 (A9, train_yolov3.py:110): per-class 11-point AP
+# over greedy-matched detections, plus the epoch-level mAP row
+# (class_id = -1). The Spark side runs the GENERAL greedy matcher
+# (cogrouped applyInPandas); the oracle exploits the fixture's one-overlap
+# geometry to express the same matching as a rank window — value-hash
+# equality proves the general matcher agrees with the closed-form
+# reduction on this data.
+# --------------------------------------------------------------------------
+@register("q105_voc_map", oracle=_MAP_ORACLE)
+def q105_voc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dets, gt = _map_fixture(spark, sf_dir)
+    matched = voc_greedy_match(dets, gt, iou_thresh=0.5)
+    ap = voc07_average_precision(matched, gt).select(
+        "class_id", "n_pos", "n_det", "ap"
+    )
+    summary = ap.agg(
+        F.lit(-1).cast("int").alias("class_id"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_det").alias("n_det"),
+        F.avg("ap").alias("ap"),
+    )
+    return (
+        ap.unionByName(summary)
+        .withColumn("ap", F.round("ap", 6))
+        .select("class_id", "n_pos", "n_det", "ap")
+    )
