@@ -137,3 +137,40 @@ def q64_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("video_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — video render sink (K3, main.py:47-66): every frame of each clip
+# is grouped per video, ordered by frame index, and packed into ONE
+# uncompressed RIFF AVI per group on the executors (stdlib codec,
+# functions/avi.py — the png.py move applied to K3; only libx264
+# compression remains env-blocked). The container layout is fully
+# deterministic, so the oracle pins the exact byte size of each rendered
+# file; pixel-exact round-trip (write -> demux -> frames) is asserted in
+# tests/test_avi.py, NOT in this serving plan.
+# --------------------------------------------------------------------------
+@register(
+    "q106_video_render",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('0', CAST(24 AS BIGINT), CAST(4264 AS BIGINT)),
+        ('1', CAST(24 AS BIGINT), CAST(4264 AS BIGINT))
+    ) AS t("group", n_frames, avi_bytes)
+    """,
+)
+def q106_video_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.video import sample_frames
+    from ..sources.sinks import render_avi_videos
+
+    frames = sample_frames(_videos(spark), every_n=1)
+    work = tempfile.mkdtemp(prefix="avi_render_")
+    try:
+        out = render_avi_videos(
+            frames, work, fps=12, group_col="video_id", order_col="frame_idx"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
