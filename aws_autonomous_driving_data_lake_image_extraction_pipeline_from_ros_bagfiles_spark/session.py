@@ -29,8 +29,16 @@ def get_spark(app_name: str = "ros-baglake-spark", *, shuffle_partitions: int | 
     default from SPARK_GRAFT_CPUS and let AQE do the rest.
     """
     n = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # local[N] runs driver + all N executor threads in ONE JVM, so Spark's
+    # 1g default heap gives each of 32 concurrent tasks ~30 MB — the sf1.0
+    # audit OOMed a plain sort-merge join on that. Size the single JVM like
+    # the sum of the executors it stands in for (the host has 128 GiB; a
+    # real cluster sets spark.executor.memory per node instead). Only
+    # effective when this process launches the JVM — harmless afterwards.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -40,7 +48,16 @@ def get_spark(app_name: str = "ros-baglake-spark", *, shuffle_partitions: int | 
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep the AUTO broadcast threshold at Spark's conservative 10 MiB:
+        # every known-small dimension in this engine is broadcast by an
+        # explicit F.broadcast() hint (hints ignore the threshold), so a
+        # high auto threshold buys nothing — and it is a scale hazard. The
+        # sf1.0 audit caught exactly that: a 64 MiB threshold let the
+        # column-pruned lineitem scan (6M rows, ~42 MB compressed estimate
+        # for 4 of 11 columns) through as a driver broadcast build, which
+        # OOMs long before 100 TB. Compressed-bytes estimates say nothing
+        # about hashed-relation memory; only opt-in broadcasts are safe.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))

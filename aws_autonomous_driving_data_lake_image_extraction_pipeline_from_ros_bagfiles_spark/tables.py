@@ -81,6 +81,16 @@ def materialize_bucketed(
     for name, key in specs.items():
         tbl = bucketed_table_name(sf_dir, name)
         if not spark.catalog.tableExists(tbl):
+            # A fresh (in-memory) catalog + a leftover managed location from
+            # a crashed prior run makes saveAsTable fail with
+            # LOCATION_ALREADY_EXISTS; the orphan dir is not a table we can
+            # reuse (no catalog metadata), so reclaim it.
+            import shutil as _shutil
+
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            _shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
             (
                 spark.read.parquet(table_path(sf_dir, name))
                 .write.mode("overwrite")
