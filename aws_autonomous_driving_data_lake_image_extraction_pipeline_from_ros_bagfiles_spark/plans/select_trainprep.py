@@ -385,3 +385,66 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q107 — indexed RecordIO training-set sink (S11/K10 byte format,
+# im2rec.py:119-184 pack + 194-221 indexed write): the q38 manifest
+# becomes real .rec/.idx pairs per hash split (q96's reproducible
+# 60/20/20), each record = IRHeader + float32 label vector
+# [4, 5, W, H, (class_id, xmin, ymin, xmax, ymax)*] + a deterministic
+# 16-byte payload standing in for the encoded image. Every field of the
+# container is arithmetic in the fixture, so the oracle pins the EXACT
+# byte size of each .rec stream: record = 8 frame + 24 IRHeader +
+# 4*(4 + 5*n_boxes) floats + 16 payload (all 4-aligned, no padding) =
+# 64 + 20*n_boxes. Content round-trip (labels, ids, payloads, index
+# offsets) is pinned in tests/test_recordio.py, not in this plan.
+# --------------------------------------------------------------------------
+@register(
+    "q107_recordio_sink",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS nb,
+               CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10 AS b
+        FROM part)
+    SELECT CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_records,
+           CAST(sum(64 + 20 * nb) AS BIGINT) AS rec_bytes,
+           count(*) AS idx_records
+    FROM assigned GROUP BY 1
+    """,
+)
+def q107_recordio_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import write_recordio_files
+
+    m = _manifest(spark, sf_dir)
+    p = F.col("p_partkey")
+    box = lambda a: F.array(
+        a["class_id"].cast("double"),
+        F.round(a["left"] / 800, 6),
+        F.round(a["top"] / 600, 6),
+        F.round((a["left"] + a["width"]) / 800, 6),
+        F.round((a["top"] + a["height"]) / 600, 6),
+    )
+    labels = F.concat(
+        F.array(F.lit(4.0), F.lit(5.0), F.lit(800.0), F.lit(600.0)),
+        F.flatten(F.transform("annotations", box)),
+    )
+    b = (
+        F.conv(F.substring(F.md5(p.cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 10
+    )
+    packed = m.select(
+        p.alias("rec_id"),
+        labels.alias("labels"),
+        F.unhex(F.md5(p.cast("string"))).alias("payload"),
+        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias("split"),
+    )
+    work = tempfile.mkdtemp(prefix="recordio_")
+    try:
+        out = write_recordio_files(packed, work)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -142,6 +142,61 @@ def render_avi_videos(
     )
 
 
+def write_recordio_files(
+    packed: DataFrame,
+    root: str,
+    split_col: str = "split",
+    order_col: str = "rec_id",
+    label_col: str = "labels",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """K10/S11 byte-format sink: one indexed RecordIO pair
+    (``<split>.rec`` + ``<split>.idx``) per split group, records packed as
+    IRHeader + float32 label vector + payload (functions/recordio.py —
+    byte-identical to the reference's mx.recordio path, im2rec.py:194-221).
+
+    Rows may arrive in any order (parallel upstream encode); each group
+    sorts by ``order_col`` before writing — the reference's
+    reorder-after-parallel-encode ``buf[count]`` loop (W6), here for free
+    via the groupBy shuffle + an in-group sort. Returns one row per split:
+    (split, n_records, rec_bytes, idx_records)."""
+
+    def write(pdf):
+        import os
+
+        import pandas as pd
+
+        from ..functions.recordio import pack_ir, write_indexed
+
+        pdf = pdf.sort_values(order_col)
+        records = [
+            (int(rid), pack_ir([float(x) for x in labels], int(rid), bytes(pl)))
+            for rid, labels, pl in zip(
+                pdf[order_col], pdf[label_col], pdf[payload_col]
+            )
+        ]
+        rec, idx = write_indexed(records)
+        split = str(pdf[split_col].iloc[0])
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, f"{split}.rec"), "wb") as f:
+            f.write(rec)
+        with open(os.path.join(root, f"{split}.idx"), "w") as f:
+            f.write(idx)
+        return pd.DataFrame(
+            {
+                "split": [split],
+                "n_records": [len(records)],
+                "rec_bytes": [len(rec)],
+                "idx_records": [len(idx.splitlines())],
+            }
+        )
+
+    return packed.groupBy(split_col).applyInPandas(
+        write,
+        schema="split string, n_records bigint, rec_bytes bigint, idx_records bigint",
+    )
+
+
 def render_videos(*_args, **_kwargs):
     """K3 mp4 variant (ffmpeg/libx264, main.py:47-66): the compression
     codec is not present in this container. The container/grouping
