@@ -224,3 +224,72 @@ def q105_voc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ap", F.round("ap", 6))
         .select("class_id", "n_pos", "n_det", "ap")
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — per-epoch running loss means (the other half of A9,
+# train_yolov3.py:215-218 mx.metric.Loss + :274-283 epoch-end get()):
+# four loss components accumulate a RUNNING mean over the batches of each
+# epoch; the logged value at epoch end is that cumulative mean. Here the
+# accumulator is a window cumulative average ordered by batch index, and
+# the epoch-end row is selected with a reverse rank — so the query
+# computes the running mean the way the training loop does (batch by
+# batch), while the oracle pins the equivalent closed form (plain
+# per-epoch AVG, which the final running value must equal).
+# --------------------------------------------------------------------------
+@register(
+    "q108_training_loss_curve",
+    oracle="""
+    WITH batches AS (
+        SELECT event_id % 5 AS epoch,
+               round(value / 100, 9) AS obj,
+               (event_id % 97) / 97.0 AS center,
+               (event_id % 89) / 89.0 AS scale,
+               (event_id % 83) / 83.0 AS cls
+        FROM events)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           count(*) AS n_batches,
+           round(avg(obj), 6) AS obj_loss,
+           round(avg(center), 6) AS center_loss,
+           round(avg(scale), 6) AS scale_loss,
+           round(avg(cls), 6) AS cls_loss
+    FROM batches GROUP BY 1
+    """,
+)
+def q108_training_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    batches = ev.select(
+        (F.col("event_id") % 5).alias("epoch"),
+        F.floor(F.col("event_id") / 5).alias("batch_i"),
+        F.round(F.col("value") / 100, 9).alias("obj"),
+        ((F.col("event_id") % 97) / 97.0).alias("center"),
+        ((F.col("event_id") % 89) / 89.0).alias("scale"),
+        ((F.col("event_id") % 83) / 83.0).alias("cls"),
+    )
+    cum = Window.partitionBy("epoch").orderBy("batch_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = batches.select(
+        "epoch",
+        "batch_i",
+        F.avg("obj").over(cum).alias("obj_loss"),
+        F.avg("center").over(cum).alias("center_loss"),
+        F.avg("scale").over(cum).alias("scale_loss"),
+        F.avg("cls").over(cum).alias("cls_loss"),
+        F.count("*").over(cum).alias("n_batches"),
+    )
+    last = Window.partitionBy("epoch").orderBy(F.desc("batch_i"))
+    return (
+        running.withColumn("rk", F.row_number().over(last))
+        .filter(F.col("rk") == 1)
+        .select(
+            "epoch",
+            "n_batches",
+            F.round("obj_loss", 6).alias("obj_loss"),
+            F.round("center_loss", 6).alias("center_loss"),
+            F.round("scale_loss", 6).alias("scale_loss"),
+            F.round("cls_loss", 6).alias("cls_loss"),
+        )
+    )
