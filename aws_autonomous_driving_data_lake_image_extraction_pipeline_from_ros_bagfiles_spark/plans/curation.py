@@ -1,0 +1,343 @@
+"""Corpus-curation extensions (q109-q111): semantic dedup, model-based
+quality filtering, and duplicated-substring span detection.
+
+These are the three curation stages of a modern LLM data pipeline that the
+earlier tiers (exact/MinHash/SimHash dedup, heuristic quality stats) do not
+cover:
+
+- q109 SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+  embedding space coarsely, then inside each cluster drop every vector
+  that has a near-duplicate (cosine >= tau) closer to the cluster
+  centroid — keeping the most "diverse" member of each semantic
+  duplicate group.
+- q110 model-based quality filter (fastText-style): a linear classifier
+  over hashed bag-of-token features, scored entirely with built-in
+  column expressions — the shape of CCNet / DCLM quality scoring, with
+  deterministic weights so the oracle can replay it.
+- q111 duplicated-substring spans (Lee et al. 2021, "Deduplicating
+  Training Data Makes Language Models Better"): find maximal word spans
+  whose every k-gram occurs more than once in the corpus — the
+  substring-level dedup the document-level tiers cannot see.
+
+Scale notes (100 TB discipline shared by all three):
+- No all-pairs joins: q109's quadratic verify is confined to coarse
+  cluster blocks (exactly q42's blocking argument); q111 never pairs
+  documents at all — duplicated k-grams are found by a map-side-combined
+  groupBy on a 60-bit gram hash, so the shuffle carries one row per
+  distinct gram, never the corpus body.
+- Python never touches the hot path: md5 / integer arithmetic / folds /
+  windows are all JVM column expressions.
+- The only window functions partition by doc_id (bounded by document
+  length), never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import dot, norm
+from ..operators.text import ngrams_all
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q109 — SemDeDup: cluster-then-prune semantic deduplication.
+#
+# Coarse cluster = the `label` column (stands in for a trained k-means cell
+# id, the same convention as q42/q27 — in production the id comes from
+# operators/ann_ivf.py's quantizer). Within a cluster:
+#   1. centroid c = element-wise mean of member embeddings,
+#   2. every vector gets r = round(cos(v, c), 6),
+#   3. v is DROPPED iff some cluster-mate u has cos(u, v) >= TAU and u is
+#      strictly closer to "keep" by the (r ASC, vec_id ASC) order — i.e.
+#      of each semantic-duplicate group the member with the LOWEST
+#      centroid similarity survives (SemDeDup keeps edge points, pruning
+#      redundant cluster-core vectors).
+#
+# Determinism: the keep order compares ROUNDED centroid cosines (6 dp)
+# with vec_id tie-break, so engine-level float summation-order noise
+# (~1e-15) cannot flip the ordering on either side.
+# --------------------------------------------------------------------------
+Q109_TAU = 0.3
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """(label, c: array<double>) — element-wise mean embedding per cluster.
+
+    posexplode -> two-level agg: the (label, pos) partial means are
+    map-side combinable, so the shuffle carries B x d rows total — O(1)
+    in corpus size. The final array rebuild sorts by position via
+    array_sort over (pos, m) structs.
+    """
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+
+
+def _q109_oracle() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    exu AS (
+      SELECT label, vec_id,
+             unnest(list_transform(e, (x, i) -> struct_pack(x := x, i := i))) AS u
+      FROM ex
+    ),
+    dims AS (SELECT label, u.i AS i, avg(u.x) AS m FROM exu GROUP BY 1, 2),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
+    cc AS (
+      SELECT v.label, v.vec_id,
+             round(list_sum(list_transform(v.e, (x, i) -> x * c[i]))
+                   / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c, x -> x * x)))), 6) AS r
+      FROM ex v JOIN cent USING (label)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+            / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {Q109_TAU}
+    ),
+    dropped AS (
+      SELECT DISTINCT p.ib AS vec_id
+      FROM pairs p
+      JOIN cc ca ON ca.vec_id = p.ia
+      JOIN cc cb ON cb.vec_id = p.ib
+      WHERE ca.r < cb.r OR (ca.r = cb.r AND p.ia < p.ib)
+    )
+    SELECT cc.vec_id, cc.label, cc.r AS centroid_cos
+    FROM cc LEFT JOIN dropped d ON cc.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """
+
+
+@register("q109_semantic_dedup", oracle=_q109_oracle())
+def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # centroid table is B rows of d doubles — broadcast, never shuffled in
+    cent = _centroids(emb)
+    cc = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.round(
+            dot(F.col("embedding"), F.col("c"))
+            / (norm(F.col("embedding")) * norm(F.col("c"))),
+            6,
+        ).alias("r"),
+    )
+    a = cc.select(
+        F.col("vec_id").alias("ia"), "label",
+        F.col("embedding").alias("ea"), F.col("r").alias("ra"),
+    )
+    b = cc.select(
+        F.col("vec_id").alias("ib"), "label",
+        F.col("embedding").alias("eb"), F.col("r").alias("rb"),
+    )
+    # quadratic verify confined to cluster blocks (q42's blocking bound);
+    # norms are recomputed inside cosine to keep the arithmetic form
+    # byte-identical to the oracle's inline expression
+    sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    dropped = (
+        a.join(b, "label")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(sim >= Q109_TAU)
+        .filter(
+            (F.col("ra") < F.col("rb"))
+            | ((F.col("ra") == F.col("rb")) & (F.col("ia") < F.col("ib")))
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    return cc.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "label", F.col("r").alias("centroid_cos")
+    )
+
+
+# --------------------------------------------------------------------------
+# q110 — model-based quality filter: linear classifier over hashed
+# bag-of-token features (the fastText / CCNet / DCLM quality-scoring
+# shape). Feature j = md5(token) bucketed mod K; deterministic weight
+# w(j) = ((j*37 + 11) mod 201 - 100) / 100 stands in for trained
+# parameters — the MECHANISM (hash -> embed -> mean -> linear -> sigmoid)
+# is the real thing, the weights are a fixture.
+#
+# Float discipline: the per-doc weight sum is accumulated as an exact
+# BIGINT (weights x100), so score = sigmoid(sum / (5.0 * n) + 0.1) is one
+# double division from identical integer operands on both engines —
+# summation order cannot perturb it. The keep decision compares the exact
+# pre-sigmoid logit, not the rounded probability.
+#
+# Scale shape: explode -> groupBy(doc_id) with map-side partial agg — the
+# shuffle carries one partial row per doc per partition, never the token
+# stream. All expressions are codegen'd built-ins (md5, conv, pmod).
+# --------------------------------------------------------------------------
+Q110_BUCKETS = 64
+Q110_GAIN = 20.0  # logit gain: mean hashed weight in [-1,1] -> z in [-20,20]
+Q110_BIAS = 0.1
+
+
+def _wt_int(tok: Column) -> Column:
+    """Integer weight x100 in [-100, 100] for a token's hash bucket."""
+    k = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % Q110_BUCKETS
+    return (k * 37 + 11) % 201 - 100
+
+
+def _q110_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t), 1, 8))::BIGINT % {Q110_BUCKETS}) * 37 + 11)
+               % 201 - 100 AS wi
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(wi) / (5.0 * count(*)) AS z
+      FROM w GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(z + {Q110_BIAS}))), 6) AS score,
+           z + {Q110_BIAS} >= 0 AS kept
+    FROM s
+    """
+
+
+@register("q110_quality_classifier", oracle=_q110_oracle())
+def q110_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", _wt_int(F.col("t")).alias("wi"))
+    s = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("wi").alias("sw")
+    )
+    # z = GAIN * mean(w) = GAIN * (sw/100)/n = sw / (5.0 * n): one division
+    # from exact integers — bit-identical across engines
+    z = F.col("sw") / (F.lit(5.0) * F.col("n_tokens"))
+    logit = z + F.lit(Q110_BIAS)
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit >= 0).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q111 — duplicated-substring span detection (substring-level exact dedup).
+# A word position is "duplicated" when the K-gram starting there occurs
+# >= 2 times across the whole corpus (counting within-doc repeats — the
+# same contract as suffix-array substring dedup). Overlapping duplicated
+# K-gram windows merge into maximal spans (gaps-and-islands: positions
+# within K-1 of each other share an island); spans shorter than
+# MIN_SPAN_WORDS words are noise and dropped.
+#
+# Scale shape: documents are never pair-joined. Occurrence counting
+# groups on a 60-bit md5 gram hash (map-side combinable; the shuffle is
+# one row per distinct gram) and the join back to positions is linear in
+# corpus gram count. The islands window partitions by doc_id only. The
+# 60-bit hash admits ~2^-60-rate false merges at corpus scale — the
+# standard fingerprint trade, harmless for span detection (the oracle
+# groups raw gram text; equality at test scale certifies the hash is
+# collision-free there).
+# --------------------------------------------------------------------------
+Q111_K = 5
+Q111_MIN_SPAN_WORDS = 8
+
+
+def _q111_oracle() -> str:
+    k = Q111_K
+    gram = " || ' ' || ".join(["x"] + [f"w[i+{j}]" for j in range(1, k)])
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(w, (x, i) ->
+               CASE WHEN i <= len(w) - {k - 1}
+                    THEN struct_pack(pos := i, g := {gram}) END),
+               s -> s IS NOT NULL)) AS u
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, u.pos AS pos, u.g AS gram FROM g),
+    f AS (SELECT gram, count(*) AS c FROM occ GROUP BY 1),
+    dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN f USING (gram) WHERE f.c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {k - 1} THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, isl_id, min(pos) AS span_start,
+             max(pos) + {k - 1} AS span_end
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_words
+    FROM sp
+    WHERE span_end - span_start + 1 >= {Q111_MIN_SPAN_WORDS}
+    """
+
+
+@register("q111_dup_substring_spans", oracle=_q111_oracle())
+def q111_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = Q111_K
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # (doc_id, pos 1-based, gh): ngrams_all emits grams in position order,
+    # so posexplode's index IS the 0-based start position; the gram text
+    # is collapsed to a 60-bit int before any shuffle
+    occ = docs.select(
+        "doc_id", F.posexplode(ngrams_all(F.col("text"), k)).alias("p0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gh"),
+    )
+    freq = occ.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dup = occ.join(freq, "gh").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(wdoc) <= k - 1, F.lit(0)
+        ).otherwise(F.lit(1)).alias("brk"),
+    )
+    grp = isl.select(
+        "doc_id", "pos",
+        F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)).alias("isl_id"),
+    )
+    sp = grp.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    )
+    span_words = F.col("span_end") - F.col("span_start") + 1
+    return sp.filter(span_words >= Q111_MIN_SPAN_WORDS).select(
+        "doc_id", "span_start", "span_end", span_words.alias("span_words")
+    )
