@@ -448,3 +448,76 @@ def q107_recordio_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q112 — WebDataset tar-shard training-set export (functions/wds.py +
+# sinks.write_webdataset_shards): documents become <key>.txt/<key>.json
+# sample pairs in hash-assigned tar shards — the sharded-loader format
+# large-scale trainers stream. The sink writes REAL deterministic USTAR
+# archives and reports their measured byte sizes; the oracle re-derives
+# every shard's exact size from the USTAR layout arithmetic
+# (512-byte headers, 512-padded members, 1024 end blocks, 10240 blocking)
+# over octet lengths it computes from the same metadata-json expression.
+# Member content round-trips (names, bytes, order) are pinned in
+# tests/test_wds.py.
+# --------------------------------------------------------------------------
+Q112_SHARDS = 8
+
+
+@register(
+    "q112_webdataset_shards",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {Q112_SHARDS} AS shard,
+             strlen(text) AS tl,
+             strlen('{{"doc_id":' || CAST(doc_id AS VARCHAR)
+               || ',"lang":"' || lang || '","source":"' || source
+               || '","n_chars":' || CAST(n_chars AS VARCHAR) || '}}') AS jl
+      FROM documents
+    ),
+    sz AS (
+      SELECT shard,
+             512 + tl + (512 - tl % 512) % 512
+             + 512 + jl + (512 - jl % 512) % 512 AS sample_bytes
+      FROM m
+    ),
+    tot AS (
+      SELECT shard, count(*) AS n_samples,
+             sum(sample_bytes) + 1024 AS raw
+      FROM sz GROUP BY 1
+    )
+    SELECT shard, n_samples,
+           CAST(raw + (10240 - raw % 10240) % 10240 AS BIGINT) AS tar_bytes
+    FROM tot
+    """,
+)
+def q112_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import write_webdataset_shards
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = F.concat(
+        F.lit('{"doc_id":'), did.cast("string"),
+        F.lit(',"lang":"'), F.col("lang"),
+        F.lit('","source":"'), F.col("source"),
+        F.lit('","n_chars":'), F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    samples = docs.select(
+        (
+            F.conv(F.substring(F.md5(did.cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % Q112_SHARDS
+        ).alias("shard"),
+        F.concat(F.lit("sample_"), F.lpad(did.cast("string"), 9, "0")).alias("key"),
+        "text",
+        meta.alias("meta"),
+    )
+    work = tempfile.mkdtemp(prefix="wds_")
+    try:
+        out = write_webdataset_shards(samples, work)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
