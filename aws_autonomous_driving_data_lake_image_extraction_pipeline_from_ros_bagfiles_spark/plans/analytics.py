@@ -539,3 +539,72 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q114 — top-principal-component PCA via power iteration
+# (operators/pca.py): distributed exact-decimal gram matrix (one corpus
+# pass, O(d^2) result), driver-side d x d power iteration, distributed
+# projection. The oracle replays the identical arithmetic: decimal gram
+# sums are order-independent (bit-identical G on both engines), and
+# every iteration/projection fold runs left-to-right over identical
+# doubles — so the hash match needs no in-loop rounding at all. The
+# driver-side collect is the bounded d^2 = 4096-row gram, never corpus
+# rows.
+# --------------------------------------------------------------------------
+Q114_DIM = 64
+Q114_ITERS = 8
+
+
+def _q114_oracle() -> str:
+    ctes = [
+        "ex AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        """exu AS (
+          SELECT vec_id,
+                 unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
+          FROM ex)""",
+        "occ AS (SELECT vec_id, u.i AS i, u.x AS x FROM exu)",
+        """g AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(sum(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS g
+          FROM occ a JOIN occ b USING (vec_id) GROUP BY 1, 2)""",
+        "grows AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i)",
+        "v0 AS (SELECT [0.125 FOR _ IN range(64)] AS v)",
+    ]
+    prev = "v0"
+    for t in range(1, Q114_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+              SELECT gr.i AS i,
+                     list_sum(list_transform(gr.row, (gk, k) -> gk * p.v[k])) AS w
+              FROM grows gr, {prev} p)"""
+        )
+        ctes.append(f"wl{t} AS (SELECT list(w ORDER BY i) AS w FROM w{t})")
+        ctes.append(
+            f"""v{t} AS (
+              SELECT list_transform(
+                       w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+              FROM wl{t})"""
+        )
+        prev = f"v{t}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT ex.vec_id,
+           round(list_sum(list_transform(ex.e, (x, k) -> x * p.v[k])), 6) AS pc1
+    FROM ex, {prev} p
+    """
+    )
+
+
+@register("q114_pca_power_iteration", oracle=_q114_oracle())
+def q114_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import gram_matrix, power_iteration, project
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    g = gram_matrix(emb)
+    v = power_iteration(
+        [(r["i"], r["j"], r["g"]) for r in g.collect()], Q114_DIM, Q114_ITERS
+    )
+    return emb.select("vec_id", F.round(project(emb, v), 6).alias("pc1"))

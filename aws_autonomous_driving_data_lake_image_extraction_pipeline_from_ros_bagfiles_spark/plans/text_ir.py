@@ -390,3 +390,61 @@ def q96_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — positional-index phrase search: find documents containing the
+# exact phrase "<t1> <t2>" via posting-list intersection with position
+# adjacency — the inverted-index primitive under every phrase/proximity
+# query an IR engine serves (BM25 q80 ranks bags of words; this is the
+# ordered-adjacency tier).
+#
+# Scale shape: the term filter runs pipelined on the scan side of the
+# explode, so only postings of the two query terms ever reach a shuffle
+# (posting-list size, not corpus size); the self-join intersects postings
+# doc-locally on (doc_id, pos+1 = pos). No corpus-wide index build is
+# needed for a fixed query — and a full materialized positional index is
+# the same frame without the term filter, written partitioned by term
+# hash (the q89 persisted-index pattern).
+# --------------------------------------------------------------------------
+Q113_T1 = "table"
+Q113_T2 = "hash"
+
+
+@register(
+    "q113_phrase_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(w, (x, i) -> struct_pack(pos := i, t := x)),
+               s -> s.t IN ('{Q113_T1}', '{Q113_T2}'))) AS u
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, u.pos AS pos, u.t AS t FROM p),
+    m AS (
+      SELECT a.doc_id, a.pos
+      FROM occ a JOIN occ b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       AND a.t = '{Q113_T1}' AND b.t = '{Q113_T2}'
+    )
+    SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+    FROM m GROUP BY 1
+    """,
+)
+def q113_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "t")
+        )
+        .filter(F.col("t").isin(Q113_T1, Q113_T2))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "t")
+    )
+    a = occ.filter(F.col("t") == Q113_T1).select("doc_id", F.col("pos").alias("pa"))
+    b = occ.filter(F.col("t") == Q113_T2).select("doc_id", F.col("pos").alias("pb"))
+    m = a.join(b, "doc_id").filter(F.col("pb") == F.col("pa") + 1)
+    return m.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"), F.min("pa").alias("first_pos")
+    )
