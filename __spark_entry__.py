@@ -34,6 +34,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     relational,
     select_trainprep,
     sessions,
+    sketches,
     temporal,
     text_ir,
 )

@@ -1,0 +1,286 @@
+"""Mergeable-sketch operators (q115-q116): Count-Min frequency sketch and
+a Bloom-filter runtime join filter.
+
+With KMV distinct counting (q90) these complete the classic mergeable-
+sketch trio every 100 TB engine carries. Both sketches here are built
+with DETERMINISTIC md5-derived hashes, which makes them exactly
+reproducible — the DuckDB oracles rebuild the identical sketch and the
+value hash pins estimate-level equality, not just "roughly right".
+
+Mergeability is the scale story: a CMS cell count and a Bloom word are
+both plain integer aggregates (sum / bit_or), so Spark's map-side partial
+aggregation IS the sketch merge — executors build partial sketches over
+their partitions and the shuffle combines them associatively. Sketch
+size is O(w*d) / O(words), independent of corpus size, and the same
+merge works across streaming micro-batches or per-day sketch tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q115 — Count-Min Sketch over the document token stream: d=4 rows of
+# w=256 counters; point queries for a fixed probe-term set come back as
+# the min over rows, reported against the exact count. CMS guarantees
+# est >= exact (collisions only ADD); the probe table shows the
+# overestimate directly, including for a term absent from the corpus.
+#
+# Scale shape: the (row, col) cell stream explodes 4 rows per token but
+# collapses map-side to at most w*d = 1024 partials per partition before
+# the shuffle; the probe join broadcasts the 1024-row sketch.
+# --------------------------------------------------------------------------
+Q115_D = 4
+Q115_W = 256
+Q115_PROBES = ("table", "hash", "join", "scan", "window", "zzz_absent")
+
+
+def _cms_col(term: Column, row: int) -> Column:
+    """Deterministic CMS column index for (row, term)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), term)), 1, 15), 16, 10
+        ).cast("bigint")
+        % Q115_W
+    )
+
+
+def _q115_oracle() -> str:
+    probes = ", ".join(f"('{t}')" for t in Q115_PROBES)
+    rows = ", ".join(f"({r})" for r in range(Q115_D))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    rws(r) AS (VALUES {rows}),
+    cells AS (
+      SELECT r,
+             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || t), 1, 15)
+                  AS BIGINT) % {Q115_W} AS c,
+             count(*) AS cnt
+      FROM toks, rws GROUP BY 1, 2
+    ),
+    probes(term) AS (VALUES {probes}),
+    ph AS (
+      SELECT term, r,
+             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term), 1, 15)
+                  AS BIGINT) % {Q115_W} AS c
+      FROM probes, rws
+    ),
+    est AS (
+      SELECT term, min(coalesce(cnt, 0)) AS est
+      FROM ph LEFT JOIN cells USING (r, c) GROUP BY 1
+    ),
+    exact AS (
+      SELECT p.term, count(t.t) AS exact
+      FROM probes p LEFT JOIN toks t ON t.t = p.term GROUP BY 1
+    )
+    SELECT term, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+           CAST(est - exact AS BIGINT) AS overestimate
+    FROM est JOIN exact USING (term)
+    """
+
+
+@register("q115_count_min_sketch", oracle=_q115_oracle())
+def q115_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    # 4 (row, col) cells per token; map-side combine collapses to <= w*d
+    # partials per partition before any shuffle
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _cms_col(F.col("t"), r).alias("c")
+                        )
+                        for r in range(Q115_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame([(t,) for t in Q115_PROBES], "term string")
+    ph = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _cms_col(F.col("term"), r).alias("c"))
+                    for r in range(Q115_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "cell.r", "cell.c")
+    est = (
+        ph.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    exact = (
+        probes.join(toks, probes.term == toks.t, "left")
+        .groupBy("term")
+        .agg(F.count("t").alias("exact"))
+    )
+    return est.join(exact, "term").select(
+        "term",
+        F.col("est").cast("bigint").alias("est"),
+        F.col("exact").cast("bigint").alias("exact"),
+        (F.col("est") - F.col("exact")).cast("bigint").alias("overestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — Bloom-filter runtime join filter (the "runtime filter" /
+# dynamic-partition-pruning primitive): build a Bloom filter (256 x
+# 32-bit words = 8192 bits, k=3 hashes) over the DISTINCT order
+# custkeys, then probe a half-ghost key set — every EVEN customer key
+# as-is (all present in orders in this data) and every ODD key shifted
+# into an absent range — and report per-nation how many probes pass the
+# filter vs truly match vs are false positives. The filter is sized
+# small on purpose so the false-positive rate is nonzero and OBSERVABLE
+# (~8% of absent probes at this fill factor); the oracle pins the exact
+# FP set, not just the rate.
+#
+# At 100 TB this is how a big probe side avoids shuffling rows that
+# cannot match: the word table is a bounded broadcast (word count is
+# fixed regardless of build-side size), and bit_or is associative so
+# the build is one map-side-combined aggregate over the build side.
+# --------------------------------------------------------------------------
+Q116_WORDS = 256  # 32 bits each -> 8192 bits
+Q116_GHOST = 10_000_000  # offset that maps odd probe keys outside the domain
+Q116_K = 3
+
+
+def _bloom_bit(key: Column, i: int) -> Column:
+    """Deterministic bit index i of Q116_K for a bigint key."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"b{i}|"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % (Q116_WORDS * 32)
+    )
+
+
+def _q116_oracle() -> str:
+    idx = ", ".join(f"({i})" for i in range(Q116_K))
+    return f"""
+    WITH ks(i) AS (VALUES {idx}),
+    bkeys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bbits AS (
+      SELECT CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                     || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+             % {Q116_WORDS * 32} AS b
+      FROM bkeys, ks
+    ),
+    words AS (
+      SELECT b // 32 AS w, bit_or(1 << (b % 32)) AS bits
+      FROM bbits GROUP BY 1
+    ),
+    probes AS (
+      SELECT c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN c_custkey
+                  ELSE c_custkey + {Q116_GHOST} END AS pk
+      FROM customer
+    ),
+    pbits AS (
+      SELECT p.pk, p.c_nationkey,
+             CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                     || CAST(p.pk AS VARCHAR)), 1, 15) AS BIGINT)
+             % {Q116_WORDS * 32} AS b
+      FROM probes p, ks
+    ),
+    hit AS (
+      SELECT pk, c_nationkey,
+             sum(CASE WHEN coalesce(bits, 0) & (1 << (b % 32)) <> 0
+                      THEN 1 ELSE 0 END) AS nset
+      FROM pbits LEFT JOIN words ON b // 32 = w
+      GROUP BY 1, 2
+    ),
+    truth AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT c_nationkey,
+           count(*) AS n_probes,
+           CAST(sum(CASE WHEN nset = {Q116_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN nset = {Q116_K} AND t.k IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM hit LEFT JOIN truth t ON hit.pk = t.k
+    GROUP BY 1
+    """
+
+
+@register("q116_bloom_join_filter", oracle=_q116_oracle())
+def q116_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    bkeys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bbits = bkeys.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col("k"), i) for i in range(Q116_K)])
+        ).alias("b")
+    )
+    # shiftleft's numBits arg must be a literal in the Python API; the
+    # column-operand form is the SQL expression
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+    words = (
+        bbits.select((F.col("b") / 32).cast("bigint").alias("w"), mask.alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probes = cust.select(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey"))
+        .otherwise(F.col("c_custkey") + Q116_GHOST)
+        .alias("pk"),
+    )
+    pbits = probes.select(
+        "pk",
+        "c_nationkey",
+        F.explode(
+            F.array(*[_bloom_bit(F.col("pk"), i) for i in range(Q116_K)])
+        ).alias("b"),
+    )
+    hit = (
+        pbits.withColumn("w", (F.col("b") / 32).cast("bigint"))
+        .join(F.broadcast(words), "w", "left")
+        .withColumn(
+            "set1",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+                )
+                != 0,
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("pk", "c_nationkey")
+        .agg(F.sum("set1").alias("nset"))
+    )
+    truth = orders.select(F.col("o_custkey").alias("k")).distinct()
+    joined = hit.join(truth, hit.pk == truth.k, "left")
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("nset") == Q116_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when((F.col("nset") == Q116_K) & F.col("k").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )

@@ -1,0 +1,67 @@
+"""Sketch-property pins for q115 (Count-Min) and q116 (Bloom filter).
+
+The registry oracles hash-check exact sketch contents at sf0.01; these
+tests pin the two STRUCTURAL guarantees on hand fixtures: CMS never
+underestimates, and a Bloom filter never produces a false negative.
+"""
+
+import pytest
+
+
+def _route(spark, tables):
+    """monkeypatch-able load(): route table name -> fixture DataFrame."""
+    return lambda _s, _d, name: tables[name]
+
+
+def test_cms_never_underestimates(spark, monkeypatch):
+    import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches as S
+
+    docs = spark.createDataFrame(
+        [(1, "table table hash join"), (2, "table scan window scan")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(S, "load", _route(spark, {"documents": docs}))
+    rows = {r["term"]: r for r in S.q115_count_min_sketch(spark, "x").collect()}
+    assert rows["table"]["exact"] == 3
+    assert rows["scan"]["exact"] == 2
+    assert rows["zzz_absent"]["exact"] == 0
+    for r in rows.values():
+        assert r["est"] >= r["exact"]  # CMS structural guarantee
+        assert r["overestimate"] == r["est"] - r["exact"]
+
+
+def test_bloom_no_false_negatives(spark, monkeypatch):
+    import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches as S
+
+    # every even custkey has orders; odd keys probe as ghosts
+    orders = spark.createDataFrame(
+        [(k,) for k in range(0, 200, 2)], "o_custkey long"
+    )
+    cust = spark.createDataFrame(
+        [(k, k % 5) for k in range(200)], "c_custkey long, c_nationkey int"
+    )
+    monkeypatch.setattr(S, "load", _route(spark, {"orders": orders, "customer": cust}))
+    out = S.q116_bloom_join_filter(spark, "x").collect()
+    assert sum(r["n_probes"] for r in out) == 200
+    for r in out:
+        # no false negatives: every true member passes the filter
+        assert r["n_bloom_pass"] >= r["n_true"]
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true"]
+    # all even probes are true members (ghost-shifted odds are not)
+    assert sum(r["n_true"] for r in out) == 100
+
+
+def test_bloom_bit_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches import (
+        Q116_WORDS,
+        _bloom_bit,
+    )
+
+    df = spark.createDataFrame([(42,), (42,), (7,)], "k long")
+    bits = [
+        r["b"] for r in df.select(_bloom_bit(F.col("k"), 0).alias("b")).collect()
+    ]
+    assert bits[0] == bits[1]
+    assert 0 <= bits[0] < Q116_WORDS * 32
