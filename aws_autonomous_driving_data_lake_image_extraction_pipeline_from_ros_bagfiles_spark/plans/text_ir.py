@@ -448,3 +448,99 @@ def q113_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("doc_id").agg(
         F.count("*").alias("n_matches"), F.min("pa").alias("first_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — two-stage retrieval: BM25 candidate generation -> model rerank.
+# The canonical serving architecture of every modern search/RAG stack:
+# a cheap sparse scorer over the whole corpus produces a small candidate
+# set, then an expensive model rescores ONLY the candidates. Stage 1 is
+# q80's BM25 (top-20, rounded-score + doc_id tie-break so the candidate
+# set is engine-stable); stage 2 re-scores candidates with the q110
+# hashed-feature linear model (the cross-encoder stand-in — the exact-
+# integer logit makes it oracle-reproducible) blended with the BM25
+# prior, and returns the top-5.
+#
+# Scale shape: stage 2's token explode runs AFTER the candidate
+# semi-join, so the expensive model touches 20 documents regardless of
+# corpus size — the whole point of the two-stage shape. Stage 1's only
+# wide exchange remains the map-side-combined (doc, term) tf groupBy.
+# --------------------------------------------------------------------------
+Q117_CANDIDATES = 20
+Q117_TOPK = 5
+Q117_BM25_WEIGHT = 0.1
+
+
+def _q117_oracle() -> str:
+    from .curation import Q110_BIAS, Q110_BUCKETS
+
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    qtok AS (SELECT * FROM tok WHERE t IN ({_Q80_TERMS_SQL})),
+    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+    tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+           FROM qtok GROUP BY 1, 2),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * ({Q80_K1} + 1)
+                   / (tf.tf + {Q80_K1} * (1 - {Q80_B}
+                      + {Q80_B} * tf.dl / corpus.avgdl))), 6) AS bm25
+        FROM tf JOIN dft USING (t) CROSS JOIN corpus
+        GROUP BY 1),
+    cand AS (
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT {Q117_CANDIDATES}),
+    ctok AS (
+        SELECT d.doc_id, unnest(string_split(doc.text, ' ')) AS t
+        FROM cand d JOIN documents doc USING (doc_id)),
+    wi AS (
+        SELECT doc_id,
+               ((('0x' || substr(md5(t), 1, 8))::BIGINT % {Q110_BUCKETS}) * 37 + 11)
+                 % 201 - 100 AS wi
+        FROM ctok),
+    z AS (SELECT doc_id, sum(wi) / (5.0 * count(*)) AS z FROM wi GROUP BY 1),
+    final AS (
+        SELECT c.doc_id, c.bm25,
+               round(z.z + {Q110_BIAS} + {Q117_BM25_WEIGHT} * c.bm25, 6)
+                 AS rerank_score
+        FROM cand c JOIN z USING (doc_id))
+    SELECT doc_id, bm25, rerank_score,
+           CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS BIGINT)
+             AS rk
+    FROM final
+    ORDER BY rerank_score DESC, doc_id LIMIT {Q117_TOPK}
+    """
+
+
+@register("q117_retrieve_rerank", oracle=_q117_oracle())
+def q117_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import Q110_BIAS, _wt_int
+
+    cand = q80_bm25(spark, sf_dir).limit(Q117_CANDIDATES)
+    docs = load(spark, sf_dir, "documents")
+    ctok = cand.join(docs, "doc_id").select(
+        "doc_id", "bm25", F.explode(F.split("text", " ")).alias("t")
+    )
+    z = (
+        ctok.select("doc_id", "bm25", _wt_int(F.col("t")).alias("wi"))
+        .groupBy("doc_id", "bm25")
+        .agg((F.sum("wi") / (F.lit(5.0) * F.count("*"))).alias("z"))
+    )
+    final = z.select(
+        "doc_id",
+        "bm25",
+        F.round(
+            F.col("z") + F.lit(Q110_BIAS) + F.lit(Q117_BM25_WEIGHT) * F.col("bm25"), 6
+        ).alias("rerank_score"),
+    )
+    # unpartitioned window is safe here: it ranks the bounded candidate
+    # set (<= Q117_CANDIDATES rows), never corpus rows
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        final.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        .limit(Q117_TOPK)
+    )

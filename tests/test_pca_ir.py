@@ -51,3 +51,22 @@ def test_phrase_search_adjacency(spark, monkeypatch, tmp_path):
     rows = {r["doc_id"]: r for r in TI.q113_phrase_search(spark, "x").collect()}
     assert set(rows) == {1}
     assert rows[1]["n_matches"] == 2 and rows[1]["first_pos"] == 1
+
+
+def test_retrieve_rerank_two_stage(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.text_ir import (
+        Q117_TOPK,
+        q80_bm25,
+        q117_retrieve_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q117_retrieve_rerank(spark, sf).collect()
+    assert len(out) <= Q117_TOPK
+    # top-5 is drawn from the BM25 candidate set (stage-2 never widens)
+    cands = {r["doc_id"] for r in q80_bm25(spark, sf).collect()}
+    assert {r["doc_id"] for r in out} <= cands
+    # rank column is 1..n in rerank-score order
+    scores = [r["rerank_score"] for r in out]
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+    assert scores == sorted(scores, reverse=True)
