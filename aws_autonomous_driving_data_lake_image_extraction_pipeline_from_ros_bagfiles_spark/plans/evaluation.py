@@ -293,3 +293,81 @@ def q108_training_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cls_loss", 6).alias("cls_loss"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q124 — classifier calibration (reliability table / ECE inputs): bin the
+# q110 quality-classifier scores into 10 equal-width confidence bins and
+# report, per bin, the count, mean predicted confidence, and observed
+# positive rate against a deterministic proxy label (n_chars >= 300 — a
+# fixture label, like q110's fixture weights; the MECHANISM is the real
+# reliability-diagram computation). |conf - acc| per bin, doc-weighted, is
+# the ECE a model-based curation gate reports before trusting a filter.
+#
+# Float discipline: the bin id comes from the ROUNDED 6-decimal score
+# (bit-identical across engines per q110's integer-logit construction),
+# so bin membership cannot straddle engines; per-bin averages are rounded
+# to 6 well above the 1e-15 summation-order noise.
+#
+# Scale shape: one explode -> groupBy(doc) (q110's shape) then a 10-key
+# groupBy — both map-side combinable; output is <= 10 rows.
+# --------------------------------------------------------------------------
+Q124_BINS = 10
+Q124_LABEL_MIN_CHARS = 300
+
+
+def _q124_oracle() -> str:
+    from .curation import Q110_BIAS, Q110_BUCKETS
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t), 1, 8))::BIGINT % {Q110_BUCKETS}) * 37 + 11)
+               % 201 - 100 AS wi
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(sum(wi) / (5.0 * count(*))
+                                      + {Q110_BIAS}))), 6) AS score
+      FROM w GROUP BY 1
+    ),
+    lab AS (
+      SELECT s.doc_id, s.score,
+             CASE WHEN d.n_chars >= {Q124_LABEL_MIN_CHARS} THEN 1 ELSE 0 END AS y
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(least(floor(score * {Q124_BINS}), {Q124_BINS - 1}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS avg_conf,
+           round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+    FROM lab GROUP BY 1
+    ORDER BY bin
+    """
+
+
+@register("q124_calibration_bins", oracle=_q124_oracle())
+def q124_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import q110_quality_classifier
+
+    scores = q110_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") >= Q124_LABEL_MIN_CHARS).cast("int").alias("y"),
+    )
+    lab = scores.join(docs, "doc_id")
+    bin_col = F.least(
+        F.floor(F.col("score") * Q124_BINS), F.lit(Q124_BINS - 1)
+    ).cast("bigint")
+    return (
+        lab.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_conf"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

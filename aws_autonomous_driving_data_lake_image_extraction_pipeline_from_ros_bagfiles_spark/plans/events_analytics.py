@@ -633,3 +633,63 @@ def q102_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("robust_z", F.round("robust_z", 6))
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — per-group OLS trend: for every event_type, the least-squares
+# slope/intercept of daily total value against the day index. The trend
+# line every monitoring dashboard fits, expressed as pure aggregates:
+# slope = covar_pop(x, y) / var_pop(x), intercept = avg(y) - slope*avg(x).
+#
+# Numerical discipline: x is the day offset from a FIXED origin
+# (2023-01-01), not the epoch — centering keeps |x| small (~1e2) so the
+# one-pass co-moment accumulation both engines use (Spark covar_pop /
+# var_pop, DuckDB regr_slope / regr_intercept) agrees to well inside the
+# 6-decimal rounding; raw epoch-day x (~2e4) would put catastrophic
+# cancellation at the rounding boundary. The intercept is therefore "fitted
+# daily total at 2023-01-01" on both sides.
+#
+# Scale shape: two map-side-combinable aggregates (day grain, then
+# event_type grain) — the second input is |types| x |days| rows, tiny at
+# any corpus size. No window, no join.
+# --------------------------------------------------------------------------
+Q120_ORIGIN = "2023-01-01"
+
+
+@register(
+    "q120_ols_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '{Q120_ORIGIN}', CAST(ts AS DATE)) AS x,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept
+    FROM daily GROUP BY 1
+    """,
+)
+def q120_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(Q120_ORIGIN).cast("date"))
+        .cast("double")
+        .alias("x"),
+    ).agg(F.sum("value").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    slope = F.col("cxy") / F.col("vx")
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+    )

@@ -546,3 +546,160 @@ def q104_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q121 — TPC-H Q18 shape (large-volume customers): orders whose total
+# lineitem quantity exceeds a threshold, joined back to orders + customer,
+# top 100 by order value. Exercises aggregate-as-filter (HAVING) feeding a
+# multi-way join.
+#
+# Scale shape: the lineitem aggregate groups on l_orderkey (map-side
+# combinable, bucketed layout makes it exchange-free in the bench); the
+# HAVING survivor set is a tiny fraction of orders, so AQE converts the
+# join back to orders into a broadcast at runtime — the orders/customer
+# join stays a co-partitioned key join. Top-100 is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+Q121_MIN_QTY = 200
+Q121_TOPK = 100
+
+
+@register(
+    "q121_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {Q121_MIN_QTY})
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice, round(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {Q121_TOPK}
+    """,
+)
+def q121_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q121_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(Q121_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q122 — TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+# join customer <- (filtered) orders, count per customer INCLUDING the
+# zero-order customers, then the distribution of those counts. Exercises
+# outer-join null-preservation feeding a double aggregation.
+#
+# Scale shape: both aggregates are map-side combinable; the outer join is
+# a key join on custkey (co-partitioned under the bucketed layout). The
+# final distribution is |distinct counts| rows — tiny at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "q122_custdist",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q122_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q123 — blocked fuzzy record linkage: near-duplicate customer names by
+# edit distance within nation blocks — the classic entity-resolution
+# recipe (block on a cheap exact key, run the expensive pairwise metric
+# only inside blocks). Returns per-nation candidate-pair counts.
+#
+# Scale shape: the self-join keys on c_nationkey, so candidate generation
+# is quadratic ONLY within a block, never across the corpus — the same
+# bound the LSH band join (dedup.py) enforces for text. A skewed block
+# (one giant nation) is the known failure mode; the mitigation is the
+# salted/blocked pattern proven in dedup.py::salted_band_pairs. levenshtein
+# is a codegen'd JVM built-in on Spark and a native function in DuckDB —
+# identical standard edit-distance semantics.
+# --------------------------------------------------------------------------
+Q123_MAX_DIST = 1
+
+
+@register(
+    "q123_fuzzy_linkage",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.c_nationkey AS nationkey
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {Q123_MAX_DIST})
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs JOIN nation n ON pairs.nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY n_pairs DESC, nation
+    """,
+)
+def q123_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+    )
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    pairs = (
+        a.join(b, "nationkey")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= Q123_MAX_DIST)
+    )
+    return (
+        pairs.join(nat, pairs.nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("nation"))
+    )

@@ -544,3 +544,144 @@ def q117_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
         .limit(Q117_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — BPE merge-candidate counting (one tokenizer-training iteration).
+# A BPE trainer repeatedly merges the most frequent adjacent symbol pair;
+# this query produces the top-20 candidate merges of the first round over
+# the corpus, with characters as the initial symbol alphabet.
+#
+# Scale shape (the fast-BPE trick): the corpus token stream is FIRST
+# compacted to a word-frequency vocabulary (groupBy word — map-side
+# combinable, one shuffled row per distinct word), and the quadratic-ish
+# pair explode runs over |vocab| rows weighted by count, never over the
+# raw token stream — at 100 TB the vocabulary is millions of rows while
+# the stream is trillions. The pair aggregate keys on 2-char strings
+# (tiny domain, map-side combinable); top-k is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+Q118_TOPK = 20
+
+
+@register(
+    "q118_bpe_pairs",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    v AS (SELECT word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1),
+    p AS (SELECT substr(word, i, 2) AS pair, c
+          FROM v, unnest(range(1, length(word))) AS r(i)
+          WHERE length(word) >= 2)
+    SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+    FROM p GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT {Q118_TOPK}
+    """,
+)
+def q118_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    # sequence(1, length-1) under a length>=2 guard (sequence() would run
+    # DESCENDING for a 1-char word — the guard is semantic, not cosmetic)
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(Q118_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — interpolated bigram language-model scoring (perplexity filtering,
+# the quality gate CCNet/RefinedWeb run with a KenLM model): score every
+# document by its average bigram log-probability under the corpus's own
+# MLE bigram model, interpolated with the unigram model
+# (p = LAMBDA * cb(w1,w2)/cu(w1) + (1-LAMBDA) * cu(w2)/T), and return the
+# 20 WORST-scoring documents — the ones a perplexity filter would drop.
+#
+# Scale shape: the unigram and bigram count tables are groupBy aggregates
+# on the token / token-pair key (map-side combinable; one shuffled row
+# per distinct gram). The per-doc bigram stream joins those tables on
+# their keys — plain shuffle joins that AQE turns into broadcasts while
+# the model tables are small and keeps as co-partitioned shuffle joins at
+# 100 TB vocabulary scale. The lead() window partitions by doc_id only.
+# --------------------------------------------------------------------------
+Q119_LAMBDA = 0.7
+Q119_TOPK = 20
+
+
+@register(
+    "q119_bigram_lm",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos
+            FROM d),
+    bg AS (SELECT doc_id, t AS w1,
+                  lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM tok),
+    bgf AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+    uni AS (SELECT t AS w, count(*) AS cu FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n_tok FROM tok),
+    big AS (SELECT w1, w2, count(*) AS cb FROM bgf GROUP BY 1, 2),
+    sc AS (
+      SELECT b.doc_id,
+             ln({Q119_LAMBDA} * big.cb / u1.cu
+                + {1.0 - Q119_LAMBDA} * u2.cu / tot.n_tok) AS lp
+      FROM bgf b
+      JOIN big USING (w1, w2)
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM sc GROUP BY 1
+    ORDER BY avg_logprob, doc_id
+    LIMIT {Q119_TOPK}
+    """,
+)
+def q119_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgf = (
+        tok.select("doc_id", F.col("t").alias("w1"), F.lead("t").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = tok.groupBy(F.col("t").alias("w")).agg(F.count("*").alias("cu"))
+    tot = tok.agg(F.count("*").alias("n_tok"))
+    big = bgf.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lp = F.log(
+        F.lit(Q119_LAMBDA) * F.col("cb") / F.col("cu1")
+        + F.lit(1.0 - Q119_LAMBDA) * F.col("cu2") / F.col("n_tok")
+    )
+    scored = (
+        bgf.join(big, ["w1", "w2"])
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy(F.asc("avg_logprob"), F.asc("doc_id")).limit(Q119_TOPK)

@@ -149,3 +149,58 @@ def test_q104_snowflake_pushdown_and_broadcasts(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q118_bpe_explodes_vocab_not_stream(spark):
+    # the pair explode must sit ABOVE the word-frequency aggregate (fast-BPE
+    # compaction): generator input carries the aggregated count column, and
+    # top-k is a heap, not a global sort
+    plan = _plan(spark, "q118_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+    gen = plan.split("Generate explode")[1].splitlines()[0]
+    assert "c#" in gen  # explode consumes (word, c) vocab rows
+    assert "CartesianProduct" not in plan
+
+
+def test_q119_bigram_lm_windows_partitioned(spark):
+    # the lead() window partitions by doc_id (no global funnel) and the
+    # final 20-worst is a heap
+    plan = _plan(spark, "q119_bigram_lm")
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "doc_id" in line
+    assert "CartesianProduct" not in plan
+
+
+def test_q120_ols_is_two_aggregates_no_join(spark):
+    plan = _plan(spark, "q120_ols_trend")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2  # day grain + type grain
+
+
+def test_q121_q18_having_feeds_joins(spark):
+    # the HAVING survivor set joins orders without a cartesian; top-100 is
+    # a heap not a global sort
+    plan = _plan(spark, "q121_tpch_q18")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q122_custdist_outer_join_preserved(spark):
+    plan = _plan(spark, "q122_custdist")
+    assert "LeftOuter" in plan
+    # the priority filter must be pushed to the orders scan, not evaluated
+    # post-join (it is a non-null-producing side filter)
+    assert "1-URGENT" in plan.split("PushedFilters")[1].splitlines()[0] or (
+        "Not(EqualTo(o_orderpriority" in plan
+    )
+
+
+def test_q123_linkage_blocked_join(spark):
+    # candidate generation must key on the nation block (a real equi-join),
+    # never a cartesian with a residual levenshtein filter
+    plan = _plan(spark, "q123_fuzzy_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
