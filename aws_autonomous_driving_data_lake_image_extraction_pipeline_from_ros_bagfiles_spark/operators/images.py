@@ -169,3 +169,56 @@ def encode_frames_png(decoded: DataFrame, level: int = 6) -> DataFrame:
             "img_width int, img_height int, png binary"
         ),
     )
+
+
+def dhash_pixels(buf: bytes, w: int, h: int, grid: int = 8) -> int:
+    """64-bit perceptual difference hash of an RGB pixel buffer.
+
+    Grayscale (channel mean) -> block-mean downsample to grid x (grid+1)
+    -> one bit per horizontally adjacent cell comparison. Monotone
+    per-pixel intensity changes (brightness shift, contrast stretch)
+    preserve every comparison, so the hash is invariant to them — the
+    property that makes exact-groupBy on the hash a NEAR-duplicate
+    detector. Returned as a signed 64-bit int (bigint-safe).
+    """
+    gray = (
+        np.frombuffer(buf, dtype=np.uint8)[: w * h * 3]
+        .reshape(h, w, 3)
+        .astype(np.float64)
+        .mean(axis=2)
+    )
+    bits = 0
+    cells = np.empty((grid, grid + 1))
+    for yy in range(grid):
+        r0, r1 = (yy * h) // grid, ((yy + 1) * h) // grid
+        for xx in range(grid + 1):
+            c0, c1 = (xx * w) // (grid + 1), ((xx + 1) * w) // (grid + 1)
+            cells[yy, xx] = gray[r0:r1, c0:c1].mean()
+    for yy in range(grid):
+        for xx in range(grid):
+            if cells[yy, xx + 1] > cells[yy, xx]:
+                bits |= 1 << (yy * grid + xx)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def dhash_frames(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Decoded frames -> (bag, topic, seq, dhash): the image-dedup key.
+
+    Arrow-batched; only the 8-byte hash leaves the Python worker — the
+    pixel buffers never shuffle. Downstream exact/near dedup is a plain
+    groupBy on the hash (the image analogue of the text pipeline's
+    md5-fingerprint dedup in operators/dedup.py).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["bag", "topic", "seq"]].copy()
+            out["dhash"] = [
+                dhash_pixels(bytes(p), w, h, grid)
+                for p, w, h in zip(pdf["pixels"], pdf["img_width"], pdf["img_height"])
+            ]
+            yield out
+
+    return decoded.mapInPandas(
+        run, schema="bag string, topic string, seq bigint, dhash bigint"
+    )

@@ -174,3 +174,80 @@ def q106_video_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _dhash_images(spark: SparkSession) -> DataFrame:
+    """12 deterministic 32x24 rgb8 frames in 4 content groups: seq 3p is a
+    diagonal stripe pattern (period p+4, slope p+1), seq 3p+1 the same
+    pattern brightness-shifted by +20 (a NEAR duplicate — same structure,
+    different pixels), and seq 3p+2 a structurally different pattern
+    (orientation/slope changed)."""
+    import datetime
+
+    rows = []
+    ts = datetime.datetime(2023, 1, 1)
+    for p in range(4):
+        h, w = 24, 32
+        y, x, _ = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        period = p + 4
+        base = np.where((x + y * (p + 1)) % period < period // 2, 200, 40)
+        variants = [
+            base.astype(np.uint8),
+            (base + 20).astype(np.uint8),
+            np.where(
+                (y + x * (p + 2)) % period < period // 2, 180, 60
+            ).astype(np.uint8),
+        ]
+        for v, img in enumerate(variants):
+            rows.append(
+                ("fix.bag", "/camera/image_raw", ts, 3 * p + v, "rgb8", w, h,
+                 bytearray(img.tobytes()))
+            )
+    return spark.createDataFrame(
+        rows,
+        "bag string, topic string, ts timestamp, seq bigint, "
+        "img_encoding string, img_width int, img_height int, img_data binary",
+    ).coalesce(2)  # 12-frame fixture: don't fan 32 python workers for it
+
+
+# --------------------------------------------------------------------------
+# q125 — perceptual-hash image near-dedup: decode -> 64-bit dHash
+# (block-mean difference hash, brightness/contrast-invariant) -> exact
+# groupBy on the hash -> groups with >= 2 members are near-duplicate
+# image clusters. The image analogue of the text tier's fingerprint
+# dedup: the expensive pixel work stays in one Arrow pass, the shuffle
+# carries only (8-byte hash, id), and dedup is a map-side-combinable
+# aggregate — no pairwise image comparison anywhere, at any corpus size.
+# The fixture is deterministic, so the oracle pins the exact hash values
+# and group memberships end-to-end (the q63/q64 constant-oracle pattern);
+# the brightness-shifted variants MUST collide and the structurally
+# different ones MUST NOT.
+# --------------------------------------------------------------------------
+@register(
+    "q125_image_dhash_dedup",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(-6172933524898338134 AS BIGINT), CAST(2 AS BIGINT), '9,10'),
+        (CAST(-5957508786450944686 AS BIGINT), CAST(2 AS BIGINT), '6,7'),
+        (CAST(3257318913330139723 AS BIGINT), CAST(2 AS BIGINT), '0,1'),
+        (CAST(5425760247342648364 AS BIGINT), CAST(2 AS BIGINT), '3,4')
+    ) AS t(dhash, n_frames, members)
+    """,
+)
+def q125_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import decode_frames, dhash_frames
+
+    hashed = dhash_frames(decode_frames(_dhash_images(spark)))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.array_join(F.array_sort(F.collect_list("seq")), ",").alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_frames") >= 2)
+        .orderBy("dhash")
+    )

@@ -123,3 +123,35 @@ def test_stub_contracts():
         decode_compressed_stub()
     with pytest.raises(NotImplementedError):
         decode_mp4_stub()
+
+
+def test_dhash_brightness_invariant_and_structure_sensitive():
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.images import (
+        dhash_pixels,
+    )
+
+    h, w = 24, 32
+    y, x, _ = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    base = np.where((x + y) % 4 < 2, 200, 40).astype(np.uint8)
+    shifted = (base + 30).astype(np.uint8)          # brightness shift
+    stretched = (base // 2 + 100).astype(np.uint8)  # contrast compress
+    other = np.where((y + x * 2) % 4 < 2, 200, 40).astype(np.uint8)
+    hb = dhash_pixels(base.tobytes(), w, h)
+    assert hb == dhash_pixels(shifted.tobytes(), w, h)
+    assert hb == dhash_pixels(stretched.tobytes(), w, h)
+    assert hb != dhash_pixels(other.tobytes(), w, h)
+    # signed-bigint range
+    assert -(1 << 63) <= hb < (1 << 63)
+
+
+def test_q125_groups_pair_brightness_variants(spark):
+    import __spark_entry__ as se
+
+    out = se.queries()["q125_image_dhash_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    members = sorted(r.members for r in out)
+    assert members == ["0,1", "3,4", "6,7", "9,10"]
+    assert all(r.n_frames == 2 for r in out)
