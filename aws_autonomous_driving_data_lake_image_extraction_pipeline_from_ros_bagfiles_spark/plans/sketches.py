@@ -284,3 +284,86 @@ def q116_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# q126 — mergeable histogram quantile sketch: fixed-width value bins over
+# l_extendedprice, quantiles read off the cumulative bin counts with
+# linear interpolation inside the containing bin. The fourth classic
+# mergeable summary next to CMS (q115), Bloom (q116), and KMV (q90):
+# bin counts are plain integer sums, so map-side partial aggregation IS
+# the sketch merge, size is O(value_range / W) regardless of row count,
+# and the same merge combines per-day or per-stream sketch tables.
+#
+# Unlike percentile_approx, the fixed-bin read-off is fully deterministic
+# (integer counts + one double interpolation from identical operands), so
+# the oracle pins estimate-level equality. Error is bounded by the bin
+# width W; that bound against the EXACT percentile is asserted in
+# tests/test_sketches.py — not recomputed inside the serving plan (the
+# q103 lesson: exactness proofs live in tests, serving plans serve).
+#
+# The cumulative window runs over the BOUNDED histogram (|bins| rows,
+# O(range/W) — ~100 here), never over data rows.
+# --------------------------------------------------------------------------
+Q126_W = 1000.0
+Q126_PS = (0.25, 0.5, 0.9, 0.99)
+
+_Q126_PS_SQL = ", ".join(f"({p})" for p in Q126_PS)
+
+
+@register(
+    "q126_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(floor(l_extendedprice / {Q126_W}) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS c_prev
+      FROM hist),
+    tot AS (SELECT count(*) AS n FROM lineitem),
+    probes AS (SELECT CAST(p AS DOUBLE) AS p
+               FROM (VALUES {_Q126_PS_SQL}) AS t(p))
+    SELECT p,
+           round(bin * {Q126_W}
+                 + (p * tot.n - c_prev) / cnt * {Q126_W}, 6) AS est
+    FROM probes CROSS JOIN tot JOIN cum
+      ON cum.c >= p * tot.n AND cum.c_prev < p * tot.n
+    ORDER BY p
+    """,
+)
+def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.floor(F.col("l_extendedprice") / Q126_W).cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("c_prev"),
+    )
+    tot = li.agg(F.count("*").alias("n"))
+    probes = F.broadcast(
+        load(spark, sf_dir, "lineitem")
+        .sparkSession.createDataFrame([(p,) for p in Q126_PS], "p double")
+    )
+    t = F.col("p") * F.col("n")
+    return (
+        probes.crossJoin(F.broadcast(tot))
+        .join(cum, (F.col("c") >= t) & (F.col("c_prev") < t))
+        .select(
+            "p",
+            F.round(
+                F.col("bin") * Q126_W
+                + (t - F.col("c_prev")) / F.col("cnt") * Q126_W,
+                6,
+            ).alias("est"),
+        )
+        .orderBy("p")
+    )

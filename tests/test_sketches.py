@@ -65,3 +65,46 @@ def test_bloom_bit_determinism(spark):
     ]
     assert bits[0] == bits[1]
     assert 0 <= bits[0] < Q116_WORDS * 32
+
+
+def test_q126_sketch_within_bin_width_of_exact(spark):
+    # the histogram read-off must land within one bin width of the exact
+    # interpolated percentile (the sketch's error bound) — asserted here,
+    # NOT inside the serving plan
+    import __spark_entry__ as se
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches import (
+        Q126_PS,
+        Q126_W,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.p: r.est
+        for r in se.queries()["q126_histogram_quantiles"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"p{i}")
+            for i, p in enumerate(Q126_PS)
+        ]
+    ).collect()[0]
+    for i, p in enumerate(Q126_PS):
+        assert abs(est[p] - exact[f"p{i}"]) <= Q126_W
+
+
+def test_q126_cumulative_window_is_bounded(spark):
+    # the unpartitioned window must consume the HISTOGRAM (one row per
+    # bin), never raw lineitem rows: its input aggregate keys on `bin`
+    import __spark_entry__ as se
+
+    df = se.queries()["q126_histogram_quantiles"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    win_input = plan.split("Window [")[-1]
+    # between the window and the scan sits the bin aggregate (with a
+    # map-side partial), so the window sorts histogram rows, not data rows
+    assert "HashAggregate" in win_input.split("FileScan")[0]
+    assert "partial_count" in win_input.split("FileScan")[0]
