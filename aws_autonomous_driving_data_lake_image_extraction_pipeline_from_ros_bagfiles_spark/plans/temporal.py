@@ -144,3 +144,60 @@ def q67_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("click_id").alias("n_clicks"),
         F.countDistinct("error_id").alias("n_errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# q127 — trajectory simplification (Ramer-Douglas-Peucker) per track:
+# the GPS/odometry polyline reduction an AD data lake runs on every
+# drive before map display / route clustering. RDP is sequential WITHIN
+# a track and embarrassingly parallel ACROSS tracks, so it runs as one
+# applyInPandas group per track (operators/trajectory.py) — the shuffle
+# carries each track once, no cross-track movement, which is the whole
+# scale story (a 100 TB trace corpus is millions of independent tracks).
+#
+# The fixture is deterministic (a spiked straight line and a sampled
+# sine), so the oracle pins the exact kept-point index sets — keep/drop
+# decisions, not just counts. Reduction-quality properties (every
+# dropped point within eps of the simplified polyline) are asserted in
+# tests/test_trajectory.py.
+# --------------------------------------------------------------------------
+Q127_EPS = 1.0
+
+
+def _trajectories(spark: SparkSession) -> DataFrame:
+    import math
+
+    rows = []
+    for i in range(21):  # track 0: straight line with a spike at i=10
+        rows.append((0, i, float(i), 5.0 if i == 10 else 0.0))
+    for i in range(31):  # track 1: sine wave, 6-decimal samples
+        rows.append((1, i, float(i), round(3.0 * math.sin(i / 3.0), 6)))
+    return spark.createDataFrame(
+        rows, "track_id bigint, seq bigint, x double, y double"
+    ).coalesce(2)  # 52-point fixture: don't fan 32 python workers for it
+
+
+@register(
+    "q127_trajectory_simplify",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(21 AS BIGINT), CAST(5 AS BIGINT), '0,9,10,11,20'),
+        (CAST(1 AS BIGINT), CAST(31 AS BIGINT), CAST(5 AS BIGINT), '0,5,15,24,30')
+    ) AS t(track_id, n_points, n_kept, kept_idx)
+    """,
+)
+def q127_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import simplify_trajectories
+
+    traj = _trajectories(spark)
+    kept = simplify_trajectories(traj, eps=Q127_EPS)
+    totals = traj.groupBy("track_id").agg(F.count("*").alias("n_points"))
+    summary = kept.groupBy("track_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(F.array_sort(F.collect_list("seq")), ",").alias("kept_idx"),
+    )
+    return (
+        totals.join(summary, "track_id")
+        .select("track_id", "n_points", "n_kept", "kept_idx")
+        .orderBy("track_id")
+    )
