@@ -521,3 +521,75 @@ def q112_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q128 — in-batch negative sampling for contrastive training: assign every
+# document to a hash batch, then give each anchor K deterministic
+# negatives drawn from its OWN batch, ranked by a pairwise hash — the
+# in-batch-negatives recipe contrastive encoders (CLIP/DPR-style) train
+# with, as a reproducible data-prep query.
+#
+# Scale shape: the candidate join keys on the batch id, so pair
+# generation is quadratic only within a batch — batch size is a CHOSEN
+# constant (corpus/B per batch), so per-task work is bounded at
+# (N/B)^2 * B regardless of corpus size, the identical discipline to the
+# LSH block join. The rank window partitions by anchor. All hashes are
+# md5-derived — deterministic and engine-identical, so the sample is
+# exactly reproducible (seeded by nothing but the data).
+# --------------------------------------------------------------------------
+Q128_BATCHES = 25
+Q128_K = 2
+
+
+@register(
+    "q128_inbatch_negatives",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {Q128_BATCHES} AS batch
+      FROM documents),
+    cand AS (
+      SELECT a.doc_id AS anchor_id, n.doc_id AS neg_id,
+             md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(n.doc_id AS VARCHAR)) AS h
+      FROM b a JOIN b n ON a.batch = n.batch AND a.doc_id <> n.doc_id),
+    ranked AS (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rk
+      FROM cand)
+    SELECT anchor_id, neg_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {Q128_K}
+    """,
+)
+def q128_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    batch = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % Q128_BATCHES
+    )
+    b = docs.select("doc_id", batch.alias("batch"))
+    a = b.select(F.col("doc_id").alias("anchor_id"), "batch")
+    n = b.select(F.col("doc_id").alias("neg_id"), "batch")
+    cand = (
+        a.join(n, "batch")
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= Q128_K)
+        .select("anchor_id", "neg_id", "rk")
+    )

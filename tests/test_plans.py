@@ -207,3 +207,12 @@ def test_q123_linkage_deletion_neighborhood_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "var#" in plan  # the variant column is a join key
     assert "levenshtein" in plan
+
+
+def test_q128_negatives_batch_join_and_partitioned_rank(spark):
+    # pair generation must key on the batch id; the rank window must
+    # partition by anchor (WindowGroupLimit pushes the rk<=K cut down)
+    plan = _plan(spark, "q128_inbatch_negatives")
+    assert "CartesianProduct" not in plan
+    assert "batch#" in plan  # batch id is the join key
+    assert "WindowGroupLimit" in plan
