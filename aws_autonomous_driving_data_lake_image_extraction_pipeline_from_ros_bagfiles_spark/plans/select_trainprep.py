@@ -530,26 +530,33 @@ def q112_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-batch-negatives recipe contrastive encoders (CLIP/DPR-style) train
 # with, as a reproducible data-prep query.
 #
-# Scale shape: the candidate join keys on the batch id, so pair
-# generation is quadratic only within a batch — batch size is a CHOSEN
-# constant (corpus/B per batch), so per-task work is bounded at
-# (N/B)^2 * B regardless of corpus size, the identical discipline to the
-# LSH block join. The rank window partitions by anchor. All hashes are
-# md5-derived — deterministic and engine-identical, so the sample is
-# exactly reproducible (seeded by nothing but the data).
+# Scale shape: the candidate join keys on the batch id, and the NUMBER
+# of batches is derived from the corpus (ceil(N / BATCH_SIZE)) so the
+# batch SIZE — the quadratic term — stays a constant ~BATCH_SIZE rows no
+# matter how large the corpus grows; per-task work is bounded at
+# BATCH_SIZE^2 per batch, the identical discipline to the LSH block
+# join. (A fixed batch COUNT would be the subtle scale bug: batches,
+# and the quadratic, would grow with N.) The rank window partitions by
+# anchor. All hashes are md5-derived — deterministic and
+# engine-identical, so the sample is exactly reproducible (seeded by
+# nothing but the data).
 # --------------------------------------------------------------------------
-Q128_BATCHES = 25
+Q128_BATCH_SIZE = 20
 Q128_K = 2
 
 
 @register(
     "q128_inbatch_negatives",
     oracle=f"""
-    WITH b AS (
+    WITH nb AS (
+      SELECT greatest(1, CAST(ceil(count(*) / {Q128_BATCH_SIZE}.0) AS BIGINT))
+               AS n_batches
+      FROM documents),
+    b AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % {Q128_BATCHES} AS batch
-      FROM documents),
+               % nb.n_batches AS batch
+      FROM documents CROSS JOIN nb),
     cand AS (
       SELECT a.doc_id AS anchor_id, n.doc_id AS neg_id,
              md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(n.doc_id AS VARCHAR)) AS h
@@ -564,12 +571,18 @@ Q128_K = 2
 )
 def q128_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    nb = docs.agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count("*") / F.lit(float(Q128_BATCH_SIZE))).cast("bigint"),
+        ).alias("n_batches")
+    )
     batch = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
-        % Q128_BATCHES
+        % F.col("n_batches")
     )
-    b = docs.select("doc_id", batch.alias("batch"))
+    b = docs.crossJoin(F.broadcast(nb)).select("doc_id", batch.alias("batch"))
     a = b.select(F.col("doc_id").alias("anchor_id"), "batch")
     n = b.select(F.col("doc_id").alias("neg_id"), "batch")
     cand = (
