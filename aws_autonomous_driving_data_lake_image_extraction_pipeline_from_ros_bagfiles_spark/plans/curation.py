@@ -354,3 +354,73 @@ def q111_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.filter(span_words >= Q111_MIN_SPAN_WORDS).select(
         "doc_id", "span_start", "span_end", span_words.alias("span_words")
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — per-source quantile normalization of quality scores: a model-
+# based quality score (q110) is NOT comparable across sources (each
+# source has its own score distribution), so mixture curation ranks by
+# the score's percent_rank WITHIN its source — the distribution-free
+# normalization that makes a single global keep-threshold meaningful.
+# Returns the top-20 docs by normalized rank.
+#
+# percent_rank = (rank-1)/(n_source-1) is a ratio of exact integers —
+# bit-identical across engines; ties inherit rank() semantics (equal
+# scores share a rank), identical on both sides because the underlying
+# score is q110's integer-logit construction. The window partitions by
+# source — no global funnel; top-k is a heap.
+# --------------------------------------------------------------------------
+Q130_TOPK = 20
+
+
+def _q130_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t), 1, 8))::BIGINT % {Q110_BUCKETS}) * 37 + 11)
+               % 201 - 100 AS wi
+      FROM toks
+    ),
+    s AS (
+      SELECT doc_id, sum(wi) / (5.0 * count(*)) + {Q110_BIAS} AS logit
+      FROM w GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.source,
+             round(percent_rank() OVER (PARTITION BY d.source
+                                        ORDER BY s.logit), 6) AS src_pct
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, src_pct
+    FROM ranked
+    ORDER BY src_pct DESC, doc_id
+    LIMIT {Q130_TOPK}
+    """
+
+
+@register("q130_source_quantile_norm", oracle=_q130_oracle())
+def q130_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", _wt_int(F.col("t")).alias("wi"))
+    s = w.groupBy("doc_id").agg(
+        (F.sum("wi") / (F.lit(5.0) * F.count("*")) + F.lit(Q110_BIAS)).alias(
+            "logit"
+        )
+    )
+    win = Window.partitionBy("source").orderBy("logit")
+    ranked = (
+        s.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("src_pct", F.round(F.percent_rank().over(win), 6))
+    )
+    return (
+        ranked.select("doc_id", "source", "src_pct")
+        .orderBy(F.desc("src_pct"), F.asc("doc_id"))
+        .limit(Q130_TOPK)
+    )

@@ -693,3 +693,103 @@ def q120_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — shuffle-key skew report: the pre-flight diagnostic a 100 TB job
+# runs BEFORE shuffling on a key. One map-side-combinable count per key,
+# then a single-row summary: key cardinality, max/avg/percentile key
+# sizes, the skew ratio (max/avg — the straggler factor a plain groupBy
+# or join on this key would suffer), and the hottest key itself. The
+# mitigation this report triggers is q53's salted_agg / AQE skew join;
+# this query is the detector.
+#
+# The percentile runs over the per-key COUNT table (|keys| rows), never
+# the event stream. top_key is tie-broken to the smallest key id via a
+# conditional min against the max count — no argmax nondeterminism.
+# --------------------------------------------------------------------------
+@register(
+    "q129_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    m AS (SELECT max(c) AS mc FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_cnt,
+           round(avg(c), 6) AS avg_cnt,
+           round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+           round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+           round(max(c) / avg(c), 6) AS skew_ratio,
+           CAST(min(CASE WHEN c = m.mc THEN user_id END) AS BIGINT) AS top_key
+    FROM counts CROSS JOIN m
+    """,
+)
+def q129_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    m = counts.agg(F.max("c").alias("mc"))
+    return (
+        counts.crossJoin(F.broadcast(m))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("total_rows"),
+            F.max("c").alias("max_cnt"),
+            F.round(F.avg("c"), 6).alias("avg_cnt"),
+            F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50_cnt"),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_cnt"),
+            F.round(F.max("c") / F.avg("c"), 6).alias("skew_ratio"),
+            F.min(F.when(F.col("c") == F.col("mc"), F.col("user_id"))).alias(
+                "top_key"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q132 — time-decayed engagement scoring: per-user exponentially decayed
+# value sum, score = sum(value * exp(-LAMBDA * age_days)) with age
+# measured in exact microsecond fractions of a day against a FIXED
+# reference instant — the standard recency-weighted feature every
+# engagement/freshness ranker computes. One map-side-combinable groupBy;
+# top-k is a heap. Timestamps enter as epoch micros (bigint) on both
+# engines (see plans/temporal.py), so the exp() argument is built from
+# identical integer operands and cannot drift.
+# --------------------------------------------------------------------------
+Q132_LAMBDA = 0.05
+Q132_REF_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+Q132_TOPK = 20
+
+
+@register(
+    "q132_decay_engagement",
+    oracle=f"""
+    WITH sc AS (
+      SELECT user_id,
+             sum(value * exp(-{Q132_LAMBDA}
+                 * (({Q132_REF_US} - epoch_us(ts)) / 86400000000.0))) AS raw,
+             count(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(raw, 6) AS score
+    FROM sc
+    ORDER BY round(raw, 6) DESC, user_id
+    LIMIT {Q132_TOPK}
+    """,
+)
+def q132_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    age_days = (
+        F.lit(Q132_REF_US) - F.unix_micros(F.col("ts"))
+    ) / F.lit(86400000000.0)
+    sc = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value") * F.exp(-F.lit(Q132_LAMBDA) * age_days)), 6
+        ).alias("score"),
+    )
+    return (
+        sc.select("user_id", "n_events", "score")
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(Q132_TOPK)
+    )

@@ -685,3 +685,59 @@ def q119_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.asc("avg_logprob"), F.asc("doc_id")).limit(Q119_TOPK)
+
+
+# --------------------------------------------------------------------------
+# q131 — per-source distribution-shift audit: KL divergence of each
+# source's unigram distribution from the corpus unigram distribution,
+# KL(p_source || p_corpus) = sum_t p_s(t) * ln(p_s(t) / p_c(t)). The
+# audit a curation pipeline runs to spot sources whose token mix drifts
+# from the blend (boilerplate farms, non-target-language pockets,
+# machine-generated text).
+#
+# Scale shape: two map-side-combinable count aggregates — (source, token)
+# and (token) — then a key join on token and a per-source sum. The token
+# stream is shuffled once per grain; the corpus table joins on the token
+# key (AQE broadcasts it while vocab is small, co-partitions at 100 TB
+# vocab). p_c > 0 for every source token by construction (the corpus
+# contains the source), so the log is total.
+# --------------------------------------------------------------------------
+@register(
+    "q131_source_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    st AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(cs) AS ns FROM st GROUP BY 1),
+    ct AS (SELECT t, count(*) AS cc FROM tok GROUP BY 1),
+    ctot AS (SELECT count(*) AS nc FROM tok),
+    kl AS (
+      SELECT st.source,
+             sum((st.cs / stot.ns)
+                 * ln((st.cs / stot.ns) / (ct.cc / ctot.nc))) AS raw
+      FROM st
+      JOIN stot USING (source)
+      JOIN ct USING (t)
+      CROSS JOIN ctot
+      GROUP BY 1)
+    SELECT source, round(raw, 6) AS kl
+    FROM kl ORDER BY source
+    """,
+)
+def q131_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count("*").alias("cs"))
+    stot = st.groupBy("source").agg(F.sum("cs").alias("ns"))
+    ct = tok.groupBy("t").agg(F.count("*").alias("cc"))
+    ctot = tok.agg(F.count("*").alias("nc"))
+    ps = F.col("cs") / F.col("ns")
+    pc = F.col("cc") / F.col("nc")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl"))
+        .orderBy("source")
+    )

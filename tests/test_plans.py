@@ -216,3 +216,34 @@ def test_q128_negatives_batch_join_and_partitioned_rank(spark):
     assert "CartesianProduct" not in plan
     assert "batch#" in plan  # batch id is the join key
     assert "WindowGroupLimit" in plan
+
+
+def test_q129_skew_report_percentile_over_key_counts(spark):
+    # the percentile aggregate must consume the per-key count table (one
+    # row per user_id), never event rows: a partial count feeds the final
+    # single-row summary
+    plan = _plan(spark, "q129_skew_report")
+    assert "partial_count" in plan
+    assert "percentile" in plan
+    assert "CartesianProduct" not in plan  # max-count join is a broadcast
+
+
+def test_q130_source_norm_window_partitioned(spark):
+    plan = _plan(spark, "q130_source_quantile_norm")
+    assert "hashpartitioning(source" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q131_kl_two_grain_aggregates(spark):
+    # (source, token) and (token) count grains, a token key join, no
+    # cartesian over data rows (the 1-row corpus total broadcasts)
+    plan = _plan(spark, "q131_source_kl")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "hashpartitioning(t" in plan
+
+
+def test_q132_decay_single_agg_heap_topk(spark):
+    plan = _plan(spark, "q132_decay_engagement")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the user groupBy
