@@ -540,3 +540,118 @@ def q95_bag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(conf_key, prior)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q133 — Python UDTF surface (SURVEY §2.10): a table function expanding
+# each document into overlapping token-window chunks (the RAG-style
+# chunker), registered and invoked through SQL LATERAL — the one UDF
+# flavor (scalar pandas_udf / grouped map / grouped agg / table function)
+# not exercised elsewhere. Arrow transfer is enabled for the UDTF so the
+# expansion is batched, not row-pickled.
+#
+# Chunk contract (mirrored exactly in the oracle): starts s = 0, step,
+# 2*step, ... while s < max(n - overlap, 1); chunk = tokens[s : s+W];
+# a short tail keeps >= overlap+1 tokens merged into the last window.
+# Scale: the UDTF is per-row generative — no shuffle at all; output
+# carries (doc_id, chunk stats), not chunk text.
+# --------------------------------------------------------------------------
+Q133_W = 40
+Q133_OVERLAP = 10
+
+
+@register(
+    "q133_udtf_chunker",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, CAST(s AS BIGINT) AS s,
+             CAST(s / {Q133_W - Q133_OVERLAP} AS BIGINT) AS chunk_id
+      FROM d, unnest(range(0, greatest(len(w) - {Q133_OVERLAP}, 1),
+                           {Q133_W - Q133_OVERLAP})) AS r(s))
+    SELECT doc_id, chunk_id,
+           CAST(least(s + {Q133_W}, len(w)) - s AS BIGINT) AS n_tokens,
+           w[s + 1] AS first_tok,
+           w[least(s + {Q133_W}, len(w))] AS last_tok
+    FROM starts
+    """,
+)
+def q133_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id bigint, n_tokens bigint, first_tok string, last_tok string")
+    class Chunker:
+        def eval(self, text: str, width: int, overlap: int):
+            toks = text.split(" ")
+            step = width - overlap
+            cid = 0
+            for start in range(0, max(len(toks) - overlap, 1), step):
+                w = toks[start : start + width]
+                if not w:
+                    break
+                yield cid, len(w), w[0], w[-1]
+                cid += 1
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("rag_chunker", Chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q133_docs")
+    return spark.sql(
+        f"SELECT doc_id, c.chunk_id, c.n_tokens, c.first_tok, c.last_tok "
+        f"FROM q133_docs, LATERAL rag_chunker(text, {Q133_W}, {Q133_OVERLAP}) AS c"
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — grouped-aggregate pandas UDAF (SURVEY §2.10): per-event-type
+# 10%-trimmed mean of value — a robust-statistics aggregate Spark has no
+# builtin for, expressed as a GROUPED_AGG pandas_udf (Arrow-batched; the
+# whole group's value vector arrives as one pandas Series). The oracle
+# reproduces the identical trim contract (drop floor(n/10) from each
+# sorted end, average the rest) with a rank window.
+#
+# Scale note: GROUPED_AGG materializes each group on one executor — fine
+# for |event_type| groups of bounded size; for skewed/huge groups the
+# two-phase decomposition (q53) is the fallback, but a TRIMMED mean is
+# not algebraic, which is exactly why the escape hatch exists.
+# --------------------------------------------------------------------------
+@register(
+    "q134_trimmed_mean_udaf",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(avg(value) FILTER (WHERE rn > n // 10
+                                      AND rn <= n - n // 10), 6) AS trimmed_mean
+    FROM ranked GROUP BY 1
+    ORDER BY event_type
+    """,
+)
+def q134_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values(kind="mergesort").to_numpy()
+        k = len(s) // 10
+        return float(s[k : len(s) - k].mean())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() — the count rides along as a second pandas aggregate
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            n_rows(F.col("value")).alias("n_events"),
+            F.round(trimmed_mean(F.col("value")), 6).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

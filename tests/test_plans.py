@@ -247,3 +247,16 @@ def test_q132_decay_single_agg_heap_topk(spark):
     plan = _plan(spark, "q132_decay_engagement")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the user groupBy
+
+
+def test_q133_udtf_no_shuffle(spark):
+    # the UDTF expansion is per-row generative: zero exchanges
+    plan = _plan(spark, "q133_udtf_chunker")
+    assert "Exchange" not in plan
+    assert "Generate" in plan or "PythonUDTF" in plan or "UDTF" in plan
+
+
+def test_q134_udaf_is_grouped_arrow_agg(spark):
+    plan = _plan(spark, "q134_trimmed_mean_udaf")
+    assert "ArrowAggregatePython" in plan  # GROUPED_AGG pandas UDAF node
+    assert plan.count("Exchange hashpartitioning") == 1
