@@ -424,3 +424,100 @@ def q130_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("src_pct"), F.asc("doc_id"))
         .limit(Q130_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — span-corruption mask generation (T5-style denoising objective):
+# every token position starts a corruption span with probability
+# START_PCT (decided by a position-keyed md5 — fully deterministic, no
+# RNG state), spans run SPAN_LEN tokens, and overlapping spans merge.
+# Per doc: token count, masked count, maximal-span count — the numbers a
+# pretraining data loader needs to budget sentinel tokens. The masked
+# flag is a window OR over the previous SPAN_LEN-1 start flags and span
+# starts are rising edges — both windows partition by doc_id only.
+# --------------------------------------------------------------------------
+Q137_START_PCT = 5
+Q137_SPAN = 3
+
+
+def _q137_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos FROM d),
+    st AS (
+      SELECT doc_id, pos,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100
+                  < {Q137_START_PCT} THEN 1 ELSE 0 END AS s
+      FROM tok),
+    msk AS (
+      SELECT doc_id, pos, s,
+             CASE WHEN max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN {Q137_SPAN - 1} PRECEDING AND CURRENT ROW) = 1
+                  THEN 1 ELSE 0 END AS m
+      FROM st),
+    edge AS (
+      SELECT doc_id, m,
+             CASE WHEN m = 1 AND coalesce(lag(m) OVER (
+                    PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS rise
+      FROM msk)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(m) AS BIGINT) AS n_masked,
+           CAST(sum(rise) AS BIGINT) AS n_spans
+    FROM edge GROUP BY 1
+    """
+
+
+@register("q137_span_corruption", oracle=_q137_oracle())
+def q137_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "t")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"))
+    start = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < Q137_START_PCT
+    ).cast("int")
+    st = tok.select("doc_id", "pos", start.alias("s"))
+    wspan = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(Q137_SPAN - 1), 0)
+    )
+    msk = st.select(
+        "doc_id",
+        "pos",
+        (F.max("s").over(wspan) == 1).cast("int").alias("m"),
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    edge = msk.select(
+        "doc_id",
+        "m",
+        (
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wlag), F.lit(0)) == 0)
+        ).cast("int").alias("rise"),
+    )
+    return edge.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("m").alias("n_masked"),
+        F.sum("rise").alias("n_spans"),
+    )

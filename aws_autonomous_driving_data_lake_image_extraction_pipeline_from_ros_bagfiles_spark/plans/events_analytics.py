@@ -793,3 +793,56 @@ def q132_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("user_id"))
         .limit(Q132_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — rolling correlation between two metric series: the 7-day RANGE-
+# frame Pearson correlation between the daily totals of two event types —
+# the co-movement monitor dashboards pair with q94's moving average. The
+# daily pivot is one map-side-combinable aggregate; the correlation
+# window RANGE-frames over the tiny per-day series (|days| rows), keyed
+# to a constant series id — bounded, never over event rows. corr() is
+# the same one-pass co-moment form on both engines; rounding at 6
+# absorbs last-ulp differences.
+# --------------------------------------------------------------------------
+Q136_A = "view"
+Q136_B = "click"
+
+
+@register(
+    "q136_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = '{Q136_A}' THEN value END) AS va,
+             sum(CASE WHEN event_type = '{Q136_B}' THEN value END) AS vb
+      FROM events WHERE event_type IN ('{Q136_A}', '{Q136_B}')
+      GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(corr(va, vb) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW), 6) AS corr7
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q136_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(Q136_A, Q136_B)
+    )
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == Q136_A, F.col("value"))).alias("va"),
+        F.sum(F.when(F.col("event_type") == Q136_B, F.col("value"))).alias("vb"),
+    )
+    # RANGE frame needs a numeric order key; day number is exact
+    w = (
+        Window.orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.corr("va", "vb").over(w), 6).alias("corr7"),
+        )
+        .orderBy("day")
+    )

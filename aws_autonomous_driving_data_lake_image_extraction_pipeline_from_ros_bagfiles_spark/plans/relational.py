@@ -721,3 +721,74 @@ def q123_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("nation"))
     )
+
+
+# --------------------------------------------------------------------------
+# q135 — TPC-H Q7 shape (volume shipping between nation pairs): revenue
+# flowing between two fixed nations in either direction, grouped by
+# (supplier nation, customer nation, ship year). Exercises a 6-table
+# snowflake with a DISJUNCTIVE cross-dimension predicate — the join
+# reorderer must keep both nation filters above their dimension scans
+# and the pair predicate above the join, while every dimension side
+# broadcasts.
+# --------------------------------------------------------------------------
+Q135_N1 = "NATION_9"
+Q135_N2 = "NATION_10"
+
+
+@register(
+    "q135_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = '{Q135_N1}' AND n2.n_name = '{Q135_N2}')
+       OR (n1.n_name = '{Q135_N2}' AND n2.n_name = '{Q135_N1}')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q135_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = F.broadcast(load(spark, sf_dir, "supplier"))
+    pair = [Q135_N1, Q135_N2]
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(n1, sup.s_nationkey == F.col("nk1"))
+        .join(n2, cust.c_nationkey == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == Q135_N1) & (F.col("cust_nation") == Q135_N2))
+            | ((F.col("supp_nation") == Q135_N2) & (F.col("cust_nation") == Q135_N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -260,3 +260,24 @@ def test_q134_udaf_is_grouped_arrow_agg(spark):
     plan = _plan(spark, "q134_trimmed_mean_udaf")
     assert "ArrowAggregatePython" in plan  # GROUPED_AGG pandas UDAF node
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q135_q7_broadcasts_and_pair_filter(spark):
+    plan = _plan(spark, "q135_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nations
+    assert "CartesianProduct" not in plan
+
+
+def test_q136_corr_window_over_daily_series(spark):
+    # the RANGE window consumes the daily pivot (an aggregate sits between
+    # window and scan) and the event-type filter reaches the scan
+    plan = _plan(spark, "q136_rolling_corr")
+    assert "Window" in plan
+    assert "partial" in plan.split("Window")[-1]  # agg below the window
+    assert "event_type" in plan.split("PushedFilters")[-1].splitlines()[0]
+
+
+def test_q137_span_windows_partitioned_by_doc(spark):
+    plan = _plan(spark, "q137_span_corruption")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
