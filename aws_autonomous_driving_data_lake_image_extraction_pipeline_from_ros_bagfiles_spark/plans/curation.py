@@ -521,3 +521,90 @@ def q137_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").alias("n_masked"),
         F.sum("rise").alias("n_spans"),
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — end-to-end curation pass as ONE query: the composition a real
+# corpus build runs — (1) model-based quality gate (q110's exact-integer
+# logit), (2) exact dedup keep-first (q22's fingerprint discipline:
+# groupBy the md5, min doc_id survives), (3) language + length gates —
+# reported as a per-source curation funnel (total -> kept, with token
+# volume). Each stage is the already-proven component; the value here is
+# the composition: one declarative plan, one pass over the token stream
+# for scoring, one 16-byte-key shuffle for dedup, gates as scan-side
+# filters. This is the query a reference user replaces their whole
+# curation DAG with.
+# --------------------------------------------------------------------------
+Q141_LANG = "en"
+Q141_MIN_CHARS = 120
+
+
+def _q141_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t), 1, 8))::BIGINT % {Q110_BUCKETS}) * 37 + 11)
+               % 201 - 100 AS wi
+      FROM toks),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(wi) / (5.0 * count(*)) + {Q110_BIAS} AS logit
+      FROM w GROUP BY 1),
+    first_of_fp AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept AS (
+      SELECT d.doc_id, d.source, s.n_tokens
+      FROM documents d
+      JOIN s USING (doc_id)
+      JOIN first_of_fp f USING (doc_id)
+      WHERE s.logit >= 0
+        AND d.lang = '{Q141_LANG}'
+        AND d.n_chars >= {Q141_MIN_CHARS})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS kept_tokens
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("q141_curation_e2e", oracle=_q141_oracle())
+def q141_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", _wt_int(F.col("t")).alias("wi"))
+    s = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("wi") / (F.lit(5.0) * F.count("*")) + F.lit(Q110_BIAS)).alias(
+            "logit"
+        ),
+    )
+    first_of_fp = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.filter(
+            (F.col("lang") == Q141_LANG)
+            & (F.col("n_chars") >= Q141_MIN_CHARS)
+        )
+        .join(s.filter(F.col("logit") >= 0), "doc_id")
+        .join(first_of_fp, "doc_id")
+        .select("doc_id", "source", "n_tokens")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(kept.select("doc_id", "n_tokens"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("n_tokens").alias("n_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -846,3 +846,144 @@ def q136_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q138 — seasonal-trend decomposition (STL-shape, moving-average form):
+# daily totals of one event type split into trend (centered 7-day moving
+# average), day-of-week seasonal means of the detrended series, and
+# residual. The decomposition every metrics stack runs before anomaly
+# thresholds (q102/q140 operate on residual-like series).
+#
+# All three passes are windows/aggregates over the BOUNDED daily pivot
+# (|days| rows): trend is a ROWS +-3 frame, seasonal is a 7-key groupBy
+# joined back, residual is arithmetic. Day-of-week is ISO (Mon=1..Sun=7)
+# on both engines: Spark weekday()+1 == DuckDB isodow().
+# --------------------------------------------------------------------------
+Q138_TYPE = "view"
+
+
+@register(
+    "q138_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS y
+      FROM events WHERE event_type = '{Q138_TYPE}' GROUP BY 1),
+    tr AS (
+      SELECT d, y,
+             avg(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS trend,
+             isodow(d) AS dow
+      FROM daily),
+    seas AS (
+      SELECT dow, avg(y - trend) AS seasonal FROM tr GROUP BY 1)
+    SELECT strftime(tr.d, '%Y-%m-%d') AS day,
+           round(tr.y, 6) AS y,
+           round(tr.trend, 6) AS trend,
+           round(seas.seasonal, 6) AS seasonal,
+           round(tr.y - tr.trend - seas.seasonal, 6) AS residual
+    FROM tr JOIN seas USING (dow)
+    ORDER BY day
+    """,
+)
+def q138_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == Q138_TYPE
+    )
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("y")
+    )
+    w = Window.orderBy(F.unix_date("d")).rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        (F.weekday("d") + 1).alias("dow"),
+    )
+    seas = tr.groupBy("dow").agg(
+        F.avg(F.col("y") - F.col("trend")).alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(seas), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("y", 6).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q140 — level-shift change-point detector: for each day, the difference
+# between the mean of the NEXT 7 days and the mean of the PREVIOUS 7
+# days of an event type's daily total, standardized by the global std —
+# the window-based (non-recursive) change-point test that, unlike CUSUM,
+# is expressible as pure frames and therefore runs identically on any
+# engine. Flags |shift_z| > THRESH. Windows run over the bounded daily
+# pivot; complete 7-day flanks only (edges are NULL-trimmed by the
+# row-count guard).
+# --------------------------------------------------------------------------
+Q140_TYPE = "purchase"
+Q140_THRESH = 1.0
+
+
+@register(
+    "q140_level_shift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum(value) AS y
+      FROM events WHERE event_type = '{Q140_TYPE}' GROUP BY 1),
+    st AS (SELECT stddev_pop(y) AS sd FROM daily),
+    fl AS (
+      SELECT d, y,
+             avg(y) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                          AND 1 PRECEDING) AS pre,
+             count(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                            AND 1 PRECEDING) AS n_pre,
+             avg(y) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                          AND 7 FOLLOWING) AS post,
+             count(*) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                            AND 7 FOLLOWING) AS n_post
+      FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round((post - pre) / st.sd, 6) AS shift_z,
+           abs((post - pre) / st.sd) > {Q140_THRESH} AS flagged
+    FROM fl CROSS JOIN st
+    WHERE n_pre = 7 AND n_post = 7
+    ORDER BY day
+    """,
+)
+def q140_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == Q140_TYPE
+    )
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("y")
+    )
+    st = daily.agg(F.stddev_pop("y").alias("sd"))
+    ord_w = Window.orderBy(F.unix_date("d"))
+    pre_w = ord_w.rowsBetween(-7, -1)
+    post_w = ord_w.rowsBetween(1, 7)
+    fl = daily.select(
+        "d",
+        F.avg("y").over(pre_w).alias("pre"),
+        F.count("*").over(pre_w).alias("n_pre"),
+        F.avg("y").over(post_w).alias("post"),
+        F.count("*").over(post_w).alias("n_post"),
+    )
+    z = (F.col("post") - F.col("pre")) / F.col("sd")
+    return (
+        fl.filter((F.col("n_pre") == 7) & (F.col("n_post") == 7))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(z, 6).alias("shift_z"),
+            (F.abs(z) > Q140_THRESH).alias("flagged"),
+        )
+        .orderBy("day")
+    )

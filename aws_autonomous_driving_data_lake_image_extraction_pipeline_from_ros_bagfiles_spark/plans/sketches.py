@@ -367,3 +367,96 @@ def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — equi-depth binning from the histogram sketch: boundaries at
+# p = 1/B .. (B-1)/B come from q126's mergeable fixed-bin histogram
+# (one aggregate + a bounded cumulative window), collapse into ONE
+# broadcast array row, and every fact row gets its bucket from a pure
+# array expression — no sort, no ntile, no per-row join. The feature-
+# engineering staple (quantile bucketing) in the shape that scales: the
+# data is touched twice by scans and never globally ordered; bucket
+# depths are then audited by a map-side-combinable groupBy.
+# --------------------------------------------------------------------------
+Q139_B = 8
+
+
+def _q139_oracle() -> str:
+    ps = ", ".join(f"({i / Q139_B})" for i in range(1, Q139_B))
+    return f"""
+    WITH hist AS (
+      SELECT CAST(floor(l_extendedprice / {Q126_W}) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS c_prev
+      FROM hist),
+    tot AS (SELECT count(*) AS n FROM lineitem),
+    probes AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES {ps}) AS t(p)),
+    bounds AS (
+      SELECT p, bin * {Q126_W} + (p * tot.n - c_prev) / cnt * {Q126_W} AS est
+      FROM probes CROSS JOIN tot JOIN cum
+        ON cum.c >= p * tot.n AND cum.c_prev < p * tot.n),
+    barr AS (SELECT list(est ORDER BY est) AS bs FROM bounds),
+    assigned AS (
+      SELECT CAST(len(list_filter(barr.bs, b -> b <= l_extendedprice))
+                  AS BIGINT) AS bucket,
+             l_extendedprice AS v
+      FROM lineitem CROSS JOIN barr)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("q139_equidepth_binning", oracle=_q139_oracle())
+def q139_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.floor(F.col("l_extendedprice") / Q126_W).cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("c_prev"),
+    )
+    tot = li.agg(F.count("*").alias("n"))
+    probes = F.broadcast(
+        li.sparkSession.createDataFrame(
+            [(i / Q139_B,) for i in range(1, Q139_B)], "p double"
+        )
+    )
+    t = F.col("p") * F.col("n")
+    bounds = (
+        probes.crossJoin(F.broadcast(tot))
+        .join(cum, (F.col("c") >= t) & (F.col("c_prev") < t))
+        .select(
+            (
+                F.col("bin") * Q126_W
+                + (t - F.col("c_prev")) / F.col("cnt") * Q126_W
+            ).alias("est")
+        )
+    )
+    barr = bounds.agg(F.array_sort(F.collect_list("est")).alias("bs"))
+    assigned = li.crossJoin(F.broadcast(barr)).select(
+        F.size(
+            F.filter("bs", lambda b: b <= F.col("l_extendedprice"))
+        ).cast("bigint").alias("bucket"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -281,3 +281,37 @@ def test_q137_span_windows_partitioned_by_doc(spark):
     plan = _plan(spark, "q137_span_corruption")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_q138_decompose_windows_over_daily_pivot(spark):
+    # trend/seasonal windows+aggs consume the daily pivot; the type filter
+    # reaches the scan
+    plan = _plan(spark, "q138_seasonal_decompose")
+    assert "event_type" in plan.split("PushedFilters")[-1].splitlines()[0]
+    assert "partial" in plan.split("Window")[-1]
+
+
+def test_q139_binning_no_sort_no_ntile(spark):
+    # equi-depth assignment must come from the broadcast boundary array —
+    # no global sort of data rows, no ntile window over the fact table
+    plan = _plan(spark, "q139_equidepth_binning")
+    assert "ntile" not in plan
+    # the only Sort nodes may order the bounded histogram/bucket tables,
+    # never feed a data-wide window: no Window node consumes lineitem rows
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary array join
+    assert "CartesianProduct" not in plan
+
+
+def test_q140_level_shift_flank_windows_bounded(spark):
+    plan = _plan(spark, "q140_level_shift")
+    assert "partial" in plan.split("Window")[-1]  # daily agg below windows
+    assert "CartesianProduct" not in plan
+
+
+def test_q141_curation_single_token_pass(spark):
+    # one explode feeds the scoring aggregate; dedup shuffles the md5
+    # fingerprint; no window anywhere
+    plan = _plan(spark, "q141_curation_e2e")
+    assert plan.count("Generate explode") == 1
+    assert "md5" in plan
+    assert "Window" not in plan
