@@ -608,3 +608,88 @@ def q114_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["i"], r["j"], r["g"]) for r in g.collect()], Q114_DIM, Q114_ITERS
     )
     return emb.select("vec_id", F.round(project(emb, v), 6).alias("pc1"))
+
+
+# --------------------------------------------------------------------------
+# q144 — custom GROUPING SETS with grouping_id: the general form rollup
+# (q15) and cube (q45) are special cases of — here the three analyst-
+# chosen grains (returnflag x linestatus, returnflag alone, grand total)
+# WITHOUT the linestatus-alone grain a cube would add. grouping_id
+# disambiguates NULL-as-group-all from NULL data on both engines. One
+# expand + one map-side-combinable aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q144_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q144_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q144_li")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM q144_li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q145 — unpivot/melt (wide -> long): the per-day metric pivot melts
+# back into (day, metric, value) rows via the native UNPIVOT — the
+# inverse of q12's pivot, completing the reshape pair. The wide table is
+# one aggregate; UNPIVOT is a zero-shuffle Expand (3 rows per input row,
+# projection-only).
+# --------------------------------------------------------------------------
+@register(
+    "q145_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v,
+             round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v
+      FROM events GROUP BY 1)
+    SELECT day, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (view_v, click_v, purchase_v))
+    ORDER BY day, metric
+    """,
+)
+def q145_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    wide = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+            ).alias(f"{t}_v")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    return (
+        wide.unpivot(
+            "day",
+            ["view_v", "click_v", "purchase_v"],
+            "metric",
+            "value",
+        )
+        .filter(F.col("value").isNotNull())
+        .orderBy("day", "metric")
+    )

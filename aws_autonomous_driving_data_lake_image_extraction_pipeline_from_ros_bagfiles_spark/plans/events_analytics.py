@@ -987,3 +987,52 @@ def q140_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — behavior transition matrix: counts of consecutive event-type
+# pairs per user ordered by time (the first-order Markov transitions
+# product analytics builds journey maps from), with each pair's share of
+# all transitions. The lead() window partitions by user_id; the pair
+# count is map-side combinable on a |types|^2 key domain; the share
+# denominator is a broadcast scalar.
+#
+# Tie discipline: simultaneous events order by (ts, event_id) — a total
+# order, so the transition stream is identical on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q142_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    pairs AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL
+              GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS t FROM pairs)
+    SELECT a AS from_type, b AS to_type, CAST(n AS BIGINT) AS n,
+           round(n / tot.t, 6) AS share
+    FROM pairs CROSS JOIN tot
+    ORDER BY from_type, to_type
+    """,
+)
+def q142_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pairs = seq.groupBy("a", "b").agg(F.count("*").alias("n"))
+    tot = pairs.agg(F.sum("n").alias("t"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -792,3 +792,89 @@ def q135_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — SCD2 point-in-time dimension join: each order joins the supplier
+# PRICING-TIER VERSION that was valid on its order date — the slowly-
+# changing-dimension lookup every warehouse fact load performs. The
+# versioned dimension is derived deterministically here (three yearly
+# validity windows per supplier, tier seeded by s_suppkey); in production
+# it is the SCD2 table itself.
+#
+# Scale shape: the join is an EQUI-join on the surrogate key (suppkey)
+# with the validity predicate as a residual filter — correct and cheap
+# because versions-per-key is small and bounded (the SCD2 invariant), so
+# the residual scans a handful of rows per key, never a range-join
+# explosion. The dimension is broadcast (dims stay KBs at 100 TB fact
+# scale).
+# --------------------------------------------------------------------------
+@register(
+    "q143_scd2_join",
+    oracle="""
+    WITH versions AS (
+      SELECT s_suppkey,
+             v AS version,
+             CAST((1995 + v) AS VARCHAR) || '-01-01' AS valid_from,
+             CAST((1996 + v) AS VARCHAR) || '-01-01' AS valid_to,
+             (s_suppkey * 7 + v * 13) % 5 AS tier
+      FROM supplier, unnest(range(0, 3)) AS r(v)),
+    li AS (
+      SELECT l.l_suppkey, o.o_orderdate,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT v.tier, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(li.rev), 2) AS revenue
+    FROM li JOIN versions v
+      ON li.l_suppkey = v.s_suppkey
+     AND li.o_orderdate >= CAST(v.valid_from AS TIMESTAMP)
+     AND li.o_orderdate < CAST(v.valid_to AS TIMESTAMP)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q143_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    versions = sup.select(
+        "s_suppkey", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v")
+    ).select(
+        "s_suppkey",
+        F.col("v").alias("version"),
+        F.concat(
+            (F.lit(1995) + F.col("v")).cast("string"), F.lit("-01-01")
+        ).cast("timestamp").alias("valid_from"),
+        F.concat(
+            (F.lit(1996) + F.col("v")).cast("string"), F.lit("-01-01")
+        ).cast("timestamp").alias("valid_to"),
+        ((F.col("s_suppkey") * 7 + F.col("v") * 13) % 5).alias("tier"),
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            "o_orderdate",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    joined = li.join(
+        F.broadcast(versions),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )

@@ -315,3 +315,31 @@ def test_q141_curation_single_token_pass(spark):
     assert plan.count("Generate explode") == 1
     assert "md5" in plan
     assert "Window" not in plan
+
+
+def test_q142_transitions_window_partitioned_by_user(spark):
+    plan = _plan(spark, "q142_transition_matrix")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_q143_scd2_is_equi_join_with_residual(spark):
+    # the version lookup must be a hash join keyed on suppkey with the
+    # validity range as residual condition — not a nested-loop range join
+    plan = _plan(spark, "q143_scd2_join")
+    assert "BroadcastHashJoin [l_suppkey" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q144_grouping_sets_single_expand(spark):
+    plan = _plan(spark, "q144_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q145_unpivot_is_zero_shuffle_expand(spark):
+    # the melt itself must add no exchange beyond the wide aggregate's
+    plan = _plan(spark, "q145_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
