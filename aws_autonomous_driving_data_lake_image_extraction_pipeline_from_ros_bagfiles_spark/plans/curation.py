@@ -608,3 +608,40 @@ def q141_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — k-anonymity audit over quasi-identifiers: group documents by the
+# (lang, source, length-bucket) quasi-identifier tuple and report every
+# group smaller than K — the re-identification risk surface a privacy
+# review checks before releasing a corpus (the structured complement of
+# q71's PII redaction). One map-side-combinable aggregate; the HAVING
+# survivor set is small by construction.
+# --------------------------------------------------------------------------
+Q148_K = 5
+
+
+@register(
+    "q148_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {Q148_K}
+    ORDER BY lang, source, len_bucket
+    """,
+)
+def q148_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < Q148_K)
+        .orderBy("lang", "source", "len_bucket")
+    )

@@ -1036,3 +1036,132 @@ def q142_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — incremental materialized-view maintenance: the daily rollup is
+# maintained as stored partials + a delta batch merged ALGEBRAICALLY
+# (counts and sums add; avg re-derives from them) — the reason a 100 TB
+# nightly load never rescans history. This query runs both paths over
+# the same data — history partials merged with the delta vs the direct
+# full recompute — and the oracle IS the direct form, so the hash match
+# proves merge ≡ recompute exactly (same discipline as q87's physical-
+# rewrite proof). The merge aggregate runs over partial rows (|days| x
+# |types|), never events.
+# --------------------------------------------------------------------------
+Q146_CUTOVER = "2023-01-20"
+
+
+@register(
+    "q146_incremental_mv",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q146_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+
+    hist = partials(events.filter(F.to_date("ts") < Q146_CUTOVER))
+    delta = partials(events.filter(F.to_date("ts") >= Q146_CUTOVER))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("s", 2).alias("sum_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — mergeable per-day KMV sketch table -> period distinct estimate:
+# the daily-uniques pattern at warehouse scale — each day stores a k-min
+# sketch of its user hashes (<= K rows/day), and the month/period
+# estimate is computed from the STORED SKETCHES ALONE (union -> global
+# k-min -> estimate), never rescanning raw events. This query builds the
+# day sketches, merges them, and audits against the exact period
+# distinct — the merge path touches only |days| x K sketch rows, which
+# is the whole point. Deterministic md5 hashing makes the estimate
+# itself oracle-checked (q90's discipline), with per-day k-min pruning
+# via WindowGroupLimit.
+# --------------------------------------------------------------------------
+Q147_K = 64
+_Q147_SCALE = float(2**60)
+
+
+@register(
+    "q147_kmv_daily_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    day_sk AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+        FROM tok) WHERE rk <= {Q147_K}),
+    merged AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM day_sk) t
+      ORDER BY h LIMIT {Q147_K}),
+    m AS (SELECT count(*) AS n_in_sketch, max(h) AS kth FROM merged),
+    exact AS (
+      SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT CAST((SELECT count(DISTINCT day) FROM tok) AS BIGINT) AS n_days,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+           round(CASE WHEN m.n_in_sketch < {Q147_K}
+                      THEN m.n_in_sketch * 1.0
+                      ELSE ({Q147_K} - 1) / (m.kth / {_Q147_SCALE!r})
+                 END, 6) AS merged_estimate
+    FROM m CROSS JOIN exact
+    """,
+)
+def q147_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    tok = events.select(
+        F.to_date("ts").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    day_sk = tok.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= Q147_K
+    )
+    # merge path: stored sketches only — distinct + global k-min via a
+    # bounded heap (|days| x K input rows)
+    merged = (
+        day_sk.select("h").distinct().orderBy("h").limit(Q147_K)
+    )
+    m = merged.agg(
+        F.count("*").alias("n_in_sketch"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < Q147_K, F.col("n_in_sketch").cast("double")
+    ).otherwise((Q147_K - 1) / (F.col("kth") / F.lit(_Q147_SCALE)))
+    n_days = tok.agg(F.countDistinct("day").alias("n_days"))
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        n_days.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_days",
+            "exact_distinct",
+            F.round(est, 6).alias("merged_estimate"),
+        )
+    )

@@ -741,3 +741,68 @@ def q131_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — corpus-churn keyness (log-odds ratio with add-half smoothing):
+# which tokens most distinguish one corpus slice from another — the
+# lexical drift report between snapshots, sources, or time windows. The
+# two slices here are the even/odd doc_id halves (a deterministic stand-
+# in for "last month vs this month"). keyness(t) = ln((ca+0.5)/(Na-ca+0.5))
+# - ln((cb+0.5)/(Nb-cb+0.5)); top-15 by |keyness| with count floor.
+#
+# Scale shape: one (slice, token) count aggregate (map-side combined),
+# pivoted by conditional sums into per-token (ca, cb) — one shuffled row
+# per distinct token; totals broadcast; top-k is a heap.
+# --------------------------------------------------------------------------
+Q149_TOPK = 15
+Q149_MIN_COUNT = 50
+
+
+@register(
+    "q149_keyness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS slice, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    tc AS (
+      SELECT t,
+             sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY 1),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM tc),
+    scored AS (
+      SELECT t, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             round(ln((ca + 0.5) / (tot.na - ca + 0.5))
+                   - ln((cb + 0.5) / (tot.nb - cb + 0.5)), 6) AS keyness
+      FROM tc CROSS JOIN tot
+      WHERE ca + cb >= {Q149_MIN_COUNT})
+    SELECT t, ca, cb, keyness
+    FROM scored
+    ORDER BY abs(keyness) DESC, t
+    LIMIT {Q149_TOPK}
+    """,
+)
+def q149_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    tc = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = tc.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    keyness = F.round(
+        F.log((F.col("ca") + 0.5) / (F.col("na") - F.col("ca") + 0.5))
+        - F.log((F.col("cb") + 0.5) / (F.col("nb") - F.col("cb") + 0.5)),
+        6,
+    )
+    return (
+        tc.filter(F.col("ca") + F.col("cb") >= Q149_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .select("t", "ca", "cb", keyness.alias("keyness"))
+        .orderBy(F.abs(F.col("keyness")).desc(), F.asc("t"))
+        .limit(Q149_TOPK)
+    )

@@ -343,3 +343,34 @@ def test_q145_unpivot_is_zero_shuffle_expand(spark):
     plan = _plan(spark, "q145_unpivot")
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q146_merge_runs_over_partials(spark):
+    # the final merge aggregate consumes partial rows (day,type grains),
+    # and partial aggregation is map-side on both branches
+    plan = _plan(spark, "q146_incremental_mv")
+    assert plan.count("partial_count") >= 2  # history + delta branches
+    assert "Union" in plan
+
+
+def test_q147_merge_path_touches_sketches_only(spark):
+    # the period estimate's k-min must come from the day-sketch rows via
+    # WindowGroupLimit pruning + a bounded heap, not a raw-event sort
+    plan = _plan(spark, "q147_kmv_daily_merge")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q148_k_anon_single_aggregate(spark):
+    plan = _plan(spark, "q148_k_anonymity")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q149_keyness_one_token_shuffle_heap_topk(spark):
+    plan = _plan(spark, "q149_keyness")
+    assert "TakeOrderedAndProject" in plan
+    # token agg appears in the scored branch and the totals branch; the
+    # two subtrees canonicalize identically, so exchange reuse collapses
+    # them at runtime — statically at most those two
+    assert plan.count("Exchange hashpartitioning") <= 2
