@@ -693,3 +693,169 @@ def q145_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .orderBy("day", "metric")
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — ANN recall@K evaluation: for a BOUNDED query set, compare the
+# hyperplane-LSH candidate search (q98's planes/bands) against brute-
+# force cosine top-K and report per-query recall — the evaluation every
+# ANN deployment runs before trusting its index. The brute-force tier is
+# |Q| x corpus with |Q| a small constant: that linear scan is the
+# legitimate eval shape (q26's argument), NOT an all-pairs join, and it
+# lives in this eval query — the serving path (q98/q27/q55) never pays
+# it. Both rankings order by (rounded cosine DESC, vec_id) so rank
+# boundaries cannot flip between engines.
+# --------------------------------------------------------------------------
+Q151_NQ = 5
+Q151_K = 10
+
+
+def _q151_oracle() -> str:
+    coeffs = _q98_coeffs()
+    projs = ", ".join(
+        "CASE WHEN list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ([{c}]::DOUBLE[])[i])) >= 0 THEN 1 ELSE 0 END AS b{p}".format(
+            c=", ".join(str(v) for v in coeffs[p]), p=p
+        )
+        for p in range(Q98_PLANES)
+    )
+    n_bands = Q98_PLANES // Q98_BAND_BITS
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {band} AS band, {key} AS band_key FROM sigs".format(
+            band=b,
+            key=" + ".join(
+                f"b{b * Q98_BAND_BITS + i} * {1 << (Q98_BAND_BITS - 1 - i)}"
+                for i in range(Q98_BAND_BITS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    cos = (
+        "round(list_sum(list_transform(eq.embedding::DOUBLE[], (x, i) -> x * (ec.embedding::DOUBLE[])[i]))"
+        " / (sqrt(list_sum(list_transform(eq.embedding::DOUBLE[], x -> x * x)))"
+        " * sqrt(list_sum(list_transform(ec.embedding::DOUBLE[], x -> x * x)))), 6)"
+    )
+    return f"""
+    WITH sigs AS (SELECT vec_id, {projs} FROM embeddings),
+    bands AS ({band_selects}),
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id < {Q151_NQ}),
+    truth AS (
+      SELECT qid, cid FROM (
+        SELECT eq.vec_id AS qid, ec.vec_id AS cid,
+               row_number() OVER (PARTITION BY eq.vec_id
+                                  ORDER BY {cos} DESC, ec.vec_id) AS rk
+        FROM embeddings eq JOIN embeddings ec ON eq.vec_id <> ec.vec_id
+        WHERE eq.vec_id < {Q151_NQ})
+      WHERE rk <= {Q151_K}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {Q151_NQ}),
+    ann AS (
+      SELECT qid, cid FROM (
+        SELECT c.qid, c.cid,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY {cos} DESC, c.cid) AS rk
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.qid
+        JOIN embeddings ec ON ec.vec_id = c.cid)
+      WHERE rk <= {Q151_K}),
+    ncand AS (SELECT qid, count(*) AS n_candidates FROM cand GROUP BY 1)
+    SELECT t.qid AS vec_id,
+           CAST(ncand.n_candidates AS BIGINT) AS n_candidates,
+           round(count(a.cid) * 1.0 / {Q151_K}, 6) AS recall
+    FROM truth t
+    LEFT JOIN ann a ON a.qid = t.qid AND a.cid = t.cid
+    JOIN ncand ON ncand.qid = t.qid
+    GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+@register("q151_ann_recall_eval", oracle=_q151_oracle())
+def q151_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, norm
+
+    coeffs = _q98_coeffs()
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = [
+        F.when(
+            dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
+            )
+            >= 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"b{p}")
+        for p in range(Q98_PLANES)
+    ]
+    sigs = emb.select("vec_id", *bits)
+    n_bands = Q98_PLANES // Q98_BAND_BITS
+    bands = None
+    for b in range(n_bands):
+        key = sum(
+            (
+                F.col(f"b{b * Q98_BAND_BITS + i}")
+                * (1 << (Q98_BAND_BITS - 1 - i))
+                for i in range(Q98_BAND_BITS)
+            ),
+            F.lit(0),
+        )
+        frame = sigs.select(
+            "vec_id", F.lit(b).alias("band"), key.alias("band_key")
+        )
+        bands = frame if bands is None else bands.unionByName(frame)
+    qv = emb.filter(F.col("vec_id") < Q151_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    cv = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"))
+    cos = F.round(
+        dot(F.col("eq"), F.col("ec")) / (norm(F.col("eq")) * norm(F.col("ec"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    truth = (
+        qv.crossJoin(cv)  # bounded: |Q| queries x corpus — the eval tier
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= Q151_K)
+        .select("qid", "cid")
+    )
+    qb = bands.filter(F.col("vec_id") < Q151_NQ).select(
+        F.col("vec_id").alias("qid"), "band", "band_key"
+    )
+    cb = bands.select(F.col("vec_id").alias("cid"), "band", "band_key")
+    cand = (
+        qb.join(cb, ["band", "band_key"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    ann = (
+        cand.join(qv, "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= Q151_K)
+        .select("qid", "cid")
+    )
+    ncand = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    return (
+        truth.join(
+            ann.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
+        )
+        .groupBy("qid")
+        .agg(F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(Q151_K), 6).alias("recall"))
+        .join(F.broadcast(ncand), "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "n_candidates",
+            "recall",
+        )
+        .orderBy("vec_id")
+    )

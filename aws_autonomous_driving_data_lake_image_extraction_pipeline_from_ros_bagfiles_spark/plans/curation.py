@@ -645,3 +645,63 @@ def q148_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") < Q148_K)
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — sequence-length histogram for packing planning: log2-bucketed
+# token-length distribution with cumulative share — the input q76's
+# sequence packer needs to pick its context length (what fraction of
+# documents fit whole at 512? how much padding would 1024 waste?). One
+# token-count aggregate per doc, then a |buckets|-sized rollup; the
+# cumulative window runs over the bounded bucket table.
+# --------------------------------------------------------------------------
+@register(
+    "q152_length_histogram",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    b AS (
+      SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS bucket,
+             count(*) AS n_docs, sum(n_tokens) AS tok
+      FROM dl GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS nd FROM b)
+    SELECT CAST(pow(2, bucket) AS BIGINT) AS bucket_lo,
+           CAST(pow(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tok AS BIGINT) AS total_tokens,
+           round(sum(n_docs) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) / tot.nd, 6)
+             AS cum_doc_share
+    FROM b CROSS JOIN tot
+    ORDER BY bucket_lo
+    """,
+)
+def q152_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    b = dl.groupBy(
+        F.floor(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok"))
+    tot = b.agg(F.sum("n_docs").alias("nd"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_lo"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("bigint")
+            .alias("bucket_hi"),
+            F.col("n_docs"),
+            F.col("tok").alias("total_tokens"),
+            F.round(
+                F.sum("n_docs").over(w) / F.col("nd"), 6
+            ).alias("cum_doc_share"),
+            F.col("bucket"),
+        )
+        .orderBy("bucket_lo")
+        .drop("bucket")
+    )

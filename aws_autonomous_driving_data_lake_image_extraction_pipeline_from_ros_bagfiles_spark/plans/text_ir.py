@@ -806,3 +806,67 @@ def q149_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("keyness")).desc(), F.asc("t"))
         .limit(Q149_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — source-similarity matrix: pairwise cosine between the SOURCES'
+# term-frequency vectors — which corpus slices are distribution-level
+# near-duplicates of each other (mirror sites, scrape overlaps). The
+# corpus is first collapsed to |sources| aggregated vectors (map-side-
+# combined (source, token) counts), and the quadratic runs over the
+# BOUNDED source pair set via a token-keyed join: dot products come from
+# joining the two count tables ON TOKEN (one shuffled row per token per
+# source pair that shares it), norms from per-source aggregates — the
+# corpus body is never pair-joined.
+# --------------------------------------------------------------------------
+Q150_MIN_SIM = 0.5
+
+
+@register(
+    "q150_source_similarity",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, t, count(*)::DOUBLE AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1, 2),
+    nrm AS (SELECT source, sqrt(sum(c * c)) AS n FROM tc GROUP BY 1),
+    dots AS (
+      SELECT a.source AS sa, b.source AS sb, sum(a.c * b.c) AS dp
+      FROM tc a JOIN tc b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT sa, sb, round(dp / (na.n * nb.n), 6) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.source = sa
+    JOIN nrm nb ON nb.source = sb
+    WHERE dp / (na.n * nb.n) >= {Q150_MIN_SIM}
+    ORDER BY sa, sb
+    """,
+)
+def q150_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    nrm = tc.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    a = tc.select(F.col("source").alias("sa"), "t", F.col("c").alias("cx"))
+    b = tc.select(F.col("source").alias("sb"), "t", F.col("c").alias("cy"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("cx") * F.col("cy")).alias("dp"))
+    )
+    na = nrm.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = nrm.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    sim = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .filter(sim >= Q150_MIN_SIM)
+        .select("sa", "sb", F.round(sim, 6).alias("cos_sim"))
+        .orderBy("sa", "sb")
+    )

@@ -374,3 +374,32 @@ def test_q149_keyness_one_token_shuffle_heap_topk(spark):
     # two subtrees canonicalize identically, so exchange reuse collapses
     # them at runtime — statically at most those two
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q150_source_sim_no_doc_pair_join(spark):
+    # dot products come from the token-keyed join of two COUNT tables —
+    # the plan must aggregate (source, t) counts before any self-join
+    plan = _plan(spark, "q150_source_similarity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_count") >= 1
+    # the dot-product join keys on the token, with aggregated counts as
+    # payload — the raw text column must never cross an exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
+
+
+def test_q151_truth_tier_is_bounded_crossjoin(spark):
+    # the brute-force tier must be the filtered |Q|-row side crossing the
+    # corpus (BroadcastNestedLoopJoin from the tiny side) and the ANN
+    # tier must join on the band key
+    plan = _plan(spark, "q151_ann_recall_eval")
+    assert "vec_id" in plan.split("PushedFilters")[1].splitlines()[0] or (
+        "LessThan(vec_id" in plan
+    )
+    assert "band" in plan
+
+
+def test_q152_histogram_cum_window_bounded(spark):
+    plan = _plan(spark, "q152_length_histogram")
+    assert "partial" in plan.split("Window")[-1]  # bucket agg below window
