@@ -705,3 +705,144 @@ def q152_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_lo")
         .drop("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis A-ES): sample K documents with probability proportional to a
+# weight (n_chars here — longer docs oversampled, the "sample by token
+# count" mixture move) by ranking on key = ln(u)/w with u a fixed
+# md5-derived uniform — no RNG state, so the sample is exactly
+# reproducible and oracle-checkable (the same reason q96 replaced
+# randomSplit). Top-K by key is a TakeOrderedAndProject heap; the whole
+# pass is one scan + heap, distributed-sampling's canonical shape.
+# --------------------------------------------------------------------------
+Q153_K = 25
+_Q153_SCALE = float(2**60)
+
+
+@register(
+    "q153_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(greatest(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, 1)
+                / {_Q153_SCALE!r}) / n_chars AS k
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           round(k * 1e6, 6) AS key_x1e6
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {Q153_K}
+    """,
+)
+def q153_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(1),
+    ) / F.lit(_Q153_SCALE)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(Q153_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("k") * 1e6, 6).alias("key_x1e6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q154 — rendezvous (highest-random-weight) shard assignment and the
+# rebalancing delta: assign every document to a shard by argmax over
+# md5(doc:shard) scores, for S and S+1 shards, and report how many
+# documents MOVE — the consistent-hashing property (≈ 1/(S+1) movement)
+# that makes shard scale-out cheap, versus mod-hashing where nearly
+# everything moves. Assignment is a per-row argmax over a CONSTANT-size
+# shard list (array expression, no explode past the scan, no shuffle);
+# the movement report is one aggregate.
+# --------------------------------------------------------------------------
+Q154_S = 8
+
+
+def _q154_oracle() -> str:
+    def pick(n: int) -> str:
+        # lexicographic struct max = (max h, tie -> max s) on both engines
+        return (
+            "list_max(list_transform(range(0, {n}), s -> "
+            "struct_pack(h := ('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+            " || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT, s := s))).s"
+        ).format(n=n)
+
+    return f"""
+    WITH a AS (
+      SELECT doc_id,
+             {pick(Q154_S)} AS s_old,
+             {pick(Q154_S + 1)} AS s_new
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           round(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)
+                 / count(*), 6) AS moved_frac,
+           CAST(count(DISTINCT s_new) AS BIGINT) AS n_shards_new
+    FROM a
+    """
+
+
+@register("q154_rendezvous_sharding", oracle=_q154_oracle())
+def q154_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def pick(n: int):
+        scores = F.array(
+            *[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(str(s)),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint").alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+        # lexicographic struct max = (max h, tie -> max s), mirroring the
+        # oracle's list_max
+        return F.array_max(scores)["s"]
+
+    a = docs.select(
+        "doc_id",
+        pick(Q154_S).alias("s_old"),
+        pick(Q154_S + 1).alias("s_new"),
+    )
+    return a.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("int")).alias("n_moved"),
+        F.round(
+            F.sum((F.col("s_old") != F.col("s_new")).cast("int")) / F.count("*"),
+            6,
+        ).alias("moved_frac"),
+        F.countDistinct("s_new").alias("n_shards_new"),
+    )

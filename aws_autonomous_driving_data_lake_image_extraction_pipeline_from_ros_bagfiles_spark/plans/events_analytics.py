@@ -1165,3 +1165,62 @@ def q147_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 6).alias("merged_estimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q155 — dead-letter routing for semi-structured ingest: parse the props
+# JSON against the expected schema and ROUTE rows that fail (here a
+# deterministic 10% corruption fixture — trailing garbage appended when
+# event_id % 10 == 7) to a dead-letter count instead of poisoning the
+# batch — the PERMISSIVE/badRecordsPath ETL contract as an explicit
+# query. Parse state is a pure row function (one from_json attempt, no
+# shuffle before the per-type rollup); good rows aggregate their payload
+# field, dead rows are counted with a sample of offending ids for the
+# operator to triage.
+# --------------------------------------------------------------------------
+@register(
+    "q155_dead_letter_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 10 = 7 THEN props || '!!' ELSE props END
+               AS payload
+      FROM events),
+    parsed AS (
+      SELECT event_type, event_id,
+             TRY_CAST(json_extract(CASE WHEN json_valid(payload)
+                        THEN payload END, '$.k') AS BIGINT) AS k,
+             json_valid(payload) AS ok
+      FROM raw)
+    SELECT event_type,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead,
+           round(avg(CASE WHEN ok THEN k END), 6) AS mean_k,
+           CAST(min(CASE WHEN NOT ok THEN event_id END) AS BIGINT)
+             AS first_dead_id
+    FROM parsed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q155_dead_letter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 7, F.concat(F.col("props"), F.lit("!!"))
+    ).otherwise(F.col("props"))
+    parsed = events.select(
+        "event_type",
+        "event_id",
+        F.from_json(payload, "k bigint").alias("j"),
+        # from_json is PERMISSIVE (null struct/fields on bad input); the
+        # explicit validity bit mirrors json_valid so routing is exact
+        payload.rlike(r"^\{.*\}$").alias("ok"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("ok").cast("int")).alias("n_ok"),
+            F.sum((~F.col("ok")).cast("int")).alias("n_dead"),
+            F.round(F.avg(F.when(F.col("ok"), F.col("j.k"))), 6).alias("mean_k"),
+            F.min(F.when(~F.col("ok"), F.col("event_id"))).alias("first_dead_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -403,3 +403,25 @@ def test_q151_truth_tier_is_bounded_crossjoin(spark):
 def test_q152_histogram_cum_window_bounded(spark):
     plan = _plan(spark, "q152_length_histogram")
     assert "partial" in plan.split("Window")[-1]  # bucket agg below window
+
+
+def test_q153_weighted_sample_is_scan_plus_heap(spark):
+    plan = _plan(spark, "q153_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q154_rendezvous_assignment_is_row_local(spark):
+    # shard pick is an array expression per row: no explode, no join, no
+    # shuffle before the single summary aggregate
+    plan = _plan(spark, "q154_rendezvous_sharding")
+    assert "Generate" not in plan and "Join" not in plan
+    # the only keyed exchange comes from countDistinct(s_new)'s expand;
+    # the assignment itself adds none
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q155_dead_letter_single_rollup(spark):
+    plan = _plan(spark, "q155_dead_letter_parse")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "from_json" in plan
