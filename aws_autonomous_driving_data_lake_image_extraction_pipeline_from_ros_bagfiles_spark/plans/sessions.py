@@ -124,3 +124,92 @@ def q50_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 3).alias("first_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — stateful streaming EMA: per-user exponentially-weighted moving
+# average of event values folded across micro-batches through keyed
+# state (applyInPandasWithState; Spark 4's transformWithStateInPandas
+# successor API is env-blocked here — its worker needs google.protobuf,
+# absent from this container — see streaming/ema_state.py). The
+# fixture lands the events in TWO files drained as two micro-batches
+# (maxFilesPerTrigger=1), so the result only matches if state carries the
+# running (ema, n) across batches — and because the fold order (ts,
+# event_id) is total and floats ride through state exactly, the streamed
+# recurrence is bit-identical to a single-pass fold. The oracle is the
+# closed-form weighted sum (batch SQL over the whole table), equal to the
+# recurrence within 6-dp rounding.
+# --------------------------------------------------------------------------
+Q156_ALPHA = 0.3
+
+
+@register(
+    "q156_stateful_ema",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    weighted AS (
+      SELECT user_id, n,
+             value * CASE WHEN rn = 1
+                          THEN pow(1.0 - {Q156_ALPHA}, n - 1)
+                          ELSE {Q156_ALPHA} * pow(1.0 - {Q156_ALPHA}, n - rn)
+                     END AS w
+      FROM ordered)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(w), 6) AS ema
+    FROM weighted GROUP BY 1
+    """,
+)
+def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ema_state import ema_stream
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ema_state_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        # land two batch files split at a TIME boundary — batches must
+        # arrive in fold order (the EMA recurrence is order-sensitive);
+        # two files => two micro-batches
+        for i, cond in enumerate(
+            [F.to_date("ts") < "2023-01-16", F.to_date("ts") >= "2023-01-16"]
+        ):
+            stage = f"{work}/b{i}.stage"
+            # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
+            events.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+            shutil.move(
+                glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b{i}.parquet"
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+        ema_stream(
+            spark,
+            src,
+            events.schema,
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            alpha=Q156_ALPHA,
+        )
+        out = spark.read.parquet(f"{work}/out")
+        # latest emission per key = the cumulative answer (n monotonic)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            out.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "n_events", F.round("ema", 6).alias("ema"))
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

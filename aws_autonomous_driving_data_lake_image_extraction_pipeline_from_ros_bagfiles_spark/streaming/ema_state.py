@@ -1,0 +1,87 @@
+"""Stateful streaming EMA: per-key ValueState-style fold across
+micro-batches.
+
+Per key (user), state holds ``(ema, n_events)``; every micro-batch folds
+its rows into the recurrence ``ema = alpha * x + (1 - alpha) * ema`` in
+(ts, event_id) order and emits the running result. Because state carries
+the exact float across batches and rows are folded in the same total
+order, the multi-batch streaming result is BIT-IDENTICAL to a
+single-pass fold — which is what lets the batch oracle check it.
+
+API note: Spark 4's ``transformWithStateInPandas`` (the arbitrary-state
+successor API) is ENV-BLOCKED in this container — its worker imports
+``google.protobuf`` (pyspark.sql.streaming.proto.StateMessage_pb2),
+which is not installed and cannot be (no pip). The implementation
+therefore uses ``applyInPandasWithState`` (same keyed-state semantics,
+GroupState instead of ValueState); swapping to transformWithState on a
+full deployment is a mechanical port of `_fold_batch`.
+
+Scale: state is O(1) per key (two numbers); the shuffle keys on user_id
+once per batch — the standard keyed-state layout that holds at any
+stream width.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_id bigint, n_events bigint, ema double"
+STATE_SCHEMA = "ema double, n bigint"
+
+
+def _make_fold(alpha: float):
+    def fold(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = None, 0
+        for x in pdf["value"]:
+            x = float(x)
+            ema = x if ema is None else alpha * x + (1.0 - alpha) * ema
+            n += 1
+        state.update((ema, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema": [ema]})
+
+    return fold
+
+
+def ema_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    alpha: float,
+) -> None:
+    """Drain the landing dir with availableNow, appending per-batch
+    running EMA rows to ``out_dir`` (one row per key per batch it appears
+    in; the latest row per key is the stream's current answer)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one landed file per micro-batch
+        .parquet(src_dir)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_fold(alpha),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -101,3 +101,37 @@ def test_salted_agg_equivalence_random(spark, salt_n):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FastSS completeness (q123's core claim): any two strings at levenshtein
+# distance <= 1 MUST share a member of their deletion neighborhoods
+# {s} ∪ {s minus one char}. Candidate generation built on that key can
+# then never miss a true pair — only the verify filter decides.
+# ---------------------------------------------------------------------------
+@st.composite
+def _edit_pair(draw):
+    s = draw(st.text(alphabet="abcde", min_size=1, max_size=12))
+    op = draw(st.sampled_from(["sub", "ins", "del", "eq"]))
+    if op == "eq":
+        return s, s
+    i = draw(st.integers(0, max(len(s) - 1, 0)))
+    c = draw(st.sampled_from("abcde"))
+    if op == "sub":
+        return s, s[:i] + c + s[i + 1 :]
+    if op == "ins":
+        j = draw(st.integers(0, len(s)))
+        return s, s[:j] + c + s[j:]
+    return s, s[:i] + s[i + 1 :]  # del (may produce empty string)
+
+
+def _deletion_neighborhood(s: str) -> set:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@given(_edit_pair())
+@settings(max_examples=300, deadline=None)
+def test_fastss_deletion_neighborhood_complete(pair):
+    a, b = pair
+    # pairs constructed above are always at distance <= 1
+    assert _deletion_neighborhood(a) & _deletion_neighborhood(b)

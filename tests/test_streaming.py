@@ -179,3 +179,61 @@ def test_q41_partials_replay_idempotent(spark, tmp_path):
     batch_fn(half2, 1)  # at-least-once replay of the same micro-batch
     assert compacted() == want, "replayed batch_id must not double-count"
     events.unpersist()
+
+
+def test_q156_state_carries_across_batches_exactly(spark, tmp_path):
+    # the two-micro-batch streamed EMA must be BIT-identical to a single
+    # in-memory fold over the same rows in the same total order — state
+    # carries the exact float between batches
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sessions import (
+        Q156_ALPHA,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.ema_state import (
+        ema_stream,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.tables import (
+        load,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = f"{tmp_path}/in"
+    os.makedirs(src)
+    for i, cond in enumerate(
+        [F.to_date("ts") < "2023-01-16", F.to_date("ts") >= "2023-01-16"]
+    ):
+        stage = f"{tmp_path}/b{i}.stage"
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+    ema_stream(
+        spark, src, events.schema,
+        out_dir=f"{tmp_path}/out", checkpoint_dir=f"{tmp_path}/ckpt",
+        alpha=Q156_ALPHA,
+    )
+    out = spark.read.parquet(f"{tmp_path}/out").collect()
+    latest = {}
+    for r in out:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_events, r.ema)
+
+    rows = sorted(
+        events.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    expect = {}
+    for r in rows:
+        ema, n = expect.get(r.user_id, (None, 0))
+        x = float(r.value)
+        ema = x if ema is None else Q156_ALPHA * x + (1.0 - Q156_ALPHA) * ema
+        expect[r.user_id] = (ema, n + 1)
+    assert set(latest) == set(expect)
+    for uid, (n, ema) in latest.items():
+        e_ema, e_n = expect[uid]
+        assert n == e_n
+        assert ema == e_ema  # bit-identical, not approx
