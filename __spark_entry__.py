@@ -23,6 +23,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
 # Importing the query modules populates the registry.
 from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans import (  # noqa: F401
     analytics,
+    corpus_quality,
     curation,
     evaluation,
     events_analytics,

@@ -1,0 +1,379 @@
+"""Corpus-quality wave 4b (q157-q163 odd family): cluster-representative
+canonicalization, Gopher-style rule gates, containment dedup, n-gram
+novelty, and quality-mass (nucleus) selection.
+
+These close the curation steps between "find duplicate pairs" (q23/q24)
+and "emit a training corpus" (q112/q141): after clustering you must PICK
+a survivor (q157); rule filters are applied as a composite named gate
+with per-rule diagnostics (q159); containment catches subset/quote
+duplication that symmetric Jaccard misses (q160); novelty measures how
+much genuinely-new n-gram mass each document contributes (q161); and
+nucleus selection keeps the smallest high-quality prefix per source that
+still covers a target share of content mass (q163).
+
+Scale notes (100 TB discipline):
+- q157 reuses the q54 components operator (large-star/small-star, O(log d)
+  rounds, no driver-side graph); representative choice is one rank window
+  PARTITIONED by cluster_id — bounded by cluster size, never global.
+- q159/q161/q163 shuffle only small keys (source, gram-hash, doc_id);
+  every aggregate is map-side combinable.
+- q160 uses the same shared-shingle inverted-index join as q23 — the only
+  pairs ever materialized already share a shingle; the stop-shingle cap
+  argument (dedup.py:215) applies unchanged.
+- No Python UDFs anywhere: all column expressions stay in codegen.
+
+Reference provenance: the reference pipeline dedups at file level only
+(same-key S3 overwrite, bagstream.py:251-252); these queries are the
+beyond-reference LLM-curation tier SURVEY §7/M6 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q157 — near-dup cluster canonicalization: q54's connected components
+# plus singleton closure over ALL documents, then ONE survivor per
+# cluster by (n_chars DESC, doc_id ASC) — "keep the longest member" is
+# the standard near-dup survivor rule (longest = most content). Output is
+# the full per-doc verdict table a curation pass writes back to the lake.
+# --------------------------------------------------------------------------
+Q157_THRESHOLD = 0.2
+
+
+@register(
+    "q157_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT ia, ib FROM inter
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {Q157_THRESHOLD}
+    ),
+    edges AS (SELECT ia AS u, ib AS v FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    closure(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM closure GROUP BY u),
+    alldocs AS (
+        SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM alldocs
+    )
+    SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(rk = 1 AS INT) AS is_kept
+    FROM ranked
+    """,
+)
+def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=Q157_THRESHOLD)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    alldocs = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return alldocs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.row_number().over(rk) == 1).cast("int").alias("is_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q159 — Gopher-style composite rule gate (Rae et al. 2021 §A1.1, adapted
+# to the synthetic vocabulary): word-count bounds, mean-word-length
+# bounds, type-token-ratio floor (repetition proxy), and a minimum
+# distinct-stopword count. Reported per source with per-rule failure
+# diagnostics — the shape a curation dashboard consumes. One pass, one
+# map-side-combinable groupBy on `source`.
+# --------------------------------------------------------------------------
+Q159_WC_LO, Q159_WC_HI = 20, 80
+Q159_MWL_LO, Q159_MWL_HI = 3.0, 6.0
+Q159_TTR_MIN = 0.45
+Q159_STOPWORDS = ("the", "a", "order", "table", "row")
+Q159_STOP_MIN = 2
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in Q159_STOPWORDS)
+
+
+@register(
+    "q159_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    feat AS (
+      SELECT source,
+             len(w) AS wc,
+             list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS mwl,
+             len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+             len(list_distinct(list_filter(w, x -> x IN ({_STOP_SQL}))))
+                 AS n_stop
+      FROM t
+    ),
+    rules AS (
+      SELECT source,
+             CAST(wc BETWEEN {Q159_WC_LO} AND {Q159_WC_HI} AS INT) AS ok_wc,
+             CAST(mwl BETWEEN {Q159_MWL_LO} AND {Q159_MWL_HI} AS INT) AS ok_mwl,
+             CAST(ttr >= {Q159_TTR_MIN} AS INT) AS ok_ttr,
+             CAST(n_stop >= {Q159_STOP_MIN} AS INT) AS ok_stop
+      FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok_wc * ok_mwl * ok_ttr * ok_stop) AS BIGINT) AS n_pass,
+           CAST(sum(1 - ok_wc) AS BIGINT) AS n_fail_wc,
+           CAST(sum(1 - ok_mwl) AS BIGINT) AS n_fail_mwl,
+           CAST(sum(1 - ok_ttr) AS BIGINT) AS n_fail_ttr,
+           CAST(sum(1 - ok_stop) AS BIGINT) AS n_fail_stop
+    FROM rules
+    GROUP BY source
+    """,
+)
+def q159_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    wc = F.size(w)
+    mwl = (
+        F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+        * F.lit(1.0)
+        / wc
+    )
+    ttr = F.size(F.array_distinct(w)) * F.lit(1.0) / wc
+    n_stop = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*Q159_STOPWORDS)))
+    )
+    feat = docs.select(
+        "source",
+        wc.between(Q159_WC_LO, Q159_WC_HI).cast("int").alias("ok_wc"),
+        mwl.between(Q159_MWL_LO, Q159_MWL_HI).cast("int").alias("ok_mwl"),
+        (ttr >= Q159_TTR_MIN).cast("int").alias("ok_ttr"),
+        (n_stop >= Q159_STOP_MIN).cast("int").alias("ok_stop"),
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.col("ok_wc") * F.col("ok_mwl") * F.col("ok_ttr") * F.col("ok_stop")
+        ).cast("bigint").alias("n_pass"),
+        F.sum(1 - F.col("ok_wc")).cast("bigint").alias("n_fail_wc"),
+        F.sum(1 - F.col("ok_mwl")).cast("bigint").alias("n_fail_mwl"),
+        F.sum(1 - F.col("ok_ttr")).cast("bigint").alias("n_fail_ttr"),
+        F.sum(1 - F.col("ok_stop")).cast("bigint").alias("n_fail_stop"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — containment near-dup (asymmetric): C(a,b) = |A∩B| / min(|A|,|B|)
+# over word-3-gram shingle sets. Catches a short document quoted inside a
+# longer one — invisible to symmetric Jaccard (the union denominator
+# drowns the overlap). Same inverted-index candidate join as q23: only
+# pairs sharing >= 1 shingle are ever materialized.
+# --------------------------------------------------------------------------
+Q160_THRESHOLD = 0.6
+
+
+@register(
+    "q160_containment_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT ia, ib,
+           round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON ia = sa.doc_id
+    JOIN sizes sb ON ib = sb.doc_id
+    WHERE c * 1.0 / least(sa.n, sb.n) >= {Q160_THRESHOLD}
+    """,
+)
+def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_long
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles_long(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "shingle")
+    b = sh.select(F.col("doc_id").alias("ib"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    cont = F.col("c") * F.lit(1.0) / F.least("na", "nb")
+    return (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .filter(cont >= Q160_THRESHOLD)
+        .select("ia", "ib", F.round(cont, 6).alias("containment"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q161 — n-gram novelty by ingest order: a document's novelty is the
+# fraction of its distinct 3-grams whose FIRST corpus occurrence (min
+# doc_id = arrival order) is this document. Freshness/diversity signal:
+# boilerplate-heavy late arrivals score near 0. The gram->first-doc
+# attribution is one map-side-combinable min() groupBy on the gram; the
+# re-join back to docs is on the same key.
+# --------------------------------------------------------------------------
+@register(
+    "q161_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM shx GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM shx s JOIN first f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_long
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles_long(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "shingle")
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(F.sum(novel) * F.lit(1.0) / F.count("*"), 6).alias("novelty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q163 — quality-mass (nucleus) selection: per source, rank documents by
+# content mass (n_chars DESC, doc_id ASC) and keep the smallest prefix
+# whose cumulative mass reaches Q163_P of the source total — top-p
+# sampling applied to corpus curation. All sums are INTEGER (n_chars), so
+# the cumulative comparison is bit-exact on both engines. The window is
+# partitioned by source — never global.
+# --------------------------------------------------------------------------
+Q163_P = 0.5
+
+
+@register(
+    "q163_quality_mass_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    ),
+    verdict AS (
+      SELECT source, n_chars,
+             CAST(cum - n_chars < {Q163_P} * total AS INT) AS kept
+      FROM ranked
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM verdict
+    GROUP BY source
+    """,
+)
+def q163_quality_mass_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wtot).alias("total"),
+    )
+    kept = (F.col("cum") - F.col("n_chars") < Q163_P * F.col("total")).cast(
+        "int"
+    )
+    return (
+        ranked.select("source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).cast("bigint").alias(
+                "kept_chars"
+            ),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
