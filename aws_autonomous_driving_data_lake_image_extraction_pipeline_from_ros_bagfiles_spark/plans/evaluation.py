@@ -371,3 +371,166 @@ def q124_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — label-noise audit: per-class precision/recall/F1 plus overall
+# accuracy and Cohen's kappa between the gold `lang` column and the q29
+# stopword-voting annotator (operators/text.py::lang_id). This is the
+# agreement report a labeling pipeline runs before trusting auto-labels
+# for training: kappa corrects raw agreement for chance agreement from
+# the marginals (kappa = (po - pe) / (1 - pe)).
+#
+# Scale shape: one narrow projection -> a |classes|-sized confusion
+# aggregate (map-side combinable); the kappa row folds the same tiny
+# marginals. Division guards (n_pred = 0 -> NULL) are explicit CASEs so
+# both engines agree instead of relying on div-by-zero semantics.
+# --------------------------------------------------------------------------
+
+
+def _q164_oracle() -> str:
+    from ..operators import text as T
+
+    score = {
+        lang: "len(list_filter(string_split(text, ' '), t -> t IN ({})))".format(
+            ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in T.LANG_KEYWORDS.items()
+    }
+    mx = "greatest({})".format(", ".join(score.values()))
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in sorted(score)
+        )
+        + " END"
+    )
+    return f"""
+    WITH pred AS (
+      SELECT lang AS gold, {case} AS pred FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM pred),
+    per AS (
+      SELECT c.lang AS label,
+             (SELECT count(*) FROM pred WHERE gold = c.lang) AS n_gold,
+             (SELECT count(*) FROM pred WHERE pred = c.lang) AS n_pred,
+             (SELECT count(*) FROM pred
+              WHERE gold = c.lang AND pred = c.lang) AS n_correct
+      FROM (SELECT DISTINCT lang FROM documents) c
+    ),
+    prf AS (
+      SELECT label, CAST(n_gold AS BIGINT) AS n_gold,
+             CAST(n_pred AS BIGINT) AS n_pred,
+             CAST(n_correct AS BIGINT) AS n_correct,
+             CASE WHEN n_pred = 0 THEN NULL
+                  ELSE round(n_correct * 1.0 / n_pred, 6) END AS precision,
+             CASE WHEN n_gold = 0 THEN NULL
+                  ELSE round(n_correct * 1.0 / n_gold, 6) END AS recall,
+             CASE WHEN n_pred = 0 OR n_gold = 0
+                       OR n_correct * 1.0 / n_pred + n_correct * 1.0 / n_gold = 0
+                  THEN NULL
+                  ELSE round(2 * (n_correct * 1.0 / n_pred)
+                             * (n_correct * 1.0 / n_gold)
+                             / (n_correct * 1.0 / n_pred
+                                + n_correct * 1.0 / n_gold), 6) END AS f1,
+             CAST(NULL AS DOUBLE) AS kappa
+      FROM per
+    ),
+    agg AS (
+      SELECT sum(n_correct) * 1.0 / n.n AS po,
+             sum((n_gold * 1.0 / n.n) * (n_pred * 1.0 / n.n)) AS pe,
+             CAST(n.n AS BIGINT) AS total
+      FROM per CROSS JOIN n GROUP BY n.n
+    ),
+    allrow AS (
+      SELECT 'ALL' AS label, total AS n_gold, total AS n_pred,
+             CAST(round(po * total) AS BIGINT) AS n_correct,
+             round(po, 6) AS precision, round(po, 6) AS recall,
+             round(po, 6) AS f1,
+             round((po - pe) / (1 - pe), 6) AS kappa
+      FROM agg
+    )
+    SELECT * FROM prf UNION ALL SELECT * FROM allrow
+    """
+
+
+@register("q164_annotator_agreement", oracle=_q164_oracle())
+def q164_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("gold"), lang_id(F.col("text")).alias("pred")
+    )
+    per = (
+        pred.selectExpr("gold AS label", "pred", "gold")
+        .select(F.col("label"))
+        .distinct()
+        .join(
+            pred.groupBy("gold").agg(F.count("*").alias("n_gold")),
+            F.col("label") == F.col("gold"),
+            "left",
+        )
+        .drop("gold")
+        .join(
+            pred.groupBy("pred").agg(F.count("*").alias("n_pred")),
+            F.col("label") == F.col("pred"),
+            "left",
+        )
+        .drop("pred")
+        .join(
+            pred.filter(F.col("gold") == F.col("pred"))
+            .groupBy("gold")
+            .agg(F.count("*").alias("n_correct")),
+            F.col("label") == F.col("gold"),
+            "left",
+        )
+        .drop("gold")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).cast("bigint").alias("n_correct"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") != 0, F.col("n_correct") * F.lit(1.0) / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_gold") != 0, F.col("n_correct") * F.lit(1.0) / F.col("n_gold")
+    )
+    f1 = F.when(
+        (F.col("n_pred") != 0) & (F.col("n_gold") != 0) & (prec + rec != 0),
+        2 * prec * rec / (prec + rec),
+    )
+    prf = per.select(
+        "label",
+        "n_gold",
+        "n_pred",
+        "n_correct",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.lit(None).cast("double").alias("kappa"),
+    )
+    n = pred.count()
+    agg = per.agg(
+        (F.sum("n_correct") * F.lit(1.0) / n).alias("po"),
+        F.sum(
+            (F.col("n_gold") * F.lit(1.0) / n)
+            * (F.col("n_pred") * F.lit(1.0) / n)
+        ).alias("pe"),
+    )
+    allrow = agg.select(
+        F.lit("ALL").alias("label"),
+        F.lit(n).cast("bigint").alias("n_gold"),
+        F.lit(n).cast("bigint").alias("n_pred"),
+        F.round(F.col("po") * n).cast("bigint").alias("n_correct"),
+        F.round("po", 6).alias("precision"),
+        F.round("po", 6).alias("recall"),
+        F.round("po", 6).alias("f1"),
+        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias(
+            "kappa"
+        ),
+    )
+    return prf.unionAll(allrow)

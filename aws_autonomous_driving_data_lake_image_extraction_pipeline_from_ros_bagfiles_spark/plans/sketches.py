@@ -460,3 +460,115 @@ def q139_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q158 — HyperLogLog distinct-user sketch per event_type (Flajolet et al.
+# 2007): m=64 registers, md5-derived (bucket, rho). The register table IS
+# the mergeable sketch: groupBy(event_type, bucket).max(rho) makes Spark's
+# map-side partial aggregation the sketch merge — executors build partial
+# register arrays over their partitions and the shuffle combines them with
+# max(), exactly how per-day HLL sketches would roll up (cf. q147's KMV
+# daily merge). Sketch size is O(m) per group, independent of corpus size.
+#
+# Determinism (why this can be value-hash oracled): the hash is md5; the
+# harmonic sum's terms 2^-rho are exact powers of two spanning < 2^53, so
+# every partial sum is exact in IEEE double REGARDLESS of Spark's
+# aggregation order — the one floating-point hazard of HLL is absent.
+# Small-range (linear counting) correction applies when E <= 2.5m and
+# empty registers remain, matching the published algorithm.
+# --------------------------------------------------------------------------
+Q158_M = 64          # registers (p = 6 bucket bits)
+Q158_ALPHA = 0.709   # alpha_64 from the HLL paper
+Q158_WBITS = 48      # rho field: 12 md5 hex chars -> exact in double
+
+
+@register(
+    "q158_hll_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             CAST('0x' || substr(hx, 1, 2) AS BIGINT) % {Q158_M} AS bucket,
+             CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {Q158_WBITS + 1}
+                      ELSE {Q158_WBITS} - CAST(floor(log2(w)) AS BIGINT)
+                 END) AS rho
+      FROM parts GROUP BY 1, 2
+    ),
+    sketch AS (
+      SELECT event_type,
+             sum(power(2.0, -rho)) + ({Q158_M} - count(*)) AS s,
+             {Q158_M} - count(*) AS v
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             {Q158_ALPHA} * {Q158_M} * {Q158_M} / s AS e_raw, v
+      FROM sketch
+    ),
+    corrected AS (
+      SELECT event_type,
+             CASE WHEN e_raw <= 2.5 * {Q158_M} AND v > 0
+                  THEN {Q158_M} * ln({Q158_M} * 1.0 / v)
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round(c.e, 4) AS hll_estimate,
+           round(abs(c.e - x.n_exact) / x.n_exact, 4) AS rel_err
+    FROM corrected c JOIN exact x ON c.event_type = x.event_type
+    """,
+)
+def q158_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    h = ev.select("event_type", hx.alias("hx")).distinct()
+    w = F.conv(F.substring("hx", 3, 12), 16, 10).cast("bigint")
+    parts = h.select(
+        "event_type",
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % Q158_M).alias(
+            "bucket"
+        ),
+        w.alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(Q158_WBITS + 1)).otherwise(
+        F.lit(Q158_WBITS) - F.floor(F.log2("w")).cast("bigint")
+    )
+    regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    sketch = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+            + (Q158_M - F.count("*"))
+        ).alias("s"),
+        (Q158_M - F.count("*")).alias("v"),
+    )
+    e_raw = F.lit(Q158_ALPHA * Q158_M * Q158_M) / F.col("s")
+    e = F.when(
+        (e_raw <= 2.5 * Q158_M) & (F.col("v") > 0),
+        Q158_M * F.log(Q158_M * 1.0 / F.col("v")),
+    ).otherwise(e_raw)
+    est = sketch.select("event_type", e.alias("e"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round("e", 4).alias("hll_estimate"),
+        F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

@@ -870,3 +870,135 @@ def q150_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sa", "sb", F.round(sim, 6).alias("cos_sim"))
         .orderBy("sa", "sb")
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — BM25 hard-negative mining for retrieval training (DPR / sentence-
+# transformers recipe): every 25th document becomes a query (its 3
+# lexicographically-smallest distinct tokens of length >= 4 are the query
+# terms); the positives are the source documents themselves; the HARD
+# negatives are the top-3 OTHER documents by BM25 — lexically close but
+# not the gold passage, exactly what contrastive retrievers need.
+#
+# Scale shape: the per-query term lists live in a tiny broadcast frame
+# (|queries| x 3 rows); candidate scoring is the inverted-index join
+# tok ⋈ qterms on the term — a document is scored for a query ONLY if it
+# shares a term, never corpus x queries. The rank window partitions by
+# query id. Same k1/b/idf constants as q80.
+# --------------------------------------------------------------------------
+Q162_EVERY = 25
+Q162_NTERMS = 3
+Q162_MINLEN = 4
+Q162_NEGS = 3
+
+
+@register(
+    "q162_hard_negatives",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+    qterms AS (
+      SELECT doc_id AS qid, unnest(list_sort(list_distinct(
+                 list_filter(w, t -> length(t) >= {Q162_MINLEN})))[1:{Q162_NTERMS}])
+             AS t
+      FROM d WHERE doc_id % {Q162_EVERY} = 0
+    ),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    qtok AS (SELECT DISTINCT t FROM qterms),
+    rtok AS (SELECT tok.* FROM tok JOIN qtok USING (t)),
+    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM rtok GROUP BY 1),
+    tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+           FROM rtok GROUP BY 1, 2),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / corpus.avgdl)))
+                 AS raw
+      FROM qterms q
+      JOIN tf ON q.t = tf.t
+      JOIN dft ON q.t = dft.t
+      CROSS JOIN corpus
+      WHERE tf.doc_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, round(raw, 6) AS bm25,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(raw, 6) DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT qid, CAST(rk AS INT) AS neg_rank, doc_id AS neg_doc_id, bm25
+    FROM ranked WHERE rk <= {Q162_NEGS}
+    """,
+)
+def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    corpus = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    qterms = (
+        d.filter(F.col("doc_id") % Q162_EVERY == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.filter("w", lambda t: F.length(t) >= Q162_MINLEN)
+                        )
+                    ),
+                    1,
+                    Q162_NTERMS,
+                )
+            ).alias("t"),
+        )
+    )
+    tok = d.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
+    )
+    qtok = qterms.select("t").distinct()
+    rtok = tok.join(F.broadcast(qtok), "t")
+    dft = (
+        rtok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = rtok.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (Q80_K1 + 1)
+        / (
+            F.col("tf")
+            + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "t")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    rk = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "qid",
+            F.row_number().over(rk).alias("neg_rank"),
+            F.col("doc_id").alias("neg_doc_id"),
+            "bm25",
+        )
+        .filter(F.col("neg_rank") <= Q162_NEGS)
+    )
