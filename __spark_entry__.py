@@ -28,6 +28,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     evaluation,
     events_analytics,
     grouped,
+    layout,
     llm_ops,
     multimodal,
     nested,
