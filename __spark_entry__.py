@@ -27,12 +27,14 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     curation,
     evaluation,
     events_analytics,
+    graph_metrics,
     grouped,
     layout,
     llm_ops,
     multimodal,
     nested,
     pipeline,
+    privacy,
     relational,
     select_trainprep,
     sessions,

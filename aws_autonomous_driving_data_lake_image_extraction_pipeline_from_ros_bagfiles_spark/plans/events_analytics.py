@@ -1224,3 +1224,89 @@ def q155_dead_letter_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q169 — first/last-touch revenue attribution: every purchase's value is
+# credited to the user's FIRST and LAST non-purchase touch before the
+# purchase (classic marketing attribution; 'direct' when no prior touch).
+# One pass: first_value/last_value IGNORE NULLS windows over the per-user
+# timeline — partitioned by user_id (bounded by a user's history), never
+# global — then a channel-level rollup of the purchase rows only. No
+# purchase x events join: the window carries the state.
+# --------------------------------------------------------------------------
+@register(
+    "q169_touch_attribution",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      FROM events
+    ),
+    attr AS (
+      SELECT user_id, event_type, value,
+             first_value(touch IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS first_touch,
+             last_value(touch IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+      FROM tl
+    ),
+    purch AS (
+      SELECT coalesce(first_touch, 'direct') AS first_ch,
+             coalesce(last_touch, 'direct') AS last_ch, value
+      FROM attr WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT first_ch AS channel, count(*) AS n_first,
+                 round(sum(value), 2) AS rev_first
+          FROM purch GROUP BY 1),
+    l AS (SELECT last_ch AS channel, count(*) AS n_last,
+                 round(sum(value), 2) AS rev_last
+          FROM purch GROUP BY 1)
+    SELECT coalesce(f.channel, l.channel) AS channel,
+           CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+           coalesce(rev_first, 0.0) AS rev_first,
+           CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+           coalesce(rev_last, 0.0) AS rev_last
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    """,
+)
+def q169_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    purch = attr.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_ch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_ch"),
+        "value",
+    )
+    f = purch.groupBy(F.col("first_ch").alias("channel")).agg(
+        F.count("*").alias("n_first"), F.round(F.sum("value"), 2).alias("rev_first")
+    )
+    ll = purch.groupBy(F.col("last_ch").alias("channel")).agg(
+        F.count("*").alias("n_last"), F.round(F.sum("value"), 2).alias("rev_last")
+    )
+    return (
+        f.join(ll, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).cast("bigint").alias("n_first"),
+            F.coalesce("rev_first", F.lit(0.0)).alias("rev_first"),
+            F.coalesce("n_last", F.lit(0)).cast("bigint").alias("n_last"),
+            F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
+        )
+    )

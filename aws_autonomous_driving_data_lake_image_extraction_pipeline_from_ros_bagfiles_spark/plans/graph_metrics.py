@@ -1,0 +1,103 @@
+"""Similarity-graph structure metrics (q168): per-node triangle counts
+over the embedding near-dup graph.
+
+Triangles measure the local density of the duplicate graph: a node in
+many triangles sits in a tightly-knit duplicate clique (one canonical
+survivor suffices — cf. q157), while triangle-free edges are chains of
+borderline matches that deserve human review. This is the standard
+cluster-quality diagnostic run after pair generation and before
+canonicalization.
+
+Scale shape: edges come from the SAME label-blocked cosine join as q42
+(never all-pairs), stored once with id_a < id_b. Triangle enumeration is
+the classic two-join oriented count: ordering every edge low-id -> high-id
+means each triangle {a<b<c} is generated exactly once as the wedge
+(a,b)+(b,c) closed by (a,c) — no per-triangle dedup pass. At production
+scale the orientation is by DEGREE (low-degree first), which bounds the
+wedge fan-out per node by the arboricity (Suri & Vassilvitskii 2011,
+"Counting Triangles and the Curse of the Last Reducer"); with the
+fixture's id-orientation the join shape — two shuffle joins on node id —
+is identical, and both joins stay inside the label blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import dot, norm
+from ..tables import load
+from .registry import register
+
+Q168_TAU = 0.3
+
+_COS = """list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
+          / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x))))"""
+
+
+@register(
+    "q168_triangle_count",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS} >= {Q168_TAU}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    normed = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("u"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("v"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("u") < F.col("v"))
+        .filter(sim >= Q168_TAU)
+        .select("u", "v")
+        # the edge list feeds two self-joins — materialize it once instead
+        # of recomputing the cosine join for each side
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
