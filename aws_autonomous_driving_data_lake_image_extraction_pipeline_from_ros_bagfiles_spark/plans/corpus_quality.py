@@ -211,10 +211,19 @@ def q159_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q160 — containment near-dup (asymmetric): C(a,b) = |A∩B| / min(|A|,|B|)
 # over word-3-gram shingle sets. Catches a short document quoted inside a
 # longer one — invisible to symmetric Jaccard (the union denominator
-# drowns the overlap). Same inverted-index candidate join as q23: only
-# pairs sharing >= 1 shingle are ever materialized.
+# drowns the overlap). Same inverted-index candidate join as q23 — only
+# pairs sharing >= 1 shingle are ever materialized — with two scale
+# guards: the join keys on the 60-bit md5 gram hash (q111's convention,
+# 8-byte shuffle keys), and grams occurring in more than Q160_MAX_FREQ
+# documents are excluded from CANDIDATE GENERATION (the stop-shingle
+# guard of dedup.py:215 — a gram in f docs emits f^2/2 candidate rows;
+# the sf1.0 audit measured the unguarded form at 353 s vs 9 s at sf0.1).
+# Boilerplate grams carry no containment signal, but the intersection
+# COUNT still uses all grams: candidates from rare grams, verification
+# exact — the PPJoin candidate/verify split applied to containment.
 # --------------------------------------------------------------------------
 Q160_THRESHOLD = 0.6
+Q160_MAX_FREQ = 64
 
 
 @register(
@@ -227,12 +236,27 @@ Q160_THRESHOLD = 0.6
                            THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
                        s -> s IS NOT NULL)) AS sh
             FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    shx AS (SELECT doc_id,
+                   CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT)
+                       AS gh
+            FROM shl),
     sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    rare AS (
+        SELECT gh FROM shx GROUP BY gh
+        HAVING count(*) <= {Q160_MAX_FREQ}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM (SELECT shx.* FROM shx JOIN rare USING (gh)) a
+        JOIN (SELECT shx.* FROM shx JOIN rare USING (gh)) b USING (gh)
+        WHERE a.doc_id < b.doc_id
+    ),
     inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        SELECT c.ia, c.ib, count(*) AS c
+        FROM cand c
+        JOIN shx a ON a.doc_id = c.ia
+        JOIN shx b ON b.doc_id = c.ib AND a.gh = b.gh
+        GROUP BY 1, 2
     )
     SELECT ia, ib,
            round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
@@ -246,13 +270,33 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles_long
 
     docs = load(spark, sf_dir, "documents")
-    sh = shingles_long(docs)
+    sh = shingles_long(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gh"),
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("ia"), "shingle")
-    b = sh.select(F.col("doc_id").alias("ib"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    rare = (
+        sh.groupBy("gh")
+        .agg(F.count("*").alias("f"))
+        .filter(F.col("f") <= Q160_MAX_FREQ)
+        .select("gh")
+    )
+    joinable = sh.join(rare, "gh")
+    cand = (
+        joinable.select(F.col("doc_id").alias("ia"), "gh")
+        .join(joinable.select(F.col("doc_id").alias("ib"), "gh"), "gh")
         .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    # exact verification: full intersection count (ALL grams, including
+    # stop-grams), scoped to the candidate pairs — dedup.py's
+    # _jaccard_on_pairs pattern
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("ia"), "gh"), "ia")
+        .join(sh.select(F.col("doc_id").alias("ib"), "gh"), ["ib", "gh"])
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )
@@ -272,8 +316,11 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fraction of its distinct 3-grams whose FIRST corpus occurrence (min
 # doc_id = arrival order) is this document. Freshness/diversity signal:
 # boilerplate-heavy late arrivals score near 0. The gram->first-doc
-# attribution is one map-side-combinable min() groupBy on the gram; the
-# re-join back to docs is on the same key.
+# attribution is one map-side-combinable min() groupBy; both the groupBy
+# and the re-join key on a 60-bit md5 gram hash (q111's convention), so
+# the two shuffles carry 8-byte keys instead of ~25-byte shingle strings
+# — the sf1.0 audit measured the string-keyed form 12x at 10x data,
+# dominated by shuffle bytes.
 # --------------------------------------------------------------------------
 @register(
     "q161_ngram_novelty",
@@ -285,15 +332,18 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
                        s -> s IS NOT NULL)) AS sh
             FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
-    first AS (SELECT shingle, min(doc_id) AS first_doc FROM shx GROUP BY 1)
+    shx AS (SELECT doc_id,
+                   CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT)
+                       AS gh
+            FROM shl),
+    first AS (SELECT gh, min(doc_id) AS first_doc FROM shx GROUP BY 1)
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
            round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS novelty
-    FROM shx s JOIN first f USING (shingle)
+    FROM shx s JOIN first f USING (gh)
     GROUP BY s.doc_id
     """,
 )
@@ -301,9 +351,14 @@ def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles_long
 
     docs = load(spark, sf_dir, "documents")
-    sh = shingles_long(docs)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(first, "shingle")
+    sh = shingles_long(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gh"),
+    )
+    first = sh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first, "gh")
     novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_grams"),

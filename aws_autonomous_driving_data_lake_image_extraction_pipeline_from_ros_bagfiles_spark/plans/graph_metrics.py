@@ -1,6 +1,15 @@
 """Similarity-graph structure metrics (q168): per-node triangle counts
 over the embedding near-dup graph.
 
+The graph is the MUTUAL top-K similarity graph (K=8): each node keeps
+its K strongest neighbors by (cosine DESC, id), and an undirected edge
+survives only if both endpoints kept it. Bounded degree is the scale
+guard — the raw tau=0.3 threshold graph measured dense enough at sf1.0
+(every node in a triangle) that the wedge join dominated the audit;
+mutual-kNN caps the wedge fan-out at K^2 per node at ANY corpus size
+and any threshold, which is why kNN graphs are the standard substrate
+for similarity-graph analytics.
+
 Triangles measure the local density of the duplicate graph: a node in
 many triangles sits in a tightly-knit duplicate clique (one canonical
 survivor suffices — cf. q157), while triangle-free edges are chains of
@@ -22,7 +31,7 @@ is identical, and both joins stay inside the label blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import dot, norm
@@ -30,6 +39,7 @@ from ..tables import load
 from .registry import register
 
 Q168_TAU = 0.3
+Q168_K = 8
 
 _COS = """list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedding::DOUBLE[])[i]))
           / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
@@ -39,11 +49,22 @@ _COS = """list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedd
 @register(
     "q168_triangle_count",
     oracle=f"""
-    WITH edges AS (
-      SELECT a.vec_id AS u, b.vec_id AS v
+    WITH raw AS (
+      SELECT a.vec_id AS u, b.vec_id AS v, round({_COS}, 6) AS c
       FROM embeddings a
       JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE {_COS} >= {Q168_TAU}
+    ),
+    dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
+    top AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+                                        ORDER BY c DESC, v) AS rn
+        FROM dir) WHERE rn <= {Q168_K}
+    ),
+    edges AS (
+      SELECT a.u, a.v FROM top a JOIN top b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
     ),
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -80,11 +101,25 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nm").alias("nb"),
     )
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    edges = (
+    raw = (
         a.join(b, "label")
         .filter(F.col("u") < F.col("v"))
         .filter(sim >= Q168_TAU)
+        .select("u", "v", F.round(sim, 6).alias("c"))
+    )
+    direct = raw.unionAll(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    top = (
+        direct.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= Q168_K)
         .select("u", "v")
+    )
+    rev = top.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    edges = (
+        top.join(rev, ["u", "v"])  # mutual-kNN: both directions kept it
+        .filter(F.col("u") < F.col("v"))
         # the edge list feeds two self-joins — materialize it once instead
         # of recomputing the cosine join for each side
         .localCheckpoint(eager=True)

@@ -874,22 +874,35 @@ def q150_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q162 — BM25 hard-negative mining for retrieval training (DPR / sentence-
-# transformers recipe): every 25th document becomes a query (its 3
-# lexicographically-smallest distinct tokens of length >= 4 are the query
-# terms); the positives are the source documents themselves; the HARD
-# negatives are the top-3 OTHER documents by BM25 — lexically close but
-# not the gold passage, exactly what contrastive retrievers need.
+# transformers recipe): every 25th document becomes a query (its 3 RAREST
+# distinct tokens of length >= 4 — ascending global df, term tie-break —
+# are the query terms); the positives are the source documents
+# themselves; the HARD negatives are the top-3 OTHER documents by BM25 —
+# lexically close but not the gold passage, exactly what contrastive
+# retrievers need.
 #
-# Scale shape: the per-query term lists live in a tiny broadcast frame
-# (|queries| x 3 rows); candidate scoring is the inverted-index join
-# tok ⋈ qterms on the term — a document is scored for a query ONLY if it
-# shares a term, never corpus x queries. The rank window partitions by
-# query id. Same k1/b/idf constants as q80.
+# Scale shape — two guards, both standard IR machinery:
+# 1. Rarest-first term selection (ascending global df) — the same
+#    principle as q99's PPJoin prefix: discriminative terms have short
+#    posting lists. (The first cut picked terms lexicographically; on a
+#    small-vocabulary corpus that selects stop-terms and the sf1.0 scale
+#    audit measured a 64x blow-up at 10x data. See BENCH_NOTES.)
+# 2. Impact-ordered posting truncation (static index pruning, the
+#    WAND-family serving trick): each term's posting list keeps only its
+#    top-{cap} documents by (tf DESC, doc_id) — the docs any BM25 top-k
+#    could plausibly surface. This bounds the qterms ⋈ postings join at
+#    |queries| x NTERMS x cap REGARDLESS of df, which is what survives a
+#    corpus whose every term is frequent. Exact for terms with
+#    df <= cap; beyond that it is the standard documented
+#    pruned-index approximation.
+# The df table is vocabulary-sized and broadcast; the rank windows
+# partition by query id / term. Same k1/b/idf constants as q80.
 # --------------------------------------------------------------------------
 Q162_EVERY = 25
 Q162_NTERMS = 3
 Q162_MINLEN = 4
 Q162_NEGS = 3
+Q162_POSTING_CAP = 128
 
 
 @register(
@@ -897,18 +910,35 @@ Q162_NEGS = 3
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
-    qterms AS (
-      SELECT doc_id AS qid, unnest(list_sort(list_distinct(
-                 list_filter(w, t -> length(t) >= {Q162_MINLEN})))[1:{Q162_NTERMS}])
-             AS t
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+              WHERE length(t) >= {Q162_MINLEN} GROUP BY 1),
+    qcand AS (
+      SELECT doc_id AS qid, unnest(list_distinct(
+                 list_filter(w, t -> length(t) >= {Q162_MINLEN}))) AS t
       FROM d WHERE doc_id % {Q162_EVERY} = 0
     ),
-    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    qterms AS (
+      SELECT qid, t FROM (
+        SELECT c.qid, c.t,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY dfall.df, c.t) AS rn
+        FROM qcand c JOIN dfall USING (t))
+      WHERE rn <= {Q162_NTERMS}
+    ),
     qtok AS (SELECT DISTINCT t FROM qterms),
     rtok AS (SELECT tok.* FROM tok JOIN qtok USING (t)),
-    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM rtok GROUP BY 1),
-    tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
-           FROM rtok GROUP BY 1, 2),
+    dft AS (SELECT t, df FROM dfall JOIN qtok USING (t)),
+    tfall AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+              FROM rtok GROUP BY 1, 2),
+    tf AS (
+      SELECT doc_id, t, tf, dl FROM (
+        SELECT doc_id, t, tf, dl,
+               row_number() OVER (PARTITION BY t
+                                  ORDER BY tf DESC, doc_id) AS prn
+        FROM tfall)
+      WHERE prn <= {Q162_POSTING_CAP}
+    ),
     scored AS (
       SELECT q.qid, tf.doc_id,
              sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
@@ -939,36 +969,42 @@ def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
     )
-    qterms = (
-        d.filter(F.col("doc_id") % Q162_EVERY == 0)
-        .select(
-            F.col("doc_id").alias("qid"),
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.array_distinct(
-                            F.filter("w", lambda t: F.length(t) >= Q162_MINLEN)
-                        )
-                    ),
-                    1,
-                    Q162_NTERMS,
-                )
-            ).alias("t"),
-        )
-    )
     tok = d.select(
         "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
     )
-    qtok = qterms.select("t").distinct()
-    rtok = tok.join(F.broadcast(qtok), "t")
-    dft = (
-        rtok.select("doc_id", "t")
+    dfall = (
+        tok.filter(F.length("t") >= Q162_MINLEN)
+        .select("doc_id", "t")
         .distinct()
         .groupBy("t")
         .agg(F.count("*").alias("df"))
     )
-    tf = rtok.groupBy("doc_id", "t").agg(
+    qcand = d.filter(F.col("doc_id") % Q162_EVERY == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter("w", lambda t: F.length(t) >= Q162_MINLEN)
+            )
+        ).alias("t"),
+    )
+    wq = Window.partitionBy("qid").orderBy("df", "t")
+    qterms = (
+        qcand.join(F.broadcast(dfall), "t")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= Q162_NTERMS)
+        .select("qid", "t")
+    )
+    qtok = qterms.select("t").distinct()
+    rtok = tok.join(F.broadcast(qtok), "t")
+    dft = dfall.join(F.broadcast(qtok), "t").select("t", "df")
+    tfall = rtok.groupBy("doc_id", "t").agg(
         F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    wp = Window.partitionBy("t").orderBy(F.desc("tf"), F.asc("doc_id"))
+    tf = (
+        tfall.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= Q162_POSTING_CAP)
+        .select("doc_id", "t", "tf", "dl")
     )
     idf = F.log(
         F.lit(1.0)
