@@ -37,6 +37,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     pipeline,
     privacy,
     relational,
+    reporting,
     select_trainprep,
     sessions,
     sketches,

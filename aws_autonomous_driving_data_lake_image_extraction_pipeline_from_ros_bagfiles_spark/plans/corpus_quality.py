@@ -213,17 +213,19 @@ def q159_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # longer one — invisible to symmetric Jaccard (the union denominator
 # drowns the overlap). Same inverted-index candidate join as q23 — only
 # pairs sharing >= 1 shingle are ever materialized — with two scale
-# guards: the join keys on the 60-bit md5 gram hash (q111's convention,
-# 8-byte shuffle keys), and grams occurring in more than Q160_MAX_FREQ
-# documents are excluded from CANDIDATE GENERATION (the stop-shingle
-# guard of dedup.py:215 — a gram in f docs emits f^2/2 candidate rows;
-# the sf1.0 audit measured the unguarded form at 353 s vs 9 s at sf0.1).
-# Boilerplate grams carry no containment signal, but the intersection
-# COUNT still uses all grams: candidates from rare grams, verification
-# exact — the PPJoin candidate/verify split applied to containment.
+# levers:
+# 1. GRAM ORDER is the sparsity knob: containment uses 5-gram shingles
+#    (vs q23's 3-grams). A gram in f docs emits f^2/2 candidate rows;
+#    the 3-gram space of this corpus averages f ~ n_docs/1000 and the
+#    sf1.0 audit measured 353 s with near-total candidate blow-up, while
+#    5-grams are ~unique (f ~ 1) and the join is linear. Longer shingles
+#    for containment is the standard choice (substring-dedup tools use
+#    8-13-gram windows) — exact, 100% recall at the 5-gram semantics.
+# 2. The join keys on the 60-bit md5 gram hash (q111's convention):
+#    8-byte shuffle keys instead of ~40-byte gram strings.
 # --------------------------------------------------------------------------
 Q160_THRESHOLD = 0.6
-Q160_MAX_FREQ = 64
+Q160_N = 5
 
 
 @register(
@@ -232,8 +234,9 @@ Q160_MAX_FREQ = 64
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     shl AS (SELECT doc_id,
                    list_distinct(list_filter(
-                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
-                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 4
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                  || w[i+3] || ' ' || w[i+4] END),
                        s -> s IS NOT NULL)) AS sh
             FROM toks),
     shx AS (SELECT doc_id,
@@ -241,22 +244,10 @@ Q160_MAX_FREQ = 64
                        AS gh
             FROM shl),
     sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
-    rare AS (
-        SELECT gh FROM shx GROUP BY gh
-        HAVING count(*) <= {Q160_MAX_FREQ}
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        FROM (SELECT shx.* FROM shx JOIN rare USING (gh)) a
-        JOIN (SELECT shx.* FROM shx JOIN rare USING (gh)) b USING (gh)
-        WHERE a.doc_id < b.doc_id
-    ),
     inter AS (
-        SELECT c.ia, c.ib, count(*) AS c
-        FROM cand c
-        JOIN shx a ON a.doc_id = c.ia
-        JOIN shx b ON b.doc_id = c.ib AND a.gh = b.gh
-        GROUP BY 1, 2
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (gh)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     )
     SELECT ia, ib,
            round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
@@ -269,34 +260,23 @@ Q160_MAX_FREQ = 64
 def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles_long
 
+    from ..operators.dedup import shingles
+
     docs = load(spark, sf_dir, "documents")
-    sh = shingles_long(docs).select(
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n=Q160_N)).alias("shingle")
+    ).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("bigint")
         .alias("gh"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("gh")
-        .agg(F.count("*").alias("f"))
-        .filter(F.col("f") <= Q160_MAX_FREQ)
-        .select("gh")
-    )
-    joinable = sh.join(rare, "gh")
-    cand = (
-        joinable.select(F.col("doc_id").alias("ia"), "gh")
-        .join(joinable.select(F.col("doc_id").alias("ib"), "gh"), "gh")
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
-    )
-    # exact verification: full intersection count (ALL grams, including
-    # stop-grams), scoped to the candidate pairs — dedup.py's
-    # _jaccard_on_pairs pattern
+    a = sh.select(F.col("doc_id").alias("ia"), "gh")
+    b = sh.select(F.col("doc_id").alias("ib"), "gh")
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("ia"), "gh"), "ia")
-        .join(sh.select(F.col("doc_id").alias("ib"), "gh"), ["ib", "gh"])
+        a.join(b, "gh")
+        .filter(F.col("ia") < F.col("ib"))
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("c"))
     )
@@ -316,11 +296,13 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fraction of its distinct 3-grams whose FIRST corpus occurrence (min
 # doc_id = arrival order) is this document. Freshness/diversity signal:
 # boilerplate-heavy late arrivals score near 0. The gram->first-doc
-# attribution is one map-side-combinable min() groupBy; both the groupBy
-# and the re-join key on a 60-bit md5 gram hash (q111's convention), so
-# the two shuffles carry 8-byte keys instead of ~25-byte shingle strings
-# — the sf1.0 audit measured the string-keyed form 12x at 10x data,
-# dominated by shuffle bytes.
+# attribution is one map-side-combinable min() groupBy on the 60-bit md5
+# gram hash (q111's convention, 8-byte shuffle keys). There is NO
+# gram-level join: n_novel per doc falls out of grouping the
+# first-occurrence table by its winning doc, so the only joins run at
+# DOC granularity (|docs| rows, not |grams|) — the first cut joined the
+# full gram stream back to the attribution table and the sf1.0 audit
+# measured it 12x at 10x data, dominated by that shuffle.
 # --------------------------------------------------------------------------
 @register(
     "q161_ngram_novelty",
@@ -336,15 +318,15 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST('0x' || substr(md5(unnest(sh)), 1, 15) AS BIGINT)
                        AS gh
             FROM shl),
-    first AS (SELECT gh, min(doc_id) AS first_doc FROM shx GROUP BY 1)
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM shx GROUP BY 1),
+    first AS (SELECT gh, min(doc_id) AS first_doc FROM shx GROUP BY 1),
+    novel AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+              FROM first GROUP BY 1)
     SELECT s.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) AS novelty
-    FROM shx s JOIN first f USING (gh)
-    GROUP BY s.doc_id
+           CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(v.n_novel, 0) * 1.0 / s.n_grams, 6) AS novelty
+    FROM sizes s LEFT JOIN novel v USING (doc_id)
     """,
 )
 def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,13 +339,18 @@ def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gh"),
     )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     first = sh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(first, "gh")
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
-    return joined.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams"),
-        F.sum(novel).cast("bigint").alias("n_novel"),
-        F.round(F.sum(novel) * F.lit(1.0) / F.count("*"), 6).alias("novelty"),
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.coalesce("n_novel", F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
+        ).alias("novelty"),
     )
 
 
@@ -431,4 +418,69 @@ def q163_quality_mass_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q176 — Neyman allocation for stratified sampling: allocate a total
+# sample budget across strata proportionally to N_h * S_h (stratum size
+# x standard deviation) — the variance-minimizing allocation, vs q72's
+# fixed-fraction strata. All moments are computed from INTEGER sums
+# (sum, sum of squares, count) so both engines derive identical doubles;
+# the builtin stddev aggregates are avoided on purpose (Welford vs naive
+# accumulation would diverge in float order).
+# --------------------------------------------------------------------------
+Q176_BUDGET = 100
+
+
+@register(
+    "q176_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             count(*) AS nh,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY 1
+    ),
+    sd AS (
+      SELECT source, nh,
+             sqrt((s2 - s1 * 1.0 * s1 / nh) / nh) AS sh
+      FROM m
+    ),
+    tot AS (SELECT sum(nh * sh) AS denom FROM sd)
+    SELECT sd.source,
+           CAST(sd.nh AS BIGINT) AS n_h,
+           round(sd.sh, 6) AS s_h,
+           CAST(least(sd.nh * 1.0,
+                      round({Q176_BUDGET} * sd.nh * sd.sh / tot.denom))
+                AS BIGINT) AS alloc
+    FROM sd CROSS JOIN tot
+    """,
+)
+def q176_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").alias("nh"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    sh = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("nh"))
+        / F.col("nh")
+    )
+    sd = m.select("source", "nh", sh.alias("sh"))
+    tot = sd.agg(F.sum(F.col("nh") * F.col("sh")).alias("denom"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("nh").cast("bigint").alias("n_h"),
+        F.round("sh", 6).alias("s_h"),
+        F.least(
+            F.col("nh") * F.lit(1.0),
+            F.round(
+                Q176_BUDGET * F.col("nh") * F.col("sh") / F.col("denom")
+            ),
+        )
+        .cast("bigint")
+        .alias("alloc"),
     )

@@ -1310,3 +1310,82 @@ def q169_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — backfill planning: partition-completeness audit over the
+# (event_type, hour) grid. Expected hours = the full [min, max] hour
+# range of the stream; observed = hours with >= 1 event for the type;
+# missing hours coalesce into contiguous backfill intervals via
+# gaps-and-islands (island id = hour_index - dense rank). The output is
+# the work list a backfill orchestrator consumes. Hour keys are integer
+# epoch-hours (UTC) — no tz-sensitive formatting in the compare — and
+# the expected grid is generated per type from two scalars, never by
+# scanning.
+# --------------------------------------------------------------------------
+@register(
+    "q177_backfill_plan",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h0,
+             CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h1
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    expected AS (
+      SELECT t.event_type, h.h
+      FROM types t
+      CROSS JOIN (SELECT unnest(range((SELECT h0 FROM span),
+                                      (SELECT h1 FROM span) + 1)) AS h) h
+    ),
+    observed AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    missing AS (
+      SELECT e.event_type, e.h
+      FROM expected e LEFT JOIN observed o
+        ON e.event_type = o.event_type AND e.h = o.h
+      WHERE o.h IS NULL
+    ),
+    islands AS (
+      SELECT event_type, h,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS grp
+      FROM missing
+    )
+    SELECT event_type,
+           CAST(min(h) AS BIGINT) AS gap_start_hour,
+           CAST(max(h) AS BIGINT) AS gap_end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM islands GROUP BY event_type, grp
+    """,
+)
+def q177_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    span = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    expected = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    observed = ev.select("event_type", hour.alias("h")).distinct()
+    missing = expected.join(observed, ["event_type", "h"], "left_anti")
+    wi = Window.partitionBy("event_type").orderBy("h")
+    islands = missing.select(
+        "event_type",
+        "h",
+        (F.col("h") - F.row_number().over(wi)).alias("grp"),
+    )
+    return islands.groupBy("event_type", "grp").agg(
+        F.min("h").cast("bigint").alias("gap_start_hour"),
+        F.max("h").cast("bigint").alias("gap_end_hour"),
+        F.count("*").cast("bigint").alias("n_hours"),
+    ).drop("grp")

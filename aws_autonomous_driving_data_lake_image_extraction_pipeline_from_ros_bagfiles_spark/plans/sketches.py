@@ -572,3 +572,193 @@ def q158_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q174 — sketch-space set operations: audience overlap between event
+# types from HLL registers ALONE. Union = element-wise register max (the
+# same merge that makes HLL distributable, q158); intersection by
+# inclusion-exclusion |A∩B| ~ |A|+|B|-|A∪B|. The exact intersection rides
+# along to show the sketch error — at 100 TB the exact pass is the
+# expensive one (distinct users across two event streams) and the sketch
+# answer costs O(m) per pair, which is the whole point of storing
+# register tables per segment.
+# --------------------------------------------------------------------------
+Q174_PAIRS = (("click", "purchase"), ("view", "signup"), ("click", "view"))
+
+_PAIR_SQL = ", ".join(f"('{a}', '{b}')" for a, b in Q174_PAIRS)
+
+
+def _hll_est_sql(s: str, v: str) -> str:
+    """Small-range-corrected HLL estimate from (harmonic sum, zero count)."""
+    return f"""CASE WHEN {Q158_ALPHA} * {Q158_M} * {Q158_M} / {s}
+                         <= 2.5 * {Q158_M} AND {v} > 0
+                    THEN {Q158_M} * ln({Q158_M} * 1.0 / {v})
+                    ELSE {Q158_ALPHA} * {Q158_M} * {Q158_M} / {s} END"""
+
+
+@register(
+    "q174_hll_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type, user_id,
+             CAST('0x' || substr(hx, 1, 2) AS BIGINT) % {Q158_M} AS bucket,
+             CAST('0x' || substr(hx, 3, 12) AS BIGINT) AS w
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {Q158_WBITS + 1}
+                      ELSE {Q158_WBITS} - CAST(floor(log2(w)) AS BIGINT)
+                 END) AS rho
+      FROM parts GROUP BY 1, 2
+    ),
+    pairs AS (SELECT * FROM (VALUES {_PAIR_SQL}) AS t(ta, tb)),
+    -- per-pair register table: tag each side's registers, group by bucket
+    -- (a bucket empty on one side contributes rho 0 there); union = max
+    tagged AS (
+      SELECT p.ta, p.tb, r.bucket, r.rho AS rho_a, 0 AS rho_b
+      FROM pairs p JOIN regs r ON r.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, r.bucket, 0, r.rho
+      FROM pairs p JOIN regs r ON r.event_type = p.tb
+    ),
+    u AS (
+      SELECT ta, tb, bucket,
+             max(rho_a) AS rho_a, max(rho_b) AS rho_b,
+             greatest(max(rho_a), max(rho_b)) AS rho_u
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    sums AS (
+      SELECT ta, tb,
+             sum(power(2.0, -rho_a)) + ({Q158_M} - count(*)) AS sa,
+             sum(CASE WHEN rho_a = 0 THEN 1 ELSE 0 END)
+                 + ({Q158_M} - count(*)) AS va,
+             sum(power(2.0, -rho_b)) + ({Q158_M} - count(*)) AS sb,
+             sum(CASE WHEN rho_b = 0 THEN 1 ELSE 0 END)
+                 + ({Q158_M} - count(*)) AS vb,
+             sum(power(2.0, -rho_u)) + ({Q158_M} - count(*)) AS su,
+             sum(CASE WHEN rho_u = 0 THEN 1 ELSE 0 END)
+                 + ({Q158_M} - count(*)) AS vu
+      FROM u GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT ta, tb,
+             {_hll_est_sql('sa', 'va')} AS ea,
+             {_hll_est_sql('sb', 'vb')} AS eb,
+             {_hll_est_sql('su', 'vu')} AS eu
+      FROM sums
+    ),
+    exact AS (
+      SELECT p.ta, p.tb, count(*) AS n_exact_inter
+      FROM pairs p
+      JOIN (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
+            FROM (SELECT DISTINCT event_type, user_id FROM events) a
+            JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+              USING (user_id)) x
+        ON x.ta = p.ta AND x.tb = p.tb
+      GROUP BY 1, 2
+    )
+    SELECT est.ta AS type_a, est.tb AS type_b,
+           round(est.ea, 4) AS est_a,
+           round(est.eb, 4) AS est_b,
+           round(est.eu, 4) AS est_union,
+           round(est.ea + est.eb - est.eu, 4) AS est_intersection,
+           CAST(exact.n_exact_inter AS BIGINT) AS n_exact_inter
+    FROM est JOIN exact ON est.ta = exact.ta AND est.tb = exact.tb
+    """,
+)
+def q174_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    h = ev.select("event_type", "user_id").distinct().select(
+        "event_type", "user_id", hx.alias("hx")
+    )
+    parts = h.select(
+        "event_type",
+        "user_id",
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % Q158_M).alias(
+            "bucket"
+        ),
+        F.conv(F.substring("hx", 3, 12), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(Q158_WBITS + 1)).otherwise(
+        F.lit(Q158_WBITS) - F.floor(F.log2("w")).cast("bigint")
+    )
+    regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    pairs = spark.createDataFrame(list(Q174_PAIRS), ["ta", "tb"])
+
+    tagged = (
+        F.broadcast(pairs)
+        .join(regs, F.col("event_type") == F.col("ta"))
+        .select("ta", "tb", "bucket", F.col("rho").alias("rho_a"),
+                F.lit(0).alias("rho_b"))
+        .unionAll(
+            F.broadcast(pairs)
+            .join(regs, F.col("event_type") == F.col("tb"))
+            .select("ta", "tb", "bucket", F.lit(0).alias("rho_a"),
+                    F.col("rho").alias("rho_b"))
+        )
+    )
+    u = tagged.groupBy("ta", "tb", "bucket").agg(
+        F.max("rho_a").alias("rho_a"),
+        F.max("rho_b").alias("rho_b"),
+        F.greatest(F.max("rho_a"), F.max("rho_b")).alias("rho_u"),
+    )
+
+    def _sums(col: str, prefix: str):
+        return [
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col(col)))
+                + (Q158_M - F.count("*"))
+            ).alias(f"s{prefix}"),
+            (
+                F.sum(F.when(F.col(col) == 0, 1).otherwise(0))
+                + (Q158_M - F.count("*"))
+            ).alias(f"v{prefix}"),
+        ]
+
+    sums = u.groupBy("ta", "tb").agg(
+        *_sums("rho_a", "a"), *_sums("rho_b", "b"), *_sums("rho_u", "u")
+    )
+
+    def _est(s: str, v: str):
+        e_raw = F.lit(Q158_ALPHA * Q158_M * Q158_M) / F.col(s)
+        return F.when(
+            (e_raw <= 2.5 * Q158_M) & (F.col(v) > 0),
+            Q158_M * F.log(Q158_M * 1.0 / F.col(v)),
+        ).otherwise(e_raw)
+
+    est = sums.select(
+        "ta",
+        "tb",
+        _est("sa", "va").alias("ea"),
+        _est("sb", "vb").alias("eb"),
+        _est("su", "vu").alias("eu"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    ua = du.select(F.col("event_type").alias("ta"), "user_id")
+    ub = du.select(F.col("event_type").alias("tb"), "user_id")
+    exact = (
+        F.broadcast(pairs)
+        .join(ua, "ta")
+        .join(ub, ["tb", "user_id"])
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("bigint").alias("n_exact_inter"))
+    )
+    return est.join(exact, ["ta", "tb"]).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round("ea", 4).alias("est_a"),
+        F.round("eb", 4).alias("est_b"),
+        F.round("eu", 4).alias("est_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias(
+            "est_intersection"
+        ),
+        "n_exact_inter",
+    )

@@ -1038,3 +1038,94 @@ def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_rank") <= Q162_NEGS)
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — PMI token co-occurrence: document-level pointwise mutual
+# information for token pairs, PMI = ln(n_ab * N / (n_a * n_b)) over
+# document-frequency counts — the collocation/phrase-mining statistic
+# (word2vec-era feature, still the standard phrase detector).
+#
+# Scale shape: the pair space is generated DOC-LOCALLY — a self-join on
+# doc_id over each document's distinct long tokens, bounded by (distinct
+# tokens per doc)^2 with document length capped upstream — then reduced
+# by a map-side-combinable (a, b) groupBy. The df table is
+# vocabulary-sized and broadcast twice. A min-support filter keeps the
+# output to statistically meaningful pairs.
+# --------------------------------------------------------------------------
+Q175_MINLEN = 4
+Q175_MIN_SUPPORT = 5
+
+
+@register(
+    "q175_pmi_cooccurrence",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '),
+                 t -> length(t) >= {Q175_MINLEN})) AS toks
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+    co AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * 1.0 * n.n / (fa.df * fb.df)), 6) AS pmi
+    FROM co
+    JOIN df fa ON co.ta = fa.t
+    JOIN df fb ON co.tb = fb.t
+    CROSS JOIN n
+    WHERE n_ab >= {Q175_MIN_SUPPORT}
+    """,
+)
+def q175_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split("text", " "),
+                        lambda t: F.length(t) >= Q175_MINLEN,
+                    )
+                )
+            ).alias("t"),
+        )
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    df = tok.groupBy("t").agg(F.count("*").alias("df"))
+    a = tok.select("doc_id", F.col("t").alias("ta"))
+    b = tok.select("doc_id", F.col("t").alias("tb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= Q175_MIN_SUPPORT)
+    )
+    fa = df.select(F.col("t").alias("ta"), F.col("df").alias("dfa"))
+    fb = df.select(F.col("t").alias("tb"), F.col("df").alias("dfb"))
+    return (
+        co.join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.lit(1.0)
+                    * F.col("n")
+                    / (F.col("dfa") * F.col("dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
