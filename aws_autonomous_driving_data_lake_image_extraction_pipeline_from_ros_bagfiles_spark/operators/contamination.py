@@ -18,13 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import ngrams_all
+from .text import ngrams_all_from_tokens, tokens
 
 
 def benchmark_grams(bench: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """Distinct word n-grams of the benchmark set: (gram)."""
     return (
-        bench.select(F.explode(ngrams_all(F.col(text_col), n)).alias("gram"))
+        bench.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(ngrams_all_from_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
 
@@ -49,7 +50,10 @@ def contamination_report(
     if broadcast_bench:
         grams = F.broadcast(grams)
     train_grams = train.select(
-        F.col(id_col), F.explode(ngrams_all(F.col(text_col), n)).alias("gram")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(ngrams_all_from_tokens(F.col("__toks"), n)).alias("gram"),
     )
     return (
         train_grams.join(grams, "gram", "inner")

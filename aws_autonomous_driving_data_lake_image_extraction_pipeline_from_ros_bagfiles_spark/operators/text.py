@@ -73,10 +73,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), text_fingerprint(F.col(text_col)).alias("fp"))
 
 
-def ngrams_all(text: Column, n: int) -> Column:
-    """Non-distinct word n-grams (repetition analysis needs multiplicity,
-    unlike dedup's distinct shingle sets)."""
-    toks = tokens(text)
+def ngrams_all_from_tokens(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams from a token-array column (repetition
+    analysis needs multiplicity, unlike dedup's distinct shingle sets).
+
+    PERF CONTRACT (same as dedup.shingles_from_tokens): pass a
+    materialized array attribute, not an inline split(...) — Catalyst
+    inlines expression arguments into every element_at reference, making
+    the gram build O(len^2) per document.
+    """
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
@@ -84,6 +89,13 @@ def ngrams_all(text: Column, n: int) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def ngrams_all(text: Column, n: int) -> Column:
+    """Inline-tokenizer variant — for one-off array use only; exploding
+    callers should tokenize in their own projection first (perf contract
+    on ngrams_all_from_tokens)."""
+    return ngrams_all_from_tokens(tokens(text), n)
 
 
 def repetition_stats(
@@ -116,7 +128,10 @@ def repetition_stats(
         )
     )
     grams = df.select(
-        F.col(id_col), F.explode(ngrams_all(F.col(text_col), 2)).alias("g")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(ngrams_all_from_tokens(F.col("__toks"), 2)).alias("g"),
     )
     gs = (
         grams.groupBy(id_col, "g")

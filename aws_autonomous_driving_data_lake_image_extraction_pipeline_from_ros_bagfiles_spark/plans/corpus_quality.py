@@ -260,12 +260,10 @@ Q160_N = 5
 def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles_long
 
-    from ..operators.dedup import shingles
+    from ..operators.dedup import shingles_long
 
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), n=Q160_N)).alias("shingle")
-    ).select(
+    sh = shingles_long(docs, n=Q160_N).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("bigint")

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import dot, norm
-from ..operators.text import ngrams_all
+from ..operators.text import ngrams_all_from_tokens
 from ..tables import load
 from .registry import register
 
@@ -317,7 +317,12 @@ def q111_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so posexplode's index IS the 0-based start position; the gram text
     # is collapsed to a 60-bit int before any shuffle
     occ = docs.select(
-        "doc_id", F.posexplode(ngrams_all(F.col("text"), k)).alias("p0", "gram")
+        "doc_id", F.split("text", " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.posexplode(ngrams_all_from_tokens(F.col("__toks"), k)).alias(
+            "p0", "gram"
+        ),
     ).select(
         "doc_id",
         (F.col("p0") + 1).alias("pos"),

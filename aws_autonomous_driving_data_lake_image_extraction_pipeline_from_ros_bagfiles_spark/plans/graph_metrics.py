@@ -136,3 +136,134 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# q180 — link prediction over the mutual-kNN similarity graph (q168's
+# edge set): for node pairs at distance 2 that are NOT already linked,
+# score the missing edge by common-neighbor count and Adamic-Adar
+# (sum of 1/ln(deg(z)) over shared neighbors z) — the standard "these
+# two are probably duplicates too" candidate generator that turns a
+# sparse pair list into cluster-completion suggestions.
+#
+# Scale shape: the wedge join is the SAME bounded fan-out as q168 (the
+# kNN degree cap bounds every node's neighborhood at K), the degree
+# table is node-sized and broadcast, and existing edges are removed with
+# an anti-join. No all-pairs anywhere.
+# --------------------------------------------------------------------------
+
+
+def _q180_edges_sql() -> str:
+    return f"""
+    raw AS (
+      SELECT a.vec_id AS u, b.vec_id AS v, round({_COS}, 6) AS c
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS} >= {Q168_TAU}
+    ),
+    dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
+    top AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+                                        ORDER BY c DESC, v) AS rn
+        FROM dir) WHERE rn <= {Q168_K}
+    ),
+    edges AS (
+      SELECT a.u, a.v FROM top a JOIN top b ON a.u = b.v AND a.v = b.u
+      WHERE a.u < a.v
+    )"""
+
+
+@register(
+    "q180_link_prediction",
+    oracle=f"""
+    WITH {_q180_edges_sql()},
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS z, count(*) AS d FROM und GROUP BY 1),
+    wedge AS (
+      SELECT a.u AS x, b.v AS y, a.v AS z
+      FROM und a JOIN und b ON a.v = b.u
+      WHERE a.u < b.v
+    ),
+    cand AS (
+      SELECT w.x, w.y,
+             count(*) AS common_neighbors,
+             round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+      FROM wedge w JOIN deg ON w.z = deg.z
+      WHERE deg.d > 1
+        AND NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = w.x AND e.v = w.y)
+      GROUP BY 1, 2
+    )
+    SELECT x, y, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           adamic_adar
+    FROM cand WHERE common_neighbors >= 1
+    """,
+)
+def q180_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    normed = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("u"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("v"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    raw = (
+        a.join(b, "label")
+        .filter(F.col("u") < F.col("v"))
+        .filter(sim >= Q168_TAU)
+        .select("u", "v", F.round(sim, 6).alias("c"))
+    )
+    direct = raw.unionAll(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    top = (
+        direct.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= Q168_K)
+        .select("u", "v")
+    )
+    rev = top.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    edges = (
+        top.join(rev, ["u", "v"])
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("d"))
+    wa = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wb = und.select(F.col("u").alias("z"), F.col("v").alias("y"))
+    wedge = wa.join(wb, "z").filter(F.col("x") < F.col("y"))
+    open_wedge = wedge.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    scored = (
+        open_wedge.join(F.broadcast(deg.filter(F.col("d") > 1)), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log("d")), 6).alias("adamic_adar"),
+        )
+    )
+    return scored.filter(F.col("common_neighbors") >= 1).select(
+        "x",
+        "y",
+        F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        "adamic_adar",
+    )

@@ -137,3 +137,138 @@ def q178_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_entropy",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — declarative data-quality constraint suite (dbt-tests /
+# Deequ-style): one row per constraint with its violation count over the
+# warehouse tables — uniqueness, not-null, accepted values, referential
+# integrity, and range checks. Each check is an independent
+# map-side-combinable aggregate (the FK check is a broadcast anti-join);
+# the union of one-row frames costs nothing. This is the gate a
+# production pipeline runs before publishing a partition.
+# --------------------------------------------------------------------------
+Q179_TS_LO = "2023-01-01"
+Q179_TS_HI = "2026-01-01"
+
+
+@register(
+    "q179_dq_constraints",
+    oracle=f"""
+    SELECT 'events.event_id.unique' AS constraint_name,
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'events.user_id.not_null',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events.event_type.accepted_values',
+           CAST((SELECT count(*) FROM events WHERE event_type NOT IN
+                 ('click', 'view', 'signup', 'purchase', 'error'))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events.ts.range',
+           CAST((SELECT count(*) FROM events
+                 WHERE ts < TIMESTAMP '{Q179_TS_LO}'
+                    OR ts >= TIMESTAMP '{Q179_TS_HI}') AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey.fk_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_quantity.positive',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'documents.doc_id.unique',
+           CAST((SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+                AS BIGINT)
+    """,
+)
+def q179_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    docs = load(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "events.event_id.unique",
+            ev.agg((F.count("*") - F.countDistinct("event_id")).alias("n")),
+        ),
+        one(
+            "events.user_id.not_null",
+            ev.agg(
+                F.sum(F.col("user_id").isNull().cast("int")).alias("n")
+            ),
+        ),
+        one(
+            "events.event_type.accepted_values",
+            ev.agg(
+                F.sum(
+                    (
+                        ~F.col("event_type").isin(
+                            "click", "view", "signup", "purchase", "error"
+                        )
+                    ).cast("int")
+                ).alias("n")
+            ),
+        ),
+        one(
+            "events.ts.range",
+            ev.agg(
+                F.sum(
+                    (
+                        (F.col("ts") < F.lit(Q179_TS_LO).cast("timestamp"))
+                        | (F.col("ts") >= F.lit(Q179_TS_HI).cast("timestamp"))
+                    ).cast("int")
+                ).alias("n")
+            ),
+        ),
+        one(
+            "orders.o_custkey.fk_customer",
+            orders.join(
+                F.broadcast(customer),
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem.l_orderkey.fk_orders",
+            lineitem.join(
+                orders,
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem.l_quantity.positive",
+            lineitem.agg(
+                F.sum((F.col("l_quantity") <= 0).cast("int")).alias("n")
+            ),
+        ),
+        one(
+            "documents.doc_id.unique",
+            docs.agg((F.count("*") - F.countDistinct("doc_id")).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

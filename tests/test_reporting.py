@@ -1,0 +1,120 @@
+"""Value-level contracts for wave 4f (q174-q180): sketch set-op error
+envelopes, PMI/collocation invariants, Neyman allocation feasibility,
+backfill-gap soundness, dataset-card consistency, DQ-suite expectations,
+and link-prediction non-edge guarantees.
+"""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_setops_envelope(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches import (
+        q174_hll_setops,
+    )
+
+    rows = q174_hll_setops(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # union of two sets is at least as big as either side
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-6
+        # inclusion-exclusion intersection: small sets, linear-counting
+        # regime — generous 4-sigma-ish envelope (sigma ~ 1.04/8 per
+        # sketch, three sketches compound)
+        if r.n_exact_inter > 0:
+            assert (
+                abs(r.est_intersection - r.n_exact_inter)
+                <= 0.75 * r.n_exact_inter + 5
+            ), (r.type_a, r.type_b, r.est_intersection, r.n_exact_inter)
+
+
+def test_pmi_pairs_canonical_and_supported(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.text_ir import (
+        Q175_MIN_SUPPORT,
+        q175_pmi_cooccurrence,
+    )
+
+    rows = q175_pmi_cooccurrence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.ta < r.tb
+        assert r.n_ab >= Q175_MIN_SUPPORT
+
+
+def test_neyman_allocation_feasible(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.corpus_quality import (
+        q176_neyman_allocation,
+    )
+
+    rows = q176_neyman_allocation(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.alloc <= r.n_h
+        assert r.s_h >= 0
+
+
+def test_backfill_gaps_are_truly_empty(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
+        q177_backfill_plan,
+    )
+
+    gaps = q177_backfill_plan(spark, SF_DIR).collect()
+    assert gaps  # sf0.001 is sparse enough to have missing hours
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    )
+    observed = {(r.event_type, r.h) for r in ev.distinct().collect()}
+    lo = min(h for _, h in observed)
+    hi = max(h for _, h in observed)
+    for g in gaps:
+        assert g.n_hours == g.gap_end_hour - g.gap_start_hour + 1
+        assert lo <= g.gap_start_hour <= g.gap_end_hour <= hi
+        for h in range(g.gap_start_hour, g.gap_end_hour + 1):
+            assert (g.event_type, h) not in observed
+    # maximality: the hour on each side of a gap IS observed
+    for g in gaps:
+        if g.gap_start_hour > lo:
+            assert (g.event_type, g.gap_start_hour - 1) in observed
+        if g.gap_end_hour < hi:
+            assert (g.event_type, g.gap_end_hour + 1) in observed
+
+
+def test_dataset_card_consistent(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.reporting import (
+        q178_dataset_card,
+    )
+
+    card = q178_dataset_card(spark, SF_DIR).first()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert card.n_docs == docs.count()
+    assert card.n_sources == docs.select("source").distinct().count()
+    assert 0.0 <= card.exact_dup_rate < 1.0
+    assert 0.0 <= card.quality_pass_rate <= 1.0
+    assert card.source_entropy > 0
+
+
+def test_dq_constraints_clean_data(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.reporting import (
+        q179_dq_constraints,
+    )
+
+    rows = {r.constraint_name: r.n_violations for r in
+            q179_dq_constraints(spark, SF_DIR).collect()}
+    assert len(rows) == 8
+    # driver-generated tables satisfy every constraint
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_link_prediction_proposes_only_non_edges(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.graph_metrics import (
+        q168_triangle_count,
+        q180_link_prediction,
+    )
+
+    preds = q180_link_prediction(spark, SF_DIR).collect()
+    for r in preds:
+        assert r.x < r.y
+        assert r.common_neighbors >= 1
+        assert r.adamic_adar > 0
