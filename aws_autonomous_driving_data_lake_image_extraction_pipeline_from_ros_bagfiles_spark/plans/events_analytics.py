@@ -1389,3 +1389,131 @@ def q177_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").cast("bigint").alias("gap_end_hour"),
         F.count("*").cast("bigint").alias("n_hours"),
     ).drop("grp")
+
+
+# --------------------------------------------------------------------------
+# q181 — behavior affinity (lift): for ordered event-type pairs, lift =
+# P(user does b | user does a) / P(user does b) over distinct user sets.
+# The market-basket association measure on the user x event bipartite
+# graph; lift > 1 = types co-engage. Inputs are |users| x |types|
+# distinct rows; the pair join is keyed on user_id and bounded by each
+# user's distinct-type count (<= 5 here, bounded by the catalog size in
+# general) — never |users|^2.
+# --------------------------------------------------------------------------
+@register(
+    "q181_affinity_lift",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    per AS (SELECT event_type, count(*) AS n_t FROM du GROUP BY 1),
+    co AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+      FROM du a JOIN du b ON a.user_id = b.user_id
+                        AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_both,
+           round(n_ab * 1.0 / pa.n_t, 6) AS p_b_given_a,
+           round((n_ab * 1.0 / pa.n_t) / (pb.n_t * 1.0 / n.n_users), 6)
+               AS lift
+    FROM co
+    JOIN per pa ON co.ta = pa.event_type
+    JOIN per pb ON co.tb = pb.event_type
+    CROSS JOIN n
+    """,
+)
+def q181_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    per = du.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = du.select("user_id", F.col("event_type").alias("ta"))
+    b = du.select("user_id", F.col("event_type").alias("tb"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    pa = per.select(F.col("event_type").alias("ta"), F.col("n_t").alias("na"))
+    pb = per.select(F.col("event_type").alias("tb"), F.col("n_t").alias("nb"))
+    return (
+        co.join(F.broadcast(pa), "ta")
+        .join(F.broadcast(pb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("na"), 6).alias(
+                "p_b_given_a"
+            ),
+            F.round(
+                (F.col("n_ab") * F.lit(1.0) / F.col("na"))
+                / (F.col("nb") * F.lit(1.0) / F.col("n_users")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — sequential path mining: the most common 3-step event-type paths
+# across user timelines, built with lead() windows over each user's
+# (ts, event_id)-ordered stream — no collect_list, no Python, and the
+# window is per-user (bounded by history length). The output is the
+# top-20 paths by frequency with a deterministic rank — the "what do
+# users do next" table behind funnel design (q84 checks a FIXED funnel;
+# this discovers them).
+# --------------------------------------------------------------------------
+Q182_TOPK = 20
+
+
+@register(
+    "q182_path_mining",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS s0,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS s1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS s2
+      FROM events
+    ),
+    paths AS (
+      SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+      FROM seq WHERE s2 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT path, n,
+                 row_number() OVER (ORDER BY n DESC, path) AS rk
+          FROM paths)
+    WHERE rk <= {Q182_TOPK}
+    """,
+)
+def q182_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s0"),
+        F.lead("event_type", 1).over(w).alias("s1"),
+        F.lead("event_type", 2).over(w).alias("s2"),
+    )
+    paths = (
+        seq.filter(F.col("s2").isNotNull())
+        .select(
+            F.concat_ws(">", "s0", "s1", "s2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    # global top-k: TakeOrderedAndProject-sized (|paths| <= |types|^3),
+    # rank assigned post-limit on the tiny result
+    top = paths.orderBy(F.desc("n"), F.asc("path")).limit(Q182_TOPK)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.select(
+        "path",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        F.row_number().over(wr).alias("rk"),
+    )
