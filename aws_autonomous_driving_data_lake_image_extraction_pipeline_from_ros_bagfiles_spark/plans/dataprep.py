@@ -396,3 +396,95 @@ def q173_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("available") <= F.col("water")).cast("int").alias("capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — snapshot reconciliation: materialize the q171 changelog state at
+# two cutoffs (day 15 vs day 31) and diff them by key — added / removed /
+# changed / unchanged counts plus value drift. The table-diff every
+# migration and backfill validation runs; one full-outer join on the key
+# of two per-key rank-window folds.
+# --------------------------------------------------------------------------
+Q183_CUT_A = "2024-01-16"
+Q183_CUT_B = "2024-01-31"
+
+
+def _q183_state_sql(cut: str) -> str:
+    return f"""
+      SELECT user_id, op, round(value, 2) AS v FROM (
+        SELECT user_id,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D'
+                    ELSE 'U' END AS op,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{cut}')
+      WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register(
+    "q183_snapshot_diff",
+    oracle=f"""
+    WITH a AS ({_q183_state_sql(Q183_CUT_A)}),
+    b AS ({_q183_state_sql(Q183_CUT_B)}),
+    j AS (
+      SELECT a.user_id AS ka, b.user_id AS kb, a.v AS va, b.v AS vb
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    ),
+    verdict AS (
+      SELECT CASE WHEN ka IS NULL THEN 'added'
+                  WHEN kb IS NULL THEN 'removed'
+                  WHEN va = vb THEN 'unchanged'
+                  ELSE 'changed' END AS verdict,
+             coalesce(vb, 0) - coalesce(va, 0) AS drift
+      FROM j
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n_keys,
+           round(sum(drift), 2) AS value_drift
+    FROM verdict GROUP BY 1
+    """,
+)
+def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def state(cut: str) -> DataFrame:
+        op = (
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .select("user_id", op.alias("op"), "value", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("user_id", F.round("value", 2).alias("v"))
+        )
+
+    a = state(Q183_CUT_A).select(
+        F.col("user_id").alias("ka"), F.col("v").alias("va")
+    )
+    b = state(Q183_CUT_B).select(
+        F.col("user_id").alias("kb"), F.col("v").alias("vb")
+    )
+    j = a.join(b, a.ka == b.kb, "full_outer")
+    verdict = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") == F.col("vb"), "unchanged")
+        .otherwise("changed")
+    )
+    drift = F.coalesce("vb", F.lit(0.0)) - F.coalesce("va", F.lit(0.0))
+    return (
+        j.select(verdict.alias("verdict"), drift.alias("drift"))
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.round(F.sum("drift"), 2).alias("value_drift"),
+        )
+    )

@@ -118,3 +118,36 @@ def test_link_prediction_proposes_only_non_edges(spark):
         assert r.x < r.y
         assert r.common_neighbors >= 1
         assert r.adamic_adar > 0
+
+
+def test_snapshot_diff_conservation(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.dataprep import (
+        q171_changelog_materialize,
+        q183_snapshot_diff,
+    )
+
+    rows = {r.verdict: r for r in q183_snapshot_diff(spark, SF_DIR).collect()}
+    # snapshot B is the full-history materialization (cut beyond max ts)
+    final_keys = q171_changelog_materialize(spark, SF_DIR).count()
+    n_b = sum(
+        r.n_keys for v, r in rows.items() if v in ("added", "changed", "unchanged")
+    )
+    assert n_b == final_keys
+    assert all(r.n_keys > 0 for r in rows.values())
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: a column added mid-stream is readable
+    with mergeSchema and back-filled as NULL — the lakehouse contract a
+    long-lived table relies on."""
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id"), F.lit("v1").alias("tag")
+    ).write.parquet(p, mode="overwrite")
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("v2").alias("tag"), F.lit(1.5).alias("score")
+    ).write.parquet(p, mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "tag", "score"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("score").isNull()).count() == 5
