@@ -18,8 +18,9 @@ Scale notes (100 TB discipline):
 - q159/q161/q163 shuffle only small keys (source, gram-hash, doc_id);
   every aggregate is map-side combinable.
 - q160 uses the same shared-shingle inverted-index join as q23 — the only
-  pairs ever materialized already share a shingle; the stop-shingle cap
-  argument (dedup.py:215) applies unchanged.
+  pairs ever materialized already share a shingle; 5-gram shingles keep
+  the gram space sparse enough that candidate fan-out stays linear (the
+  sparsity-knob argument in the q160 block comment and BENCH_NOTES).
 - No Python UDFs anywhere: all column expressions stay in codegen.
 
 Reference provenance: the reference pipeline dedups at file level only
