@@ -32,6 +32,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     grouped,
     layout,
     llm_ops,
+    modeling,
     multimodal,
     nested,
     pipeline,

@@ -1,0 +1,340 @@
+"""In-engine statistical modeling (q185-q187): exactly-reproducible
+model fitting and experiment analysis as DataFrame plans.
+
+- q185 multivariate OLS through the normal equations with EXACT
+  decimal(38,0) moment sums (the q114 PCA trick): quantities, discounts
+  and prices are scaled to integers, every X'X / X'y entry is an exact
+  integer aggregate (order-independent, engine-independent), and the
+  3x3 Cramer solve happens on those exact moments — so the fitted
+  coefficients value-hash across engines. This is "train the curation
+  model in the engine" without the float-summation nondeterminism that
+  forces most ML fits to rows-only checks.
+- q186 Kaplan-Meier survival over user lifetimes (signup -> first
+  error, censored otherwise): the estimator is a cumulative product
+  over ORDERED event times — both engines multiply in the same order,
+  so S(t) is deterministic.
+- q187 two-sample A/B z-test with md5-hash assignment — the
+  deterministic-bucketing experiment readout.
+
+Scale notes: each query is one or two map-side-combinable aggregates
+over the fact table plus O(groups)-sized arithmetic; the OLS solve
+touches a 3x3 matrix on the driver-free rollup row. Nothing grows with
+data except the scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q185 — OLS: price_cents ~ b0 + b1*quantity + b2*discount_bp over
+# lineitem, via exact-decimal normal equations + Cramer's rule.
+# --------------------------------------------------------------------------
+_DEC = "decimal(38,0)"
+
+
+@register(
+    "q185_multivar_ols",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(round(l_quantity) AS HUGEINT) AS q,
+             CAST(round(l_discount * 100) AS HUGEINT) AS d,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS p
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(q) AS sq, sum(d) AS sd, sum(p) AS sp,
+             sum(q * q) AS sqq, sum(q * d) AS sqd, sum(d * d) AS sdd,
+             sum(q * p) AS sqp, sum(d * p) AS sdp
+      FROM x
+    ),
+    det AS (
+      SELECT n, sq, sd, sp, sqq, sqd, sdd, sqp, sdp,
+             n * (sqq * sdd - sqd * sqd)
+             - sq * (sq * sdd - sqd * sd)
+             + sd * (sq * sqd - sqq * sd) AS dd
+      FROM m
+    ),
+    sol AS (
+      SELECT
+        (sp * (sqq * sdd - sqd * sqd)
+         - sq * (sqp * sdd - sqd * sdp)
+         + sd * (sqp * sqd - sqq * sdp)) AS d0,
+        (n * (sqp * sdd - sdp * sqd)
+         - sp * (sq * sdd - sqd * sd)
+         + sd * (sq * sdp - sqp * sd)) AS d1,
+        (n * (sqq * sdp - sqd * sqp)
+         - sq * (sq * sdp - sqp * sd)
+         + sp * (sq * sqd - sqq * sd)) AS d2,
+        dd, n
+      FROM det
+    )
+    SELECT round(CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS b0_cents,
+           round(CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+               AS b1_per_unit_cents,
+           round(CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+               AS b2_per_bp_cents,
+           CAST(n AS BIGINT) AS n_rows
+    FROM sol
+    """,
+)
+def q185_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round("l_quantity").cast(_DEC).alias("q"),
+        F.round(F.col("l_discount") * 100).cast(_DEC).alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast(_DEC).alias("p"),
+    )
+    m = x.agg(
+        F.count("*").cast(_DEC).alias("n"),
+        F.sum("q").cast(_DEC).alias("sq"),
+        F.sum("d").cast(_DEC).alias("sd"),
+        F.sum("p").cast(_DEC).alias("sp"),
+        F.sum(F.col("q") * F.col("q")).cast(_DEC).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).cast(_DEC).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).cast(_DEC).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast(_DEC).alias("sqp"),
+        F.sum(F.col("d") * F.col("p")).cast(_DEC).alias("sdp"),
+    )
+    n, sq, sd, sp = F.col("n"), F.col("sq"), F.col("sd"), F.col("sp")
+    sqq, sqd, sdd = F.col("sqq"), F.col("sqd"), F.col("sdd")
+    sqp, sdp = F.col("sqp"), F.col("sdp")
+    dd = (
+        n * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sqd * sd)
+        + sd * (sq * sqd - sqq * sd)
+    )
+    d0 = (
+        sp * (sqq * sdd - sqd * sqd)
+        - sq * (sqp * sdd - sqd * sdp)
+        + sd * (sqp * sqd - sqq * sdp)
+    )
+    d1 = (
+        n * (sqp * sdd - sdp * sqd)
+        - sp * (sq * sdd - sqd * sd)
+        + sd * (sq * sdp - sqp * sd)
+    )
+    d2 = (
+        n * (sqq * sdp - sqd * sqp)
+        - sq * (sq * sdp - sqp * sd)
+        + sp * (sq * sqd - sqq * sd)
+    )
+    return m.select(
+        F.round(d0.cast("double") / dd.cast("double"), 6).alias("b0_cents"),
+        F.round(d1.cast("double") / dd.cast("double"), 6).alias(
+            "b1_per_unit_cents"
+        ),
+        F.round(d2.cast("double") / dd.cast("double"), 6).alias(
+            "b2_per_bp_cents"
+        ),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — Kaplan-Meier user survival: lifetime = signup -> first error
+# (event) else -> last observed activity (censored). S(t) is the
+# cumulative product of (1 - d_i/n_i) over ordered distinct event days;
+# both engines multiply in day order, so the curve value-hashes. Windows
+# are over the (tiny) per-day death/censor rollup, not the event stream.
+# --------------------------------------------------------------------------
+@register(
+    "q186_kaplan_meier",
+    oracle="""
+    WITH lt AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS t_err,
+             max(ts) AS t_last
+      FROM events GROUP BY 1
+    ),
+    life AS (
+      SELECT user_id,
+             CAST(floor(epoch(coalesce(t_err, t_last) - t0) / 86400)
+                  AS BIGINT) AS days,
+             CAST(t_err IS NOT NULL AS INT) AS died
+      FROM lt WHERE t0 IS NOT NULL
+                AND coalesce(t_err, t_last) >= t0
+    ),
+    tot AS (SELECT count(*) AS n0 FROM life),
+    byday AS (
+      SELECT days, sum(died) AS d, count(*) AS leaving
+      FROM life GROUP BY 1
+    ),
+    risk AS (
+      SELECT days, d,
+             n0 - coalesce(sum(leaving) OVER (ORDER BY days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_at_risk
+      FROM byday CROSS JOIN tot
+    ),
+    km AS (
+      -- a day where every at-risk user dies drives S to exactly 0: guard
+      -- the log argument (DuckDB errors on ln(0), Spark nulls) and zero
+      -- the curve from that absorbing day on
+      SELECT days, d, n_at_risk,
+             CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY days ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN d < n_at_risk
+                                    THEN ln(1 - d * 1.0 / n_at_risk)
+                                    ELSE 0.0 END)
+                           OVER (ORDER BY days ROWS UNBOUNDED PRECEDING))
+             END AS s
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(days AS BIGINT) AS day,
+           CAST(d AS BIGINT) AS n_deaths,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(s, 6) AS survival
+    FROM km
+    """,
+)
+def q186_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    lt = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "t_err"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    end = F.coalesce("t_err", "t_last")
+    life = lt.filter(F.col("t0").isNotNull() & (end >= F.col("t0"))).select(
+        F.floor(
+            (F.unix_timestamp(end) - F.unix_timestamp("t0")) / 86400
+        )
+        .cast("bigint")
+        .alias("days"),
+        F.col("t_err").isNotNull().cast("int").alias("died"),
+    )
+    tot = life.agg(F.count("*").alias("n0"))
+    byday = life.groupBy("days").agg(
+        F.sum("died").alias("d"), F.count("*").alias("leaving")
+    )
+    wprev = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byday.crossJoin(F.broadcast(tot)).select(
+        "days",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    wcum = Window.orderBy("days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # absorbing-zero guard: a day with d == n_at_risk drives S to exactly
+    # 0 (the log term is kept out of the sum on both engines)
+    term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(1 - F.col("d") * F.lit(1.0) / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    absorbed = F.max(
+        (F.col("d") >= F.col("n_at_risk")).cast("int")
+    ).over(wcum)
+    km = risk.filter(F.col("d") > 0).select(
+        "days",
+        "d",
+        "n_at_risk",
+        F.when(absorbed == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(wcum)))
+        .alias("s"),
+    )
+    return km.select(
+        F.col("days").cast("bigint").alias("day"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round("s", 6).alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — A/B experiment readout: deterministic md5 bucket split of users
+# into control/treatment, compare mean purchase value with Welch's
+# z-statistic. The assignment hash makes the experiment replayable; all
+# aggregates are map-side-combined scans.
+# --------------------------------------------------------------------------
+@register(
+    "q187_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    stats AS (
+      SELECT arm, count(*) AS n, avg(value) AS mean,
+             sum(value * value) / count(*) - avg(value) * avg(value) AS v
+      FROM assigned GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'control' THEN n END) AS nc,
+        max(CASE WHEN arm = 'control' THEN mean END) AS mc,
+        max(CASE WHEN arm = 'control' THEN v END) AS vc,
+        max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
+        max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
+        max(CASE WHEN arm = 'treatment' THEN v END) AS vt
+      FROM stats
+    )
+    SELECT CAST(nc AS BIGINT) AS n_control,
+           CAST(nt AS BIGINT) AS n_treatment,
+           round(mc, 4) AS mean_control,
+           round(mt, 4) AS mean_treatment,
+           round(mt - mc, 4) AS lift,
+           round((mt - mc) / sqrt(vc / nc + vt / nt), 4) AS z_stat
+    FROM wide
+    """,
+)
+def q187_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.filter(F.col("event_type") == "purchase").select(
+        arm.alias("arm"), "value"
+    )
+    stats = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        (
+            F.sum(F.col("value") * F.col("value")) / F.count("*")
+            - F.avg("value") * F.avg("value")
+        ).alias("v"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("arm") == "control", F.col("mean"))).alias("mc"),
+        F.max(F.when(F.col("arm") == "control", F.col("v"))).alias("vc"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("mean"))).alias("mt"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("v"))).alias("vt"),
+    )
+    return wide.select(
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.col("nt").cast("bigint").alias("n_treatment"),
+        F.round("mc", 4).alias("mean_control"),
+        F.round("mt", 4).alias("mean_treatment"),
+        F.round(F.col("mt") - F.col("mc"), 4).alias("lift"),
+        F.round(
+            (F.col("mt") - F.col("mc"))
+            / F.sqrt(F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")),
+            4,
+        ).alias("z_stat"),
+    )
