@@ -1,0 +1,61 @@
+"""Value contracts for the statistical-modeling tier (q185-q187)."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """The decimal-exact Cramer solve must agree with numpy's least
+    squares on the identical integerized design matrix — the estimator
+    check that is independent of what the synthetic data correlates."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q185_multivar_ols,
+    )
+
+    fit = q185_multivar_ols(spark, SF_DIR).first()
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            F.round("l_quantity").alias("q"),
+            F.round(F.col("l_discount") * 100).alias("d"),
+            F.round(F.col("l_extendedprice") * 100).alias("p"),
+        )
+        .collect()
+    )
+    assert fit.n_rows == len(rows)
+    X = np.array([[1.0, r.q, r.d] for r in rows])
+    y = np.array([r.p for r in rows])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert abs(fit.b0_cents - beta[0]) < 1e-2 * max(1, abs(beta[0]))
+    assert abs(fit.b1_per_unit_cents - beta[1]) < 1e-2 * max(1, abs(beta[1]))
+    assert abs(fit.b2_per_bp_cents - beta[2]) < 1e-2 * max(1, abs(beta[2]))
+
+
+def test_kaplan_meier_monotone(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q186_kaplan_meier,
+    )
+
+    rows = sorted(q186_kaplan_meier(spark, SF_DIR).collect(), key=lambda r: r.day)
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9
+        assert r.n_deaths <= r.n_at_risk
+        prev = r.survival
+
+
+def test_ab_test_reproducible_and_sane(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q187_ab_test,
+    )
+
+    a = q187_ab_test(spark, SF_DIR).first()
+    b = q187_ab_test(spark, SF_DIR).first()
+    assert a == b  # md5 assignment: fully replayable
+    assert a.n_control > 0 and a.n_treatment > 0
+    # synthetic data has no real treatment effect: |z| should be small
+    assert abs(a.z_stat) < 5
