@@ -24,6 +24,7 @@ def test_registry_shape():
         "q52_bag_split_decode",
         "q55_ann_ivf",
         "q56_select_anonymize",
+        "q184_semantic_dedup_ivf",  # trained-IVF blocks, q55 precedent
     }
 
 
