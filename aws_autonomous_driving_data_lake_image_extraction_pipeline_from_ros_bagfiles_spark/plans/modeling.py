@@ -338,3 +338,350 @@ def q187_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — split conformal prediction: calibrate a distribution-free
+# prediction interval for event values. Model = per-type calibration
+# mean; nonconformity = |value - mean|; qhat = the ceil((n+1)(1-alpha))
+# smallest calibration score (the finite-sample-valid split-conformal
+# quantile); report the guaranteed-coverage check on the held-out half.
+# Split is the md5 hash (replayable); the quantile picks an EXACT
+# calibration element via a rank window over the (bounded) calibration
+# scores, so the interval value-hashes.
+# --------------------------------------------------------------------------
+Q188_ALPHA = 0.1
+
+
+@register(
+    "q188_conformal_interval",
+    oracle=f"""
+    WITH split AS (
+      SELECT event_type, value, event_id,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2 AS half
+      FROM events
+    ),
+    model AS (
+      SELECT event_type, avg(value) AS mu
+      FROM split WHERE half = 0 GROUP BY 1
+    ),
+    cal AS (
+      SELECT s.event_type, abs(s.value - m.mu) AS score
+      FROM split s JOIN model m USING (event_type) WHERE s.half = 0
+    ),
+    ncal AS (SELECT count(*) AS n FROM cal),
+    qhat AS (
+      SELECT score FROM (
+        SELECT score, row_number() OVER (ORDER BY score, score) AS rk
+        FROM cal)
+      CROSS JOIN ncal
+      WHERE rk = CAST(ceil((ncal.n + 1) * (1 - {Q188_ALPHA})) AS BIGINT)
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(s.value - m.mu) <= q.score
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM split s JOIN model m USING (event_type) CROSS JOIN qhat q
+      WHERE s.half = 1
+    )
+    SELECT round(q.score, 6) AS qhat,
+           t.n_test, t.n_covered,
+           round(t.n_covered * 1.0 / t.n_test, 6) AS coverage
+    FROM qhat q CROSS JOIN test t
+    """,
+)
+def q188_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load(spark, sf_dir, "events")
+    half = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    split = ev.select("event_type", "value", half.alias("half"))
+    model = (
+        split.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("mu"))
+    )
+    cal = (
+        split.filter(F.col("half") == 0)
+        .join(F.broadcast(model), "event_type")
+        .select(F.abs(F.col("value") - F.col("mu")).alias("score"))
+    )
+    n_cal = cal.count()
+    rank = math.ceil((n_cal + 1) * (1 - Q188_ALPHA))
+    wr = Window.orderBy("score", "score")
+    qhat = (
+        cal.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == rank)
+        .select("score")
+    )
+    test = (
+        split.filter(F.col("half") == 1)
+        .join(F.broadcast(model), "event_type")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("mu")) <= F.col("score")).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        qhat.crossJoin(test)
+        .select(
+            F.round("score", 6).alias("qhat"),
+            "n_test",
+            "n_covered",
+            F.round(F.col("n_covered") * F.lit(1.0) / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — Poisson bootstrap confidence interval (the distributed
+# bootstrap: per-row replicate weights ~ Poisson(1), drawn from the
+# md5-seeded inverse CDF, so no replicate ever needs a global resample
+# pass and the whole thing is one linear scan x B). CI bounds are order
+# statistics of the B replicate means. Fully replayable — no RNG
+# service, the "seeded release" property of q167 applied to inference.
+# --------------------------------------------------------------------------
+Q189_B = 32
+_POISSON_CDF = [
+    0.36787944117144233,  # k = 0
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+_TWO48_B = 281_474_976_710_656
+
+
+def _poisson_k_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@register(
+    "q189_poisson_bootstrap",
+    oracle=f"""
+    WITH purch AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (SELECT unnest(range({Q189_B})) AS b),
+    weighted AS (
+      SELECT r.b, p.value,
+             {_poisson_k_sql(
+                 "CAST('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || '|' "
+                 "|| CAST(r.b AS VARCHAR)), 1, 12) AS BIGINT) * 1.0 / "
+                 + str(_TWO48_B)
+             )} AS k
+      FROM purch p CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b, round(sum(k * value) / sum(k), 4) AS m
+      FROM weighted GROUP BY b HAVING sum(k) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+             count(*) OVER () AS nb
+      FROM means
+    ),
+    base AS (SELECT round(avg(value), 4) AS point FROM purch)
+    SELECT base.point,
+           (SELECT m FROM ranked
+            WHERE rk = CAST(ceil(nb * 0.025) AS BIGINT)) AS ci_lo,
+           (SELECT m FROM ranked
+            WHERE rk = CAST(ceil(nb * 0.975) AS BIGINT)) AS ci_hi,
+           CAST({Q189_B} AS BIGINT) AS n_replicates
+    FROM base
+    """,
+)
+def q189_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    reps = spark.range(Q189_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        * F.lit(1.0)
+        / _TWO48_B
+    )
+    k = F.lit(7)
+    for kk in range(len(_POISSON_CDF) - 1, -1, -1):
+        k = F.when(u < _POISSON_CDF[kk], F.lit(kk)).otherwise(k)
+    weighted = purch.crossJoin(F.broadcast(reps)).select(
+        "b", "value", k.alias("k")
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("k") * F.col("value")) / F.sum("k"), 4
+            ).alias("m"),
+            F.sum("k").alias("nk"),
+        )
+        .filter(F.col("nk") > 0)
+        .select("b", "m")
+    )
+    wr = Window.orderBy("m", "b")
+    ranked = means.select(
+        "m", F.row_number().over(wr).alias("rk"), F.lit(Q189_B).alias("nb")
+    )
+    import math
+
+    lo_rk = math.ceil(Q189_B * 0.025)
+    hi_rk = math.ceil(Q189_B * 0.975)
+    lo = ranked.filter(F.col("rk") == lo_rk).select(
+        F.col("m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == hi_rk).select(
+        F.col("m").alias("ci_hi")
+    )
+    base = purch.agg(F.round(F.avg("value"), 4).alias("point"))
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point",
+            "ci_lo",
+            "ci_hi",
+            F.lit(Q189_B).cast("bigint").alias("n_replicates"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — CUPED variance reduction (Deng et al. 2013): adjust the
+# experiment metric (second-half purchase value per user) by the
+# pre-period covariate (first-half value), theta = cov(pre, post) /
+# var(pre) fitted on the POOLED data, and report per-arm means plus the
+# variance-reduction percentage — the standard lever that makes A/B
+# tests (q187) converge faster. Per-user rollups are one groupBy;
+# moments are scan aggregates.
+# --------------------------------------------------------------------------
+Q190_SPLIT = "2024-01-16"
+
+
+@register(
+    "q190_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '{Q190_SPLIT}'
+                      AND event_type = 'purchase' THEN value ELSE 0 END)
+                 AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '{Q190_SPLIT}'
+                      AND event_type = 'purchase' THEN value ELSE 0 END)
+                 AS post
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT avg(pre) AS mp, avg(post) AS mq,
+             avg(pre * post) - avg(pre) * avg(post) AS cov,
+             avg(pre * pre) - avg(pre) * avg(pre) AS varp
+      FROM per_user
+    ),
+    adj AS (
+      SELECT u.arm, u.post,
+             u.post - (m.cov / m.varp) * (u.pre - m.mp) AS cuped
+      FROM per_user u CROSS JOIN mom m
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(post), 4) AS mean_post,
+           round(avg(cuped), 4) AS mean_cuped,
+           round(100 * (1 - (avg(cuped * cuped) - avg(cuped) * avg(cuped))
+                 / (avg(post * post) - avg(post) * avg(post))), 2)
+               AS var_reduction_pct
+    FROM adj GROUP BY arm
+    """,
+)
+def q190_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    is_purch = F.col("event_type") == "purchase"
+    pre_cut = F.col("ts") < F.lit(Q190_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.sum(F.when(is_purch & pre_cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(is_purch & ~pre_cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    mom = per_user.agg(
+        F.avg("pre").alias("mp"),
+        (F.avg(F.col("pre") * F.col("post")) - F.avg("pre") * F.avg("post")).alias(
+            "cov"
+        ),
+        (F.avg(F.col("pre") * F.col("pre")) - F.avg("pre") * F.avg("pre")).alias(
+            "varp"
+        ),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - (F.col("cov") / F.col("varp")) * (F.col("pre") - F.col("mp"))
+        ).alias("cuped"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("post"), 4).alias("mean_post"),
+        F.round(F.avg("cuped"), 4).alias("mean_cuped"),
+        F.round(
+            100
+            * (
+                1
+                - (
+                    F.avg(F.col("cuped") * F.col("cuped"))
+                    - F.avg("cuped") * F.avg("cuped")
+                )
+                / (
+                    F.avg(F.col("post") * F.col("post"))
+                    - F.avg("post") * F.avg("post")
+                )
+            ),
+            2,
+        ).alias("var_reduction_pct"),
+    )

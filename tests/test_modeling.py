@@ -59,3 +59,42 @@ def test_ab_test_reproducible_and_sane(spark):
     assert a.n_control > 0 and a.n_treatment > 0
     # synthetic data has no real treatment effect: |z| should be small
     assert abs(a.z_stat) < 5
+
+
+def test_conformal_coverage_guarantee(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        Q188_ALPHA,
+        q188_conformal_interval,
+    )
+
+    r = q188_conformal_interval(spark, SF_DIR).first()
+    assert r.qhat > 0
+    # split conformal guarantees >= 1 - alpha coverage in expectation;
+    # allow finite-sample slack below the nominal level
+    assert r.coverage >= 1 - Q188_ALPHA - 0.07, r.coverage
+
+
+def test_poisson_bootstrap_brackets_point(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q189_poisson_bootstrap,
+    )
+
+    a = q189_poisson_bootstrap(spark, SF_DIR).first()
+    b = q189_poisson_bootstrap(spark, SF_DIR).first()
+    assert a == b  # hash-seeded replicates: replayable
+    assert a.ci_lo <= a.point <= a.ci_hi
+    assert a.ci_lo < a.ci_hi
+
+
+def test_cuped_reduces_variance(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q190_cuped,
+    )
+
+    rows = q190_cuped(spark, SF_DIR).collect()
+    assert {r.arm for r in rows} == {"control", "treatment"}
+    for r in rows:
+        assert r.n_users > 0
+        # theta is the pooled OLS minimizer: adjusted variance can only
+        # shrink (up to arm-vs-pooled slack); require it never blows up
+        assert r.var_reduction_pct > -5.0
