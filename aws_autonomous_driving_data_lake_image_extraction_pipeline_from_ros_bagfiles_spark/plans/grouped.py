@@ -655,3 +655,126 @@ def q134_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — 2-D skyline (Pareto frontier) of the part catalog: the parts no
+# other part dominates (cheaper-or-equal price AND larger-or-equal size,
+# strictly better somewhere). The classic DB skyline operator, computed
+# WITHOUT the naive quadratic dominance join: sort by (price ASC, size
+# DESC) and keep a row iff its size strictly exceeds the running max of
+# every strictly-cheaper prefix — one window pass, O(n log n). The
+# window is global but over the (small) candidate projection; at scale
+# the standard two-phase plan applies (per-partition skyline first —
+# skyline(skyline ∪ skyline) = skyline — then this pass over the tiny
+# union), noted here because phase 1 is a repartition + the same window
+# per partition.
+# --------------------------------------------------------------------------
+@register(
+    "q192_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+             p_size AS size
+      FROM part
+    ),
+    flagged AS (
+      SELECT p_partkey, pc, size,
+             max(size) OVER (ORDER BY pc
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_cheaper,
+             max(size) OVER (PARTITION BY pc) AS best_same_price
+      FROM pts
+    )
+    SELECT p_partkey, round(pc / 100.0, 2) AS price,
+           CAST(size AS BIGINT) AS size
+    FROM flagged
+    WHERE (best_cheaper IS NULL OR size > best_cheaper)
+      AND size >= best_same_price
+    """,
+)
+def q192_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
+        F.col("p_size").alias("size"),
+    )
+    # dominated iff a STRICTLY cheaper point has size >= mine, or a
+    # same-price point has size > mine (survives: equal duplicates).
+    # Strict-cheaper max via a RANGE frame ending 1 cent before current;
+    # same-price max via a partition-by-price max.
+    w_cheaper = Window.orderBy("pc").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("pc")
+    flagged = pts.select(
+        "p_partkey",
+        "pc",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"),
+    )
+    return flagged.filter(
+        (
+            F.col("best_cheaper").isNull()
+            | (F.col("size") > F.col("best_cheaper"))
+        )
+        & (F.col("size") >= F.col("best_same_price"))
+    ).select(
+        "p_partkey",
+        F.round(F.col("pc") / 100.0, 2).alias("price"),
+        F.col("size").cast("bigint").alias("size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — exact weighted median: the l_extendedprice value at which the
+# quantity-weighted cumulative mass first reaches half the total —
+# integer cumulative sums over the sorted value axis, so both engines
+# agree bit-for-bit (same discipline as q44's exact percentiles).
+# --------------------------------------------------------------------------
+@register(
+    "q193_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_extendedprice AS v, CAST(round(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    tot AS (SELECT sum(wt) AS tw FROM w),
+    cum AS (
+      SELECT v, wt,
+             sum(wt) OVER (ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w
+    )
+    SELECT round(min(v), 2) AS weighted_median,
+           CAST(max(tot.tw) AS BIGINT) AS total_weight
+    FROM cum CROSS JOIN tot
+    WHERE cw * 2 >= tot.tw
+    """,
+)
+def q193_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.round("l_quantity").cast("bigint").alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("tw"))
+    wc = Window.orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select("v", F.sum("wt").over(wc).alias("cw"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -685,3 +685,87 @@ def q190_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("var_reduction_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — quantile treatment effects: the A/B readout q187 compares
+# means; QTE compares the full distributions — per-arm EXACT deciles
+# (rank = ceil(q*n), the q44 discipline: no interpolation, both engines
+# pick the identical element) and their differences. Detects effects
+# that concentrate in the tails and never move the mean.
+# --------------------------------------------------------------------------
+Q191_QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+_Q191_QS = ", ".join(f"({q})" for q in Q191_QUANTILES)
+
+
+@register(
+    "q191_quantile_effects",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             value, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT arm, value,
+             row_number() OVER (PARTITION BY arm
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM assigned
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_Q191_QS}) AS t(q)),
+    picked AS (
+      SELECT qs.q, r.arm, r.value
+      FROM qs JOIN ranked r
+        ON r.rk = CAST(ceil(qs.q * r.n) AS BIGINT)
+    )
+    SELECT q AS quantile,
+           round(max(CASE WHEN arm = 'control' THEN value END), 2)
+               AS control_v,
+           round(max(CASE WHEN arm = 'treatment' THEN value END), 2)
+               AS treatment_v,
+           round(max(CASE WHEN arm = 'treatment' THEN value END)
+                 - max(CASE WHEN arm = 'control' THEN value END), 2) AS qte
+    FROM picked GROUP BY q
+    """,
+)
+def q191_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.filter(F.col("event_type") == "purchase").select(
+        arm.alias("arm"), "value", "event_id"
+    )
+    wr = Window.partitionBy("arm").orderBy("value", "event_id")
+    wn = Window.partitionBy("arm")
+    ranked = assigned.select(
+        "arm",
+        "value",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in Q191_QUANTILES], ["q"])
+    picked = F.broadcast(qs).join(
+        ranked, F.col("rk") == F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    )
+    return picked.groupBy(F.col("q").alias("quantile")).agg(
+        F.round(
+            F.max(F.when(F.col("arm") == "control", F.col("value"))), 2
+        ).alias("control_v"),
+        F.round(
+            F.max(F.when(F.col("arm") == "treatment", F.col("value"))), 2
+        ).alias("treatment_v"),
+        F.round(
+            F.max(F.when(F.col("arm") == "treatment", F.col("value")))
+            - F.max(F.when(F.col("arm") == "control", F.col("value"))),
+            2,
+        ).alias("qte"),
+    )
