@@ -769,3 +769,102 @@ def q191_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("qte"),
     )
+
+
+# --------------------------------------------------------------------------
+# q194 — offline UCB bandit replay: treat the five event types as arms,
+# replay the stream day by day, and pick each day's arm by UCB1
+# (prior-day mean + sqrt(2 ln N / n)) computed ONLY from strictly-prior
+# days — then score the choice against the arm's realized mean that day.
+# The standard offline policy-evaluation harness, expressed as
+# cumulative windows over the (day, arm) rollup — ~150 rows of state,
+# never the raw stream, and no sequential driver loop: the per-day
+# "prior" is an exclusive cumulative window.
+# --------------------------------------------------------------------------
+@register(
+    "q194_ucb_replay",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type AS arm,
+             count(*) AS n, sum(value) AS s, avg(value) AS realized
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, arm, realized,
+             sum(n) OVER (PARTITION BY arm ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS n_prior,
+             sum(s) OVER (PARTITION BY arm ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS s_prior
+      FROM daily
+    ),
+    tot AS (
+      SELECT day, arm, realized, n_prior, s_prior,
+             sum(n_prior) OVER (PARTITION BY day) AS big_n
+      FROM cum WHERE n_prior IS NOT NULL AND n_prior > 0
+    ),
+    scored AS (
+      SELECT day, arm, realized,
+             s_prior / n_prior + sqrt(2 * ln(big_n) / n_prior) AS ucb
+      FROM tot
+    ),
+    chosen AS (
+      SELECT day, arm, realized, ucb,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY round(ucb, 6) DESC, arm) AS rk
+      FROM scored
+    )
+    SELECT day, arm AS chosen_arm,
+           round(ucb, 4) AS ucb_score,
+           round(realized, 4) AS realized_mean
+    FROM chosen WHERE rk = 1
+    """,
+)
+def q194_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.col("event_type").alias("arm"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.avg("value").alias("realized"),
+    )
+    wprior = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        "realized",
+        F.sum("n").over(wprior).alias("n_prior"),
+        F.sum("s").over(wprior).alias("s_prior"),
+    ).filter(F.col("n_prior").isNotNull() & (F.col("n_prior") > 0))
+    wday = Window.partitionBy("day")
+    tot = cum.select(
+        "day",
+        "arm",
+        "realized",
+        "n_prior",
+        "s_prior",
+        F.sum("n_prior").over(wday).alias("big_n"),
+    )
+    ucb = F.col("s_prior") / F.col("n_prior") + F.sqrt(
+        2 * F.log("big_n") / F.col("n_prior")
+    )
+    wrk = Window.partitionBy("day").orderBy(
+        F.desc(F.round(ucb, 6)), F.asc("arm")
+    )
+    chosen = tot.select(
+        "day", "arm", "realized", ucb.alias("ucb"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return chosen.filter(F.col("rk") == 1).select(
+        "day",
+        F.col("arm").alias("chosen_arm"),
+        F.round("ucb", 4).alias("ucb_score"),
+        F.round("realized", 4).alias("realized_mean"),
+    )

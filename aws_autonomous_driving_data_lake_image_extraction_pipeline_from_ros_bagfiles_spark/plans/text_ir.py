@@ -1129,3 +1129,225 @@ def q175_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q195 — ranking evaluation: NDCG@10 of the q162 retrieval pipeline
+# (rarest-term queries, impact-pruned BM25) against a same-source
+# relevance standard (a candidate is relevant to query doc q iff it
+# comes from q's source — the weak-supervision label retrieval evals
+# bootstrap from). DCG uses binary gains 1/log2(rank+1); IDCG is the
+# ideal ordering of the SAME candidate pool, so ndcg = 1 means "every
+# relevant candidate ranked on top". Per-query rank windows; the same
+# posting-cap scale guards as q162.
+# --------------------------------------------------------------------------
+Q195_K = 10
+
+
+@register(
+    "q195_ndcg_eval",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
+              WHERE length(t) >= {Q162_MINLEN} GROUP BY 1),
+    qcand AS (
+      SELECT doc_id AS qid, unnest(list_distinct(
+                 list_filter(w, t -> length(t) >= {Q162_MINLEN}))) AS t
+      FROM d WHERE doc_id % {Q162_EVERY} = 0
+    ),
+    qterms AS (
+      SELECT qid, t FROM (
+        SELECT c.qid, c.t,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY dfall.df, c.t) AS rn
+        FROM qcand c JOIN dfall USING (t))
+      WHERE rn <= {Q162_NTERMS}
+    ),
+    qtok AS (SELECT DISTINCT t FROM qterms),
+    rtok AS (SELECT tok.* FROM tok JOIN qtok USING (t)),
+    dft AS (SELECT t, df FROM dfall JOIN qtok USING (t)),
+    tfall AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+              FROM rtok GROUP BY 1, 2),
+    tf AS (
+      SELECT doc_id, t, tf, dl FROM (
+        SELECT doc_id, t, tf, dl,
+               row_number() OVER (PARTITION BY t
+                                  ORDER BY tf DESC, doc_id) AS prn
+        FROM tfall)
+      WHERE prn <= {Q162_POSTING_CAP}
+    ),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             round(sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * ({Q80_K1} + 1)
+                 / (tf.tf + {Q80_K1} * (1 - {Q80_B}
+                    + {Q80_B} * tf.dl / corpus.avgdl))), 6) AS bm25
+      FROM qterms q
+      JOIN tf ON q.t = tf.t
+      JOIN dft ON q.t = dft.t
+      CROSS JOIN corpus
+      WHERE tf.doc_id <> q.qid
+      GROUP BY 1, 2
+    ),
+    rel AS (
+      SELECT s.qid, s.doc_id, s.bm25,
+             CAST(dq.source = dc.source AS INT) AS r
+      FROM scored s
+      JOIN d dq ON s.qid = dq.doc_id
+      JOIN d dc ON s.doc_id = dc.doc_id
+    ),
+    ranked AS (
+      SELECT qid, r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rk,
+             sum(r) OVER (PARTITION BY qid) AS n_rel
+      FROM rel
+    ),
+    dcg AS (
+      SELECT qid, max(n_rel) AS n_rel,
+             sum(CASE WHEN rk <= {Q195_K} THEN r / log2(rk + 1.0)
+                      ELSE 0 END) AS dcg
+      FROM ranked GROUP BY 1
+    ),
+    idcg AS (
+      SELECT qid,
+             sum(CASE WHEN i <= least(n_rel, {Q195_K})
+                      THEN 1.0 / log2(i + 1.0) ELSE 0 END) AS idcg
+      FROM dcg CROSS JOIN (SELECT unnest(range(1, {Q195_K} + 1)) AS i)
+      GROUP BY 1
+    )
+    SELECT dcg.qid, CAST(dcg.n_rel AS BIGINT) AS n_rel,
+           round(dcg.dcg, 6) AS dcg,
+           round(idcg.idcg, 6) AS idcg,
+           CASE WHEN idcg.idcg > 0
+                THEN round(dcg.dcg / idcg.idcg, 6) ELSE 0.0 END AS ndcg
+    FROM dcg JOIN idcg USING (qid)
+    """,
+)
+def q195_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    corpus = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    tok = d.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
+    )
+    dfall = (
+        tok.filter(F.length("t") >= Q162_MINLEN)
+        .select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    qcand = d.filter(F.col("doc_id") % Q162_EVERY == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter("w", lambda t: F.length(t) >= Q162_MINLEN)
+            )
+        ).alias("t"),
+    )
+    wq = Window.partitionBy("qid").orderBy("df", "t")
+    qterms = (
+        qcand.join(F.broadcast(dfall), "t")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= Q162_NTERMS)
+        .select("qid", "t")
+    )
+    qtok = qterms.select("t").distinct()
+    rtok = tok.join(F.broadcast(qtok), "t")
+    dft = dfall.join(F.broadcast(qtok), "t").select("t", "df")
+    tfall = rtok.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    wp = Window.partitionBy("t").orderBy(F.desc("tf"), F.asc("doc_id"))
+    tf = (
+        tfall.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= Q162_POSTING_CAP)
+        .select("doc_id", "t", "tf", "dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (Q80_K1 + 1)
+        / (
+            F.col("tf")
+            + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "t")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    src = docs.select("doc_id", "source")
+    rel = (
+        scored.join(
+            src.select(F.col("doc_id").alias("qid"), F.col("source").alias("qsrc")),
+            "qid",
+        )
+        .join(
+            src.select("doc_id", F.col("source").alias("csrc")),
+            "doc_id",
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "bm25",
+            (F.col("qsrc") == F.col("csrc")).cast("int").alias("r"),
+        )
+    )
+    wrk = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wq2 = Window.partitionBy("qid")
+    ranked = rel.select(
+        "qid",
+        "r",
+        F.row_number().over(wrk).alias("rk"),
+        F.sum("r").over(wq2).alias("n_rel"),
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rk") <= Q195_K, F.col("r") / F.log2(F.col("rk") + 1.0)
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    ranks = spark.range(1, Q195_K + 1).select(
+        F.col("id").cast("int").alias("i")
+    )
+    idcg = (
+        dcg.crossJoin(F.broadcast(ranks))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") <= F.least(F.col("n_rel"), F.lit(Q195_K)),
+                    1.0 / F.log2(F.col("i") + 1.0),
+                ).otherwise(0.0)
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(idcg, "qid").select(
+        "qid",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
