@@ -736,6 +736,9 @@ def q192_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantity-weighted cumulative mass first reaches half the total —
 # integer cumulative sums over the sorted value axis, so both engines
 # agree bit-for-bit (same discipline as q44's exact percentiles).
+# The global cumulative window is the price of EXACTNESS (a total order
+# over values); at 100 TB the serving path is the mergeable histogram
+# sketch (q126/q139) and this exact form remains the audit tier.
 # --------------------------------------------------------------------------
 @register(
     "q193_weighted_median",
