@@ -483,3 +483,82 @@ def q176_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — cross-source duplication matrix: for every source pair, how
+# many NEAR-duplicate document pairs (q23 semantics, Jaccard >= 0.5)
+# span them — the provenance / licensing audit that shows which feeds
+# copy from which. Pair generation is the q23 inverted-index join; the
+# source labels ride along on doc_id joins.
+# --------------------------------------------------------------------------
+Q197_THRESHOLD = 0.5
+
+
+@register(
+    "q197_cross_source_dups",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    shl AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
+                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
+                       s -> s IS NOT NULL)) AS sh
+            FROM toks),
+    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM shx a JOIN shx b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT ia, ib FROM inter
+        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {Q197_THRESHOLD}
+    ),
+    lab AS (
+        SELECT n.ia, n.ib, da.source AS sa, db.source AS sb
+        FROM near n
+        JOIN documents da ON n.ia = da.doc_id
+        JOIN documents db ON n.ib = db.doc_id
+    )
+    SELECT least(sa, sb) AS source_lo,
+           greatest(sa, sb) AS source_hi,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(least(sa, sb) = greatest(sa, sb) AS INT) AS within_source
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, threshold=Q197_THRESHOLD).select(
+        F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        near.join(
+            src.select(F.col("doc_id").alias("ia"), F.col("source").alias("sa")),
+            "ia",
+        ).join(
+            src.select(F.col("doc_id").alias("ib"), F.col("source").alias("sb")),
+            "ib",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_dup_pairs",
+            (F.col("source_lo") == F.col("source_hi"))
+            .cast("int")
+            .alias("within_source"),
+        )
+    )

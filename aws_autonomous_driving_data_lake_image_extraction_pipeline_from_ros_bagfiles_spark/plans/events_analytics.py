@@ -1517,3 +1517,128 @@ def q182_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_occurrences"),
         F.row_number().over(wr).alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — RFM segmentation: per-user recency (days since last purchase),
+# frequency (purchase count) and monetary (purchase value) quintiles,
+# rolled up to segment sizes — the classic warehouse customer-value
+# cube. ntile(5) windows run over the per-user ROLLUP (|users| rows,
+# never the event stream); ordering carries a user_id tie-break so both
+# engines assign identical quintiles. At catalog scale the quintile
+# boundaries come from the q126-style sketch instead of a global ntile —
+# this exact form is the audit tier (cf. q193's note).
+# --------------------------------------------------------------------------
+@register(
+    "q196_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS t1 FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(floor(epoch(anchor.t1 - max(ts)) / 86400) AS BIGINT)
+                 AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events CROSS JOIN anchor
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, anchor.t1
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m,
+             monetary
+      FROM per_user
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(monetary), 2) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q196_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t1"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "t1")
+        .agg(
+            F.floor(
+                (F.unix_timestamp(F.first("t1")) - F.unix_timestamp(F.max("ts")))
+                / 86400
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .drop("t1")
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+        "monetary",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — Gini concentration of engagement value: how unequally total
+# purchase value distributes across users, via the exact rank formula
+# G = 2*sum(i * x_i)/(n * sum(x)) - (n + 1)/n over values sorted
+# ascending. One rank window over the per-user rollup; the inequality
+# metric every marketplace/abuse dashboard tracks.
+# --------------------------------------------------------------------------
+@register(
+    "q198_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, user_id) AS i,
+             count(*) OVER () AS n, sum(v) OVER () AS tv
+      FROM per_user
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(max(tv), 2) AS total_value,
+           round(2.0 * sum(i * v) / (max(n) * max(tv))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q198_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("v"))
+    )
+    wr = Window.orderBy("v", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "v",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v").over(wall).alias("tv"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(F.max("tv"), 2).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("v")) / (F.max("n") * F.max("tv"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
