@@ -1,6 +1,7 @@
-"""Corpus-quality wave 4b (q157-q163 odd family): cluster-representative
-canonicalization, Gopher-style rule gates, containment dedup, n-gram
-novelty, and quality-mass (nucleus) selection.
+"""Corpus-quality tier (q157/q159-q161/q163/q176/q197):
+cluster-representative canonicalization, Gopher-style rule gates,
+containment dedup, n-gram novelty, quality-mass (nucleus) selection,
+Neyman allocation, and the cross-source duplication matrix.
 
 These close the curation steps between "find duplicate pairs" (q23/q24)
 and "emit a training corpus" (q112/q141): after clustering you must PICK

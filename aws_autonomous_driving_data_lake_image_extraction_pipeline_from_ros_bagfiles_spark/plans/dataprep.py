@@ -1,6 +1,6 @@
-"""Training-data preparation wave 4e (q170-q173): product-quantized ANN
-retrieval, CDC changelog materialization, cross-split leakage audit, and
-token-budget waterfilling.
+"""Training-data preparation tier (q170-q173, q183): product-quantized
+ANN retrieval, CDC changelog materialization, cross-split leakage audit,
+token-budget waterfilling, and snapshot reconciliation.
 
 Scale notes (100 TB discipline):
 - q170's codebooks and per-query distance tables are O(m*k) rows —

@@ -1,5 +1,6 @@
-"""In-engine statistical modeling (q185-q187): exactly-reproducible
-model fitting and experiment analysis as DataFrame plans.
+"""In-engine statistical modeling (q185-q191, q194): exactly-
+reproducible model fitting, experiment analysis, and offline policy
+evaluation as DataFrame plans.
 
 - q185 multivariate OLS through the normal equations with EXACT
   decimal(38,0) moment sums (the q114 PCA trick): quantities, discounts

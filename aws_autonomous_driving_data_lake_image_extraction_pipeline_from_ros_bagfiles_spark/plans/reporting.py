@@ -1,5 +1,5 @@
-"""Dataset-card reporting (q178): the one-row corpus summary a data
-release ships (HuggingFace dataset-card / Datasheets-for-Datasets
+"""Dataset-card reporting and governance gates (q178-q179): the
+one-row corpus summary a data release ships (HuggingFace dataset-card / Datasheets-for-Datasets
 numbers), composed from the engine's own curation primitives.
 
 Every statistic is a tiny independent aggregate (count, distinct-md5,
