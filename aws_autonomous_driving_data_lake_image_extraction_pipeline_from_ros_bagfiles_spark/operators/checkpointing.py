@@ -1,0 +1,38 @@
+"""Lineage-truncation helper shared by the iterative graph operators
+(components.py, pagerank.py).
+
+Two tiers (VERDICT r4 #6):
+
+- ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks live in
+  executor storage. Fast (no distributed-FS round trip) but NOT
+  fault-tolerant: losing an executor mid-iteration loses blocks and the
+  truncated lineage cannot recompute them, so the job fails and must be
+  rerun from the start (acceptable for interactive/bench runs).
+- ``checkpoint_dir=path``: RELIABLE checkpoint — materialized to the
+  given directory (HDFS/S3A/local path). Iterations survive executor
+  loss; this is the setting for long multi-hour graph jobs on
+  preemptible fleets. The checkpoint dir is set once per SparkContext
+  (Spark keeps one global dir; per-call divergent dirs would silently
+  re-point the whole context, so we only set it when unset or changed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# last dir set per SparkContext (by id): setCheckpointDir is global to the
+# context and mints a fresh UUID subdir on every call, so we only re-set it
+# when the requested dir actually changes
+_SET_DIRS: dict[int, str] = {}
+
+
+def truncate_lineage(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool
+) -> DataFrame:
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if _SET_DIRS.get(id(sc)) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _SET_DIRS[id(sc)] = checkpoint_dir
+    return df.checkpoint(eager=eager)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import truncate_lineage
+
 
 def _with_min(edges: DataFrame) -> DataFrame:
     """(u, v) -> (u, v, m) where m = min(closed neighborhood of u)."""
@@ -68,29 +70,37 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     _stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in the edge list;
     cluster_id = min node id of the component. ``_stats`` (when a dict is
-    passed) receives {"rounds": n} for round-count assertions."""
+    passed) receives {"rounds": n} for round-count assertions.
+
+    ``checkpoint_dir=None`` truncates each round via localCheckpoint
+    (executor storage — fast, not executor-loss-tolerant); pass a
+    reliable dir to survive executor loss on long jobs — see
+    operators/checkpointing.py."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = truncate_lineage(nodes, checkpoint_dir, eager=True)
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    cur = truncate_lineage(cur, checkpoint_dir, eager=True)
 
     converged = False
     rounds = 0
     n_cur = cur.count()
     for _ in range(max_iter):
         rounds += 1
-        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        new = truncate_lineage(
+            _small_star(_large_star(cur)), checkpoint_dir, eager=True
+        )
         n_new = new.count()
         # fixed point: identical edge set (both sides distinct, so
         # count-equal + new ⊆ cur ⇒ equal)

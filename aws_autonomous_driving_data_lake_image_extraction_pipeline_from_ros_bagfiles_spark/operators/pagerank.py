@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -27,6 +29,7 @@ def pagerank(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Ranks after ``iterations`` rounds of r' = (1-d)/N + d·Σ r(u)/deg(u)
     over incoming neighbors u. ``edges`` is treated as DIRECTED; pass both
@@ -40,14 +43,19 @@ def pagerank(
     k's plan re-derives every predecessor — including re-running whatever
     pipeline PRODUCED the edge list — once per reference, and the whole
     computation goes super-linear in ``iterations``.
+
+    ``checkpoint_dir=None`` truncates via localCheckpoint (executor
+    storage — fast, not executor-loss-tolerant); pass a reliable dir
+    (HDFS/S3A/local) to survive executor loss on long runs — see
+    operators/checkpointing.py.
     """
-    edges = edges.localCheckpoint(eager=False)
+    edges = truncate_lineage(edges, checkpoint_dir, eager=False)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionAll(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    nodes = truncate_lineage(nodes, checkpoint_dir, eager=False)
     n = nodes.count()  # scalar: dimension of the rank vector, tiny result
     if n == 0:
         # an empty graph has no rank vector; returning an empty frame (not
@@ -56,8 +64,8 @@ def pagerank(
     deg = (
         edges.groupBy(F.col(src_col).alias("node"))
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=False)
     )
+    deg = truncate_lineage(deg, checkpoint_dir, eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (
@@ -77,6 +85,6 @@ def pagerank(
                     + damping * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = truncate_lineage(ranks, checkpoint_dir, eager=False)
     return ranks

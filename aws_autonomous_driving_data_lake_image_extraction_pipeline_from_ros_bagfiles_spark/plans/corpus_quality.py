@@ -39,6 +39,8 @@ from .registry import register
 
 # --------------------------------------------------------------------------
 # q157 — near-dup cluster canonicalization: q54's connected components
+# (over banded-LSH-candidate + exact-Jaccard-verified pairs — the r5
+# default pair generator; candidate counts stay ~linear in corpus size)
 # plus singleton closure over ALL documents, then ONE survivor per
 # cluster by (n_chars DESC, doc_id ASC) — "keep the longest member" is
 # the standard near-dup survivor rule (longest = most content). Output is
@@ -47,31 +49,14 @@ from .registry import register
 Q157_THRESHOLD = 0.2
 
 
-@register(
-    "q157_cluster_representatives",
-    oracle=f"""
+def _q157_oracle() -> str:
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
     WITH RECURSIVE
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    shl AS (SELECT doc_id,
-                   list_distinct(list_filter(
-                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
-                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
-                       s -> s IS NOT NULL)) AS sh
-            FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT ia, ib FROM inter
-        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= {Q157_THRESHOLD}
-    ),
-    edges AS (SELECT ia AS u, ib AS v FROM pairs
-              UNION SELECT ib, ia FROM pairs),
+    {minhash_pair_ctes(Q157_THRESHOLD)},
+    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
     closure(u, v) AS (
         SELECT u, v FROM edges
         UNION
@@ -94,14 +79,16 @@ Q157_THRESHOLD = 0.2
     SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(rk = 1 AS INT) AS is_kept
     FROM ranked
-    """,
-)
+    """
+
+
+@register("q157_cluster_representatives", oracle=_q157_oracle())
 def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
     from ..operators.components import connected_components
-    from ..operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=Q157_THRESHOLD)
+    pairs = DD.minhash_lsh_pairs(docs, threshold=Q157_THRESHOLD)
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -118,12 +105,17 @@ def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    return alldocs.select(
+    out = alldocs.select(
         "doc_id",
         "cluster_id",
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
         (F.row_number().over(rk) == 1).cast("int").alias("is_kept"),
     )
+    # materialize, then drop the operator's band/shingle caches (q24's
+    # session hygiene)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    DD.release_caches()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -260,8 +252,6 @@ Q160_N = 5
     """,
 )
 def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles_long
-
     from ..operators.dedup import shingles_long
 
     docs = load(spark, sf_dir, "documents")
@@ -488,54 +478,40 @@ def q176_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q197 — cross-source duplication matrix: for every source pair, how
-# many NEAR-duplicate document pairs (q23 semantics, Jaccard >= 0.5)
-# span them — the provenance / licensing audit that shows which feeds
-# copy from which. Pair generation is the q23 inverted-index join; the
-# source labels ride along on doc_id joins.
+# many NEAR-duplicate document pairs (banded-LSH candidates +
+# exact-Jaccard verify >= 0.5 — q24's recipe, the r5 default pair
+# generator; candidate counts stay ~linear in corpus size) span them —
+# the provenance / licensing audit that shows which feeds copy from
+# which. The source labels ride along on doc_id joins.
 # --------------------------------------------------------------------------
 Q197_THRESHOLD = 0.5
 
 
-@register(
-    "q197_cross_source_dups",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    shl AS (SELECT doc_id,
-                   list_distinct(list_filter(
-                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
-                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
-                       s -> s IS NOT NULL)) AS sh
-            FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    near AS (
-        SELECT ia, ib FROM inter
-        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= {Q197_THRESHOLD}
-    ),
+def _q197_oracle() -> str:
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
+    WITH {minhash_pair_ctes(Q197_THRESHOLD)},
     lab AS (
-        SELECT n.ia, n.ib, da.source AS sa, db.source AS sb
-        FROM near n
-        JOIN documents da ON n.ia = da.doc_id
-        JOIN documents db ON n.ib = db.doc_id
+        SELECT p.id_a AS ia, p.id_b AS ib, da.source AS sa, db.source AS sb
+        FROM mh_pairs p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
     )
     SELECT least(sa, sb) AS source_lo,
            greatest(sa, sb) AS source_hi,
            CAST(count(*) AS BIGINT) AS n_dup_pairs,
            CAST(least(sa, sb) = greatest(sa, sb) AS INT) AS within_source
     FROM lab GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("q197_cross_source_dups", oracle=_q197_oracle())
 def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators import dedup as DD
 
     docs = load(spark, sf_dir, "documents")
-    near = ngram_jaccard_pairs(docs, threshold=Q197_THRESHOLD).select(
+    near = DD.minhash_lsh_pairs(docs, threshold=Q197_THRESHOLD).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )
     src = docs.select("doc_id", "source")
@@ -548,7 +524,7 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ib",
         )
     )
-    return (
+    out = (
         lab.groupBy(
             F.least("sa", "sb").alias("source_lo"),
             F.greatest("sa", "sb").alias("source_hi"),
@@ -563,3 +539,8 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_source"),
         )
     )
+    # materialize, then drop the operator's band/shingle caches (q24's
+    # session hygiene)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    DD.release_caches()
+    return result

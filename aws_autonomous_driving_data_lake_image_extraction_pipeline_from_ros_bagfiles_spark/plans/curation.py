@@ -44,9 +44,12 @@ from .registry import register
 # --------------------------------------------------------------------------
 # q109 — SemDeDup: cluster-then-prune semantic deduplication.
 #
-# Coarse cluster = the `label` column (stands in for a trained k-means cell
-# id, the same convention as q42/q27 — in production the id comes from
-# operators/ann_ivf.py's quantizer). Within a cluster:
+# Coarse cluster = a CORPUS-SCALED hyperplane-LSH cell (default since r5;
+# operators/lsh_blocking.py): cell count ∝ N / TARGET_BLOCK, so per-cell
+# pair counts stay linear in corpus size — the SemDeDup "k ∝ N" regime
+# (Abbas et al. 2023 §3) in a deterministic, oracle-replayable form. The
+# trained-quantizer sibling (actual k-means cells, rows-only) is q184.
+# Within a cluster:
 #   1. centroid c = element-wise mean of member embeddings,
 #   2. every vector gets r = round(cos(v, c), 6),
 #   3. v is DROPPED iff some cluster-mate u has cos(u, v) >= TAU and u is
@@ -62,19 +65,19 @@ from .registry import register
 Q109_TAU = 0.3
 
 
-def _centroids(emb: DataFrame) -> DataFrame:
-    """(label, c: array<double>) — element-wise mean embedding per cluster.
+def _centroids(emb: DataFrame, key_col: str = "cell") -> DataFrame:
+    """(key, c: array<double>) — element-wise mean embedding per cluster.
 
-    posexplode -> two-level agg: the (label, pos) partial means are
+    posexplode -> two-level agg: the (key, pos) partial means are
     map-side combinable, so the shuffle carries B x d rows total — O(1)
     in corpus size. The final array rebuild sorts by position via
     array_sort over (pos, m) structs.
     """
-    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    ex = emb.select(key_col, F.posexplode("embedding").alias("pos", "x"))
     return (
-        ex.groupBy("label", "pos")
+        ex.groupBy(key_col, "pos")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .groupBy("label")
+        .groupBy(key_col)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
@@ -85,27 +88,32 @@ def _centroids(emb: DataFrame) -> DataFrame:
 
 
 def _q109_oracle() -> str:
+    from ..operators import lsh_blocking as L
+
     return f"""
-    WITH ex AS (
-      SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    WITH {L.nbits_param_sql("embeddings")},
+    {L.cell_keys_sql("embeddings")},
+    ex AS (
+      SELECT lc.cell, e.vec_id, e.embedding::DOUBLE[] AS e
+      FROM embeddings e JOIN lsh_cells lc USING (vec_id)
     ),
     exu AS (
-      SELECT label, vec_id,
+      SELECT cell, vec_id,
              unnest(list_transform(e, (x, i) -> struct_pack(x := x, i := i))) AS u
       FROM ex
     ),
-    dims AS (SELECT label, u.i AS i, avg(u.x) AS m FROM exu GROUP BY 1, 2),
-    cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
+    dims AS (SELECT cell, u.i AS i, avg(u.x) AS m FROM exu GROUP BY 1, 2),
+    cent AS (SELECT cell, list(m ORDER BY i) AS c FROM dims GROUP BY 1),
     cc AS (
-      SELECT v.label, v.vec_id,
+      SELECT v.cell, v.vec_id,
              round(list_sum(list_transform(v.e, (x, i) -> x * c[i]))
                    / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
                       * sqrt(list_sum(list_transform(c, x -> x * x)))), 6) AS r
-      FROM ex v JOIN cent USING (label)
+      FROM ex v JOIN cent USING (cell)
     ),
     pairs AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib
-      FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM ex a JOIN ex b ON a.cell = b.cell AND a.vec_id <> b.vec_id
       WHERE list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
             / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {Q109_TAU}
@@ -117,7 +125,7 @@ def _q109_oracle() -> str:
       JOIN cc cb ON cb.vec_id = p.ib
       WHERE ca.r < cb.r OR (ca.r = cb.r AND p.ia < p.ib)
     )
-    SELECT cc.vec_id, cc.label, cc.r AS centroid_cos
+    SELECT cc.vec_id, cc.cell, cc.r AS centroid_cos
     FROM cc LEFT JOIN dropped d ON cc.vec_id = d.vec_id
     WHERE d.vec_id IS NULL
     """
@@ -125,13 +133,20 @@ def _q109_oracle() -> str:
 
 @register("q109_semantic_dedup", oracle=_q109_oracle())
 def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lsh_blocking as L
+
     emb = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # centroid table is B rows of d doubles — broadcast, never shuffled in
+    nbits = L.n_block_bits(emb.count())
+    # one cell per vector, cell count ∝ N (the SemDeDup k ∝ N regime)
+    cells = L.cell_keys(emb.select("vec_id", "embedding"), nbits)
+    emb = emb.join(cells, "vec_id").select("cell", "vec_id", "embedding")
+    # centroid table is ~N/TARGET_BLOCK rows of d doubles — broadcast,
+    # never shuffled in
     cent = _centroids(emb)
-    cc = emb.join(F.broadcast(cent), "label").select(
-        "label",
+    cc = emb.join(F.broadcast(cent), "cell").select(
+        "cell",
         "vec_id",
         "embedding",
         F.round(
@@ -141,23 +156,23 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r"),
     )
     normed = cc.select(
-        "vec_id", "label", "embedding", "r", norm(F.col("embedding")).alias("nm")
+        "vec_id", "cell", "embedding", "r", norm(F.col("embedding")).alias("nm")
     )
     a = normed.select(
-        F.col("vec_id").alias("ia"), "label", F.col("embedding").alias("ea"),
+        F.col("vec_id").alias("ia"), "cell", F.col("embedding").alias("ea"),
         F.col("r").alias("ra"), F.col("nm").alias("na"),
     )
     b = normed.select(
-        F.col("vec_id").alias("ib"), "label", F.col("embedding").alias("eb"),
+        F.col("vec_id").alias("ib"), "cell", F.col("embedding").alias("eb"),
         F.col("r").alias("rb"), F.col("nm").alias("nb"),
     )
-    # quadratic verify confined to cluster blocks (q42's blocking bound);
-    # norms are computed ONCE per vector before the pair join (q42's
-    # discipline — the fold produces the same doubles either way, so the
-    # oracle's inline form still matches exactly)
+    # quadratic verify confined to bounded-size cells (linear in N by the
+    # n_block_bits contract); norms are computed ONCE per vector before
+    # the pair join (q42's discipline — the fold produces the same doubles
+    # either way, so the oracle's inline form still matches exactly)
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     dropped = (
-        a.join(b, "label")
+        a.join(b, "cell")
         .filter(F.col("ia") != F.col("ib"))
         .filter(sim >= Q109_TAU)
         .filter(
@@ -168,7 +183,7 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cc.join(dropped, "vec_id", "left_anti").select(
-        "vec_id", "label", F.col("r").alias("centroid_cos")
+        "vec_id", "cell", F.col("r").alias("centroid_cos")
     )
 
 

@@ -199,19 +199,23 @@ def q171_changelog_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q172 — cross-split leakage audit: after q96's md5 split assignment,
-# count the document pairs that are near-duplicates (q23 semantics,
-# Jaccard >= 0.5) OR exact duplicates (q22 fingerprint) but land in
-# DIFFERENT splits — the contamination that silently inflates eval
-# scores. Pair generation is the same inverted-index join as q23
-# (never all-pairs); the split columns ride along on doc_id joins.
+# count the document pairs that are near-duplicates (banded-LSH
+# candidates + exact-Jaccard verify >= 0.5 — q24's recipe, the r5 default
+# pair generator: candidate counts stay ~linear in corpus size where the
+# raw inverted-index join was quadratic) OR exact duplicates (q22
+# fingerprint) but land in DIFFERENT splits — the contamination that
+# silently inflates eval scores. The split columns ride along on doc_id
+# joins.
 # --------------------------------------------------------------------------
 Q172_THRESHOLD = 0.5
 
 
-@register(
-    "q172_split_leakage",
-    oracle=f"""
-    WITH splits AS (
+def _q172_oracle() -> str:
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
+    WITH {minhash_pair_ctes(Q172_THRESHOLD)},
+    splits AS (
       SELECT doc_id,
              CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
                   ELSE 'test' END AS split
@@ -220,24 +224,8 @@ Q172_THRESHOLD = 0.5
                         AS BIGINT) % 10 AS b
             FROM documents)
     ),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    shl AS (SELECT doc_id,
-                   list_distinct(list_filter(
-                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
-                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
-                       s -> s IS NOT NULL)) AS sh
-            FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
     near AS (
-        SELECT ia, ib FROM inter
-        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= {Q172_THRESHOLD}
+        SELECT id_a AS ia, id_b AS ib FROM mh_pairs
     ),
     fps AS (SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
@@ -264,10 +252,13 @@ Q172_THRESHOLD = 0.5
            kind,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM crossing GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@register("q172_split_leakage", oracle=_q172_oracle())
 def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs, text_fingerprint
+    from ..operators import dedup as DD
+    from ..operators.dedup import text_fingerprint
 
     docs = load(spark, sf_dir, "documents")
     b = (
@@ -281,7 +272,7 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
-    near = ngram_jaccard_pairs(docs, threshold=Q172_THRESHOLD).select(
+    near = DD.minhash_lsh_pairs(docs, threshold=Q172_THRESHOLD).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib"),
         F.lit("neardup").alias("kind"),
     )
@@ -301,11 +292,16 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "ib")
         .filter(F.col("split_a") != F.col("split_b"))
     )
-    return crossing.groupBy(
+    out = crossing.groupBy(
         F.least("split_a", "split_b").alias("split_lo"),
         F.greatest("split_a", "split_b").alias("split_hi"),
         "kind",
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+    # materialize, then drop the operator's band/shingle caches (q24's
+    # session hygiene)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    DD.release_caches()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -1364,7 +1364,11 @@ def q169_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q177_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    # unix_micros is timezone-independent (epoch microseconds), matching
+    # the oracle's epoch(); unix_timestamp would re-interpret the
+    # timestamp under spark.sql.session.timeZone and shift hour buckets
+    # on non-UTC sessions (ADVICE r4)
+    hour = F.expr("unix_micros(ts) div 3600000000").cast("bigint")
     span = ev.agg(
         F.min(hour).alias("h0"), F.max(hour).alias("h1")
     )

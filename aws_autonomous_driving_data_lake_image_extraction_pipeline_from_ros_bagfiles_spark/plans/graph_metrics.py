@@ -17,8 +17,10 @@ borderline matches that deserve human review. This is the standard
 cluster-quality diagnostic run after pair generation and before
 canonicalization.
 
-Scale shape: edges come from the SAME label-blocked cosine join as q42
-(never all-pairs), stored once with id_a < id_b. Triangle enumeration is
+Scale shape: edges come from the SAME corpus-scaled hyperplane-LSH
+blocked cosine join as q42 (never all-pairs; block count ∝ N since r5 —
+see operators/lsh_blocking.py), stored once with id_a < id_b. Triangle
+enumeration is
 the classic two-join oriented count: ordering every edge low-id -> high-id
 means each triangle {a<b<c} is generated exactly once as the wedge
 (a,b)+(b,c) closed by (a,c) — no per-triangle dedup pass. At production
@@ -46,15 +48,61 @@ _COS = """list_sum(list_transform(a.embedding::DOUBLE[], (x, i) -> x * (b.embedd
              * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x))))"""
 
 
+def _scaled_raw_sql() -> str:
+    """CTE chain ``lsh_params``/``lsh_bands``/``lsh_cand`` + ``raw(u,v,c)``:
+    corpus-scaled LSH-blocked, cosine-verified similarity edges — the r5
+    default edge recipe shared by q168/q180 (and q42's pair shape)."""
+    from ..operators import lsh_blocking as L
+
+    return f"""{L.nbits_param_sql("embeddings")},
+    {L.band_keys_sql("embeddings")},
+    {L.candidate_pairs_sql()},
+    raw AS (
+      SELECT cd.id_a AS u, cd.id_b AS v, round({_COS}, 6) AS c
+      FROM lsh_cand cd
+      JOIN embeddings a ON a.vec_id = cd.id_a
+      JOIN embeddings b ON b.vec_id = cd.id_b
+      WHERE {_COS} >= {Q168_TAU}
+    )"""
+
+
+def _scaled_raw_edges(emb: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_scaled_raw_sql`: (u, v, c) verified edges from
+    corpus-scaled LSH candidates; norms computed once per vector."""
+    from ..operators import lsh_blocking as L
+
+    nbits = L.n_block_bits(emb.count())
+    cand = L.scaled_candidate_pairs(emb.select("vec_id", "embedding"), nbits)
+    normed = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(sim >= Q168_TAU)
+        .select(
+            F.col("id_a").alias("u"),
+            F.col("id_b").alias("v"),
+            F.round(sim, 6).alias("c"),
+        )
+    )
+
+
 @register(
     "q168_triangle_count",
     oracle=f"""
-    WITH raw AS (
-      SELECT a.vec_id AS u, b.vec_id AS v, round({_COS}, 6) AS c
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_COS} >= {Q168_TAU}
-    ),
+    WITH {_scaled_raw_sql()},
     dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
     top AS (
       SELECT u, v FROM (
@@ -85,28 +133,7 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    normed = emb.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm")
-    )
-    a = normed.select(
-        F.col("vec_id").alias("u"),
-        "label",
-        F.col("embedding").alias("ea"),
-        F.col("nm").alias("na"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("v"),
-        "label",
-        F.col("embedding").alias("eb"),
-        F.col("nm").alias("nb"),
-    )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    raw = (
-        a.join(b, "label")
-        .filter(F.col("u") < F.col("v"))
-        .filter(sim >= Q168_TAU)
-        .select("u", "v", F.round(sim, 6).alias("c"))
-    )
+    raw = _scaled_raw_edges(emb)
     direct = raw.unionAll(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
     )
@@ -147,20 +174,16 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sparse pair list into cluster-completion suggestions.
 #
 # Scale shape: the wedge join is the SAME bounded fan-out as q168 (the
-# kNN degree cap bounds every node's neighborhood at K), the degree
-# table is node-sized and broadcast, and existing edges are removed with
-# an anti-join. No all-pairs anywhere.
+# kNN degree cap bounds every node's neighborhood at K), edge generation
+# is the corpus-scaled LSH-blocked verify shared with q168/q42, the
+# degree table is node-sized and broadcast, and existing edges are
+# removed with an anti-join. No all-pairs anywhere.
 # --------------------------------------------------------------------------
 
 
 def _q180_edges_sql() -> str:
     return f"""
-    raw AS (
-      SELECT a.vec_id AS u, b.vec_id AS v, round({_COS}, 6) AS c
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_COS} >= {Q168_TAU}
-    ),
+    {_scaled_raw_sql()},
     dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
     top AS (
       SELECT u, v FROM (
@@ -204,28 +227,7 @@ def q180_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    normed = emb.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nm")
-    )
-    a = normed.select(
-        F.col("vec_id").alias("u"),
-        "label",
-        F.col("embedding").alias("ea"),
-        F.col("nm").alias("na"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("v"),
-        "label",
-        F.col("embedding").alias("eb"),
-        F.col("nm").alias("nb"),
-    )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    raw = (
-        a.join(b, "label")
-        .filter(F.col("u") < F.col("v"))
-        .filter(sim >= Q168_TAU)
-        .select("u", "v", F.round(sim, 6).alias("c"))
-    )
+    raw = _scaled_raw_edges(emb)
     direct = raw.unionAll(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
     )

@@ -84,37 +84,24 @@ def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q54 — near-dup cluster resolution: exact-Jaccard pairs (q23 semantics)
-# -> connected components -> one canonical survivor per cluster. The
-# oracle computes the same transitive closure with a recursive CTE; the
+# q54 — near-dup cluster resolution: banded-LSH candidates + exact-Jaccard
+# verify (q24's recipe — since r5 the default pair generator here: band
+# buckets keep candidate counts ~linear in corpus size, where the raw
+# shingle-inverted-index join was quadratic against the fixed 3-gram
+# vocabulary) -> connected components -> one canonical survivor per
+# cluster. The oracle replays the identical minhash/band/verify pipeline
+# and computes the same transitive closure with a recursive CTE; the
 # Spark side runs distributed min-label propagation (no driver-side
 # graph), which is the only form that survives a billion-edge pair list.
 # --------------------------------------------------------------------------
-@register(
-    "q54_dedup_clusters",
-    oracle="""
+def _q54_oracle() -> str:
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
     WITH RECURSIVE
-    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    shl AS (SELECT doc_id,
-                   list_distinct(list_filter(
-                       list_transform(w, (x, i) -> CASE WHEN i <= len(w) - 2
-                           THEN x || ' ' || w[i+1] || ' ' || w[i+2] END),
-                       s -> s IS NOT NULL)) AS sh
-            FROM toks),
-    shx AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
-    inter AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        FROM shx a JOIN shx b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT ia, ib FROM inter
-        JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
-    ),
-    edges AS (SELECT ia AS u, ib AS v FROM pairs
-              UNION SELECT ib, ia FROM pairs),
+    {minhash_pair_ctes(0.2)},
+    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
     closure(u, v) AS (
         SELECT u, v FROM edges
         UNION
@@ -122,16 +109,24 @@ def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u AS doc_id, least(u, min(v)) AS cluster_id
     FROM closure GROUP BY u
-    """,
-)
+    """
+
+
+@register("q54_dedup_clusters", oracle=_q54_oracle())
 def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
     from ..operators.components import connected_components
-    from ..operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.2)
     comp = connected_components(pairs)
-    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+    out = comp.select(F.col("node").alias("doc_id"), "cluster_id")
+    # materialize, then release the band/shingle caches the operator
+    # pinned (q24's hygiene — a 198-query bench session must not
+    # accumulate executor storage)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    DD.release_caches()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -99,7 +99,16 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle rebuilds the identical 16 md5-min signatures and 4 band keys,
 # so candidate generation is checked too — not just the final pairs.
 # --------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def minhash_pair_ctes(threshold: float) -> str:
+    """Composable WITH-body ending in ``mh_pairs(id_a, id_b, jaccard)`` —
+    the banded-LSH-candidates + exact-Jaccard-verify pipeline (q24's
+    machinery). Shared by q24/q68/q87/q89 here and, since r5, by the
+    cluster-resolution consumers (q54/q157/q172), for which this recipe
+    replaced the raw shingle-inverted-index pair join: band-bucket
+    candidate counts stay ~linear as the corpus grows, while the fixed
+    3-gram vocabulary made inverted-index pair counts quadratic (the r4
+    scale audit's fixed-block family). ``jaccard`` is the UNROUNDED exact
+    ratio; consumers round for display."""
     p = D.MERSENNE_P
     sig_cols = ",\n                   ".join(
         "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
@@ -116,8 +125,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(D.BANDS)
     )
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     based AS (SELECT doc_id,
                      list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
               FROM shl),
@@ -138,13 +146,22 @@ def _minhash_oracle() -> str:
         JOIN shx a ON a.doc_id = c.id_a
         JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
         GROUP BY 1, 2
-    )
-    SELECT i.id_a, i.id_b,
-           round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON i.id_a = sa.doc_id
-    JOIN sizes sb ON i.id_b = sb.doc_id
-    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.2
+    ),
+    mh_pairs AS (
+        SELECT i.id_a, i.id_b,
+               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {threshold}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_pair_ctes(0.2)}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM mh_pairs
     """
 
 
@@ -1315,9 +1332,10 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of rows (a .collect() here would OOM the driver). Caveat (ADVICE r3):
     # localCheckpoint blocks live only on executors — under executor loss
     # or dynamic-allocation scale-down the truncated lineage cannot be
-    # recomputed; a long-lived cluster run should use reliable
-    # checkpoint() with spark.sparkContext.setCheckpointDir on shared
-    # storage instead. local-mode (this harness) is unaffected.
+    # recomputed; a long-lived cluster run passes checkpoint_dir= to
+    # pagerank()/connected_components() (reliable checkpoints on shared
+    # storage, operators/checkpointing.py — VERDICT r4 #6). local-mode
+    # (this harness) is unaffected.
     pairs = lsh.localCheckpoint(eager=True)
     D.release_caches()
     edges = pairs.select(

@@ -343,13 +343,15 @@ def q187_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q188 — split conformal prediction: calibrate a distribution-free
-# prediction interval for event values. Model = per-type calibration
-# mean; nonconformity = |value - mean|; qhat = the ceil((n+1)(1-alpha))
-# smallest calibration score (the finite-sample-valid split-conformal
-# quantile); report the guaranteed-coverage check on the held-out half.
-# Split is the md5 hash (replayable); the quantile picks an EXACT
-# calibration element via a rank window over the (bounded) calibration
-# scores, so the interval value-hashes.
+# prediction interval for event values. Model = per-type mean fit on a
+# PROPER-TRAINING sub-half; nonconformity = |value - mean| scored on a
+# DISJOINT calibration sub-half (the disjointness is what makes the
+# finite-sample coverage guarantee of split conformal hold — ADVICE r4);
+# qhat = the ceil((n+1)(1-alpha)) smallest calibration score; report the
+# guaranteed-coverage check on the held-out half. Both split levels are
+# md5 hash bits (replayable); the quantile picks an EXACT calibration
+# element via a rank window over the (bounded) calibration scores, so
+# the interval value-hashes.
 # --------------------------------------------------------------------------
 Q188_ALPHA = 0.1
 
@@ -360,16 +362,19 @@ Q188_ALPHA = 0.1
     WITH split AS (
       SELECT event_type, value, event_id,
              CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
-                  AS BIGINT) % 2 AS half
+                  AS BIGINT) % 2 AS half,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 16, 1)
+                  AS BIGINT) % 2 AS sub
       FROM events
     ),
     model AS (
       SELECT event_type, avg(value) AS mu
-      FROM split WHERE half = 0 GROUP BY 1
+      FROM split WHERE half = 0 AND sub = 0 GROUP BY 1
     ),
     cal AS (
       SELECT s.event_type, abs(s.value - m.mu) AS score
-      FROM split s JOIN model m USING (event_type) WHERE s.half = 0
+      FROM split s JOIN model m USING (event_type)
+      WHERE s.half = 0 AND s.sub = 1
     ),
     ncal AS (SELECT count(*) AS n FROM cal),
     qhat AS (
@@ -401,14 +406,21 @@ def q188_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 2
     )
-    split = ev.select("event_type", "value", half.alias("half"))
+    # second hash bit sub-splits half 0 into disjoint fit / calibration
+    # sets (proper split conformal)
+    sub = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 16, 1), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    split = ev.select("event_type", "value", half.alias("half"), sub.alias("sub"))
     model = (
-        split.filter(F.col("half") == 0)
+        split.filter((F.col("half") == 0) & (F.col("sub") == 0))
         .groupBy("event_type")
         .agg(F.avg("value").alias("mu"))
     )
     cal = (
-        split.filter(F.col("half") == 0)
+        split.filter((F.col("half") == 0) & (F.col("sub") == 1))
         .join(F.broadcast(model), "event_type")
         .select(F.abs(F.col("value") - F.col("mu")).alias("score"))
     )
@@ -554,19 +566,22 @@ def q189_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", "m")
     )
     wr = Window.orderBy("m", "b")
+    # nb = SURVIVING replicate count (after the sum(k) > 0 guard), exactly
+    # as the oracle's count(*) OVER () — deriving it from Q189_B would pick
+    # different order statistics if a replicate ever drew all-zero Poisson
+    # weights (ADVICE r4). The global window is over <= B rows — free.
+    wall = Window.partitionBy()
     ranked = means.select(
-        "m", F.row_number().over(wr).alias("rk"), F.lit(Q189_B).alias("nb")
+        "m",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wall).alias("nb"),
     )
-    import math
-
-    lo_rk = math.ceil(Q189_B * 0.025)
-    hi_rk = math.ceil(Q189_B * 0.975)
-    lo = ranked.filter(F.col("rk") == lo_rk).select(
-        F.col("m").alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("rk") == hi_rk).select(
-        F.col("m").alias("ci_hi")
-    )
+    lo = ranked.filter(
+        F.col("rk") == F.ceil(F.col("nb") * 0.025).cast("bigint")
+    ).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(
+        F.col("rk") == F.ceil(F.col("nb") * 0.975).cast("bigint")
+    ).select(F.col("m").alias("ci_hi"))
     base = purch.agg(F.round(F.avg("value"), 4).alias("point"))
     return (
         base.crossJoin(F.broadcast(lo))

@@ -878,3 +878,49 @@ def q143_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — q03's fact/fact join served from the BUCKETED warehouse (VERDICT
+# r4 #5): the query materializes orders/lineitem bucketBy(orderkey) once
+# (tables.materialize_bucketed — the ingest-time layout cost a 100 TB
+# deployment pays once) and runs the same revenue join through
+# tables.load(), which now serves the bucketed tables. With both sides
+# bucketed+sorted on the join key, the sort-merge join needs NO Exchange
+# and NO Sort on either side — the plan pin lives in
+# tests/test_bucketing.py::test_q199_bucketed_plan_has_no_join_exchange,
+# and the bucketed-vs-plain wall delta is recorded in BENCH_NOTES.
+# Values are identical to the unbucketed q03 family (bucketing is purely
+# physical), so the plain-parquet DuckDB oracle still hash-checks it.
+# --------------------------------------------------------------------------
+@register(
+    "q199_bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1
+    """,
+)
+def q199_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import materialize_bucketed
+
+    # one-time layout (no-op if this session already materialized it);
+    # registered in tables._BUCKETED so load() serves the bucketed tables
+    materialize_bucketed(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

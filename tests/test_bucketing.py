@@ -79,3 +79,43 @@ def test_load_serves_bucketed_layout(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         drop_bucketed(spark, sf)
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_q199_bucketed_plan_has_no_join_exchange(spark):
+    """q199 (VERDICT r4 #5): the registry query itself materializes the
+    bucketed warehouse and its fact-fact join must plan with no Exchange
+    on either join key — and still match the plain-parquet join values."""
+    import __spark_entry__ as se
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.tables import (
+        drop_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = se.queries()["q199_bucketed_join_revenue"](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        got = {r.o_orderpriority: (r.n_orders, r.n_lines, r.revenue) for r in df.collect()}
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter("o_orderstatus <> 'F'")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        import pyspark.sql.functions as F
+        want = {
+            r.o_orderpriority: (r.n_orders, r.n_lines, r.revenue)
+            for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.count("*").cast("bigint").alias("n_lines"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        drop_bucketed(spark, sf)
+        import shutil
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

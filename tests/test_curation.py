@@ -28,7 +28,7 @@ def test_centroids_elementwise_mean(spark):
         [(1, 0, [1.0, 0.0]), (2, 0, [3.0, 2.0]), (3, 1, [5.0, 5.0])],
         "vec_id long, label int, embedding array<float>",
     )
-    rows = {r["label"]: r["c"] for r in _centroids(emb).collect()}
+    rows = {r["label"]: r["c"] for r in _centroids(emb, "label").collect()}
     assert rows[0] == [2.0, 1.0]
     assert rows[1] == [5.0, 5.0]
 

@@ -34,6 +34,9 @@ def test_dp_release_nonnegative_and_deterministic(spark):
 
 
 def test_triangle_count_matches_bruteforce(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        lsh_blocking as L,
+    )
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.graph_metrics import (
         Q168_K,
         Q168_TAU,
@@ -41,20 +44,39 @@ def test_triangle_count_matches_bruteforce(spark):
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
-    by_label = {}
+    # replicate the corpus-scaled LSH banding in pure Python (same planes,
+    # same width rule, same left-to-right float64 folds)
+    nbits = L.n_block_bits(len(emb))
+    planes = {
+        (b, i): L.plane(b, i)
+        for b in range(L.N_BANDS)
+        for i in range(nbits)
+    }
+    buckets = {}
+    vecs = {}
     for r in emb:
-        by_label.setdefault(r.label, []).append((r.vec_id, r.embedding))
+        vecs[r.vec_id] = r.embedding
+        for b in range(L.N_BANDS):
+            key = 0
+            for i in range(nbits):
+                s = sum(
+                    x * w for x, w in zip(r.embedding, planes[(b, i)])
+                )
+                key = key * 2 + (1 if s >= 0 else 0)
+            buckets.setdefault((b, key), []).append(r.vec_id)
+    cand = set()
+    for members in buckets.values():
+        for ia, ib in itertools.combinations(sorted(members), 2):
+            cand.add((ia, ib))
     raw = []
-    for members in by_label.values():
-        for (ia, ea), (ib, eb) in itertools.combinations(
-            sorted(members), 2
-        ):
-            dot = sum(x * y for x, y in zip(ea, eb))
-            na = sum(x * x for x in ea) ** 0.5
-            nb = sum(x * x for x in eb) ** 0.5
-            c = dot / (na * nb)
-            if c >= Q168_TAU:
-                raw.append((ia, ib, round(c, 6)))
+    for ia, ib in sorted(cand):
+        ea, eb = vecs[ia], vecs[ib]
+        dot = sum(x * y for x, y in zip(ea, eb))
+        na = sum(x * x for x in ea) ** 0.5
+        nb = sum(x * x for x in eb) ** 0.5
+        c = dot / (na * nb)
+        if c >= Q168_TAU:
+            raw.append((ia, ib, round(c, 6)))
     # mutual top-K: each node keeps its K best neighbors, edge survives
     # only if kept by both endpoints
     neigh = {}

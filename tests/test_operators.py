@@ -179,6 +179,46 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert stats["rounds"] <= 10
 
 
+def test_reliable_checkpoint_paths_agree(spark, tmp_path):
+    """checkpoint_dir switches the iterative ops from localCheckpoint to
+    RELIABLE checkpoints (VERDICT r4 #6): results must be identical, and
+    the reliable run must actually materialize RDDs under the dir."""
+    import os
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(10, 11)], "id_a bigint, id_b bigint"
+    )
+    ckdir = str(tmp_path / "reliable_ck")
+    local = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    reli = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert local == reli
+    # reliable files really landed on shared storage
+    ck_files = [
+        os.path.join(d, f) for d, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert ck_files, "reliable checkpoint wrote nothing"
+
+    sym = edges.unionAll(
+        edges.selectExpr("id_b AS id_a", "id_a AS id_b")
+    ).selectExpr("id_a AS src", "id_b AS dst")
+    pr_local = {r.node: r.rank for r in pagerank(sym, iterations=2).collect()}
+    pr_reli = {
+        r.node: r.rank
+        for r in pagerank(sym, iterations=2, checkpoint_dir=ckdir).collect()
+    }
+    assert pr_local == pr_reli
+
+
 def test_simhash_implementations_agree(spark):
     """simhash32 (per-row HOF, q25) and simhash_table (explode+groupBy,
     q43) are two implementations of the same math — they must never
