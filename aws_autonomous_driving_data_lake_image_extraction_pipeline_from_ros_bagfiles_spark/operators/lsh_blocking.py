@@ -220,10 +220,13 @@ def band_keys_sql(
     vec_col: str = "embedding",
     dim: int = DIM,
     max_bits: int = MAX_BITS,
+    cte_prefix: str = "lsh",
 ) -> str:
-    """CTE body for ``lsh_bands(id, band, band_key)`` (requires
+    """CTE body for ``<prefix>_bands(id, band, band_key)`` (requires
     ``lsh_params`` in scope). Full max_bits-wide keys per band, then a
-    dynamic right-shift to the nbits prefix."""
+    dynamic right-shift to the nbits prefix. ``cte_prefix`` lets one
+    query band two tables (e.g. a new batch vs a stored corpus index)
+    without CTE-name collisions."""
     full_keys = []
     for b in range(n_bands):
         bits = " + ".join(
@@ -234,12 +237,12 @@ def band_keys_sql(
     band_rows = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, "
         f"fk{b} // (1::BIGINT << ({max_bits} - nbits)) AS band_key "
-        f"FROM lsh_full, lsh_params"
+        f"FROM {cte_prefix}_full, lsh_params"
         for b in range(n_bands)
     )
     return f"""
-    lsh_full AS (SELECT {id_col}, {', '.join(full_keys)} FROM {table}),
-    lsh_bands AS ({band_rows})"""
+    {cte_prefix}_full AS (SELECT {id_col}, {', '.join(full_keys)} FROM {table}),
+    {cte_prefix}_bands AS ({band_rows})"""
 
 
 def candidate_pairs_sql(id_col: str = "vec_id") -> str:

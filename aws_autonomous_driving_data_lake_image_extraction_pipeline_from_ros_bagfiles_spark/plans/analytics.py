@@ -941,3 +941,238 @@ def q184_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cosine"), 6).alias("max_cosine"),
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# --------------------------------------------------------------------------
+# q200 — incremental embedding-batch dedup against a PERSISTED
+# corpus-scaled LSH index (the vector twin of q89, composing r5's
+# lsh_blocking defaults into the ingest shape): the corpus (odd vec_ids)
+# is banded ONCE with width ∝ log2(|corpus|) and stored to parquet as a
+# self-describing index — (vec_id, band, band_key) rows plus a one-row
+# meta table carrying nbits. A new batch (even vec_ids) is banded at
+# query time with the STORED width (read from meta, not recomputed — a
+# grown corpus must not silently re-key the index), candidates come from
+# the new-bands ⋈ stored-bands equi-join, and the exact-cosine verify is
+# candidate-scoped. No corpus vector is re-hashed at query time; the new
+# batch pays signature cost once. Oracle replays the identical planes /
+# width / banding / verify (persistence is physical only).
+# --------------------------------------------------------------------------
+Q200_TAU = 0.3
+
+
+def _q200_oracle() -> str:
+    from ..operators import lsh_blocking as L
+
+    cos = (
+        "list_sum(list_transform(ea.embedding::DOUBLE[], (x, i) -> x * (eb.embedding::DOUBLE[])[i]))"
+        " / (sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x * x)))"
+        " * sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x * x))))"
+    )
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    newb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    {L.nbits_param_sql("corpus")},
+    {L.band_keys_sql("corpus", cte_prefix="ix")},
+    {L.band_keys_sql("newb", cte_prefix="qr")},
+    cand AS (
+        SELECT DISTINCT q.vec_id AS id_a, i.vec_id AS id_b
+        FROM qr_bands q JOIN ix_bands i
+          ON q.band = i.band AND q.band_key = i.band_key
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {Q200_TAU}
+    """
+
+
+@register("q200_embedding_ingest_dedup", oracle=_q200_oracle())
+def q200_embedding_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import lsh_blocking as L
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    newb = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="lsh_vec_index_")
+    try:
+        # ingest time: width from the CORPUS size; band + persist once
+        nbits = L.n_block_bits(corpus.count())
+        L.band_keys(corpus, nbits).write.mode("overwrite").parquet(
+            f"{work}/index"
+        )
+        spark.createDataFrame(
+            [(nbits,)], "nbits int"
+        ).write.mode("overwrite").parquet(f"{work}/meta")
+        # query time: stored width + stored bands only
+        stored_nbits = spark.read.parquet(f"{work}/meta").first().nbits
+        ix = spark.read.parquet(f"{work}/index")
+        qr = L.band_keys(newb, stored_nbits)
+        cand = (
+            qr.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+            .join(
+                ix.select(F.col("vec_id").alias("id_b"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        normed = emb.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("nm")
+        )
+        a = normed.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nm").alias("na"),
+        )
+        b = normed.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nm").alias("nb"),
+        )
+        sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        out = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(sim >= Q200_TAU)
+            .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q202 — MMR (maximal marginal relevance) diversified top-k rerank
+# (Carbonell & Goldstein 1998): serve the query's RERANK WINDOW (top
+# Q202_WINDOW by cosine) and greedily pick Q202_K results maximizing
+# lambda * sim(q, d) - (1 - lambda) * max_{s in S} sim(d, s) — the
+# standard diversity rerank between retrieval and display.
+#
+# Scale shape: retrieval is the q26 broadcast scan (one corpus pass,
+# TakeOrderedAndProject top-W); the greedy loop runs on the BOUNDED
+# window only (W=20 rows) after the window's pairwise sims are computed
+# IN SPARK — the driver never touches vectors, just the W x W rounded
+# sim matrix (q151's bounded-eval rule: the window is a constant, never
+# the corpus). Determinism: all comparisons use round-6 sims and the
+# composite MMR score re-rounded to 6 with vec_id tie-breaks, so greedy
+# choices cannot flip between engines.
+# --------------------------------------------------------------------------
+Q202_WINDOW = 20
+Q202_K = 5
+Q202_LAMBDA = 0.7
+
+_Q202_COS = (
+    "round(list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))"
+    " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)"
+)
+
+
+def _q202_oracle() -> str:
+    lam, mu = Q202_LAMBDA, round(1 - Q202_LAMBDA, 6)
+    steps = []
+    sel_union = "SELECT vec_id FROM s1"
+    for k in range(2, Q202_K + 1):
+        steps.append(f"""
+    sel{k - 1} AS ({sel_union}),
+    s{k} AS (
+        SELECT c.vec_id,
+               round({lam} * c.qsim - {mu} * (
+                   SELECT max(p.s) FROM pair p
+                   WHERE p.ia = c.vec_id
+                     AND p.ib IN (SELECT vec_id FROM sel{k - 1})), 6) AS mmr
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{k}"
+    picks = " UNION ALL ".join(
+        f"SELECT {k} AS rk, vec_id, {'qsim AS mmr' if k == 1 else 'mmr'} FROM s{k}"
+        for k in range(1, Q202_K + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    win AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS e,
+               round(list_sum(list_transform(e.embedding::DOUBLE[], (x, i) -> x * qe[i]))
+                     / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                        * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6) AS qsim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    cand AS (SELECT vec_id, e, qsim FROM win ORDER BY qsim DESC, vec_id LIMIT {Q202_WINDOW}),
+    pair AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, {_Q202_COS} AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, qsim FROM cand ORDER BY qsim DESC, vec_id LIMIT 1),
+    {",".join(steps)}
+    SELECT rk, vec_id, mmr FROM ({picks}) ORDER BY rk
+    """
+
+
+@register("q202_mmr_rerank", oracle=_q202_oracle())
+def q202_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sim_q = F.round(
+        dot(F.col("embedding"), F.col("qe"))
+        / (norm(F.col("embedding")) * norm(F.col("qe"))),
+        6,
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", sim_q.alias("qsim"))
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(Q202_WINDOW)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    sim_p = F.round(
+        dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))),
+        6,
+    )
+    pair = (
+        a.crossJoin(b)  # W x W rounded sim matrix over the BOUNDED window
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", sim_p.alias("s"))
+    )
+    qsims = {r.vec_id: r.qsim for r in cand.select("vec_id", "qsim").collect()}
+    sims = {(r.ia, r.ib): r.s for r in pair.collect()}
+    lam, mu = Q202_LAMBDA, round(1 - Q202_LAMBDA, 6)
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    # step 1: pure relevance; steps 2..K: rounded MMR, vec_id tie-break
+    first = min(qsims, key=lambda v: (-qsims[v], v))
+    selected.append((1, first, qsims[first]))
+    chosen.append(first)
+    for rk in range(2, Q202_K + 1):
+        best = None
+        for v, qs in qsims.items():
+            if v in chosen:
+                continue
+            pen = max(sims[(v, s)] for s in chosen)
+            mmr = round(lam * qs - mu * pen, 6)
+            key = (-mmr, v)
+            if best is None or key < best[0]:
+                best = (key, v, mmr)
+        selected.append((rk, best[1], best[2]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "rk int, vec_id bigint, mmr double"
+    )

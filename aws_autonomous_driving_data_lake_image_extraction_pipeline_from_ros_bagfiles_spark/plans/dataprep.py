@@ -484,3 +484,97 @@ def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("drift"), 2).alias("value_drift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q203 — cluster-aware train/val/test split: q172 finds leakage AFTER the
+# fact; this query prevents it by construction. Near-dup clusters (q54's
+# banded-minhash pairs -> connected components; singletons = their own
+# cluster) are assigned to splits as WHOLE UNITS — the split hash keys on
+# the cluster id, not the doc id — so no near-dup pair can ever straddle
+# splits (the contamination-by-construction guarantee used by serious
+# eval-split pipelines). Output is the per-split rollup a dataset card
+# records: docs, clusters, multi-doc clusters.
+#
+# Scale shape: pair generation + CC are q54's (linear-candidate banded
+# tier, O(log d) CC rounds); split assignment and rollup are one hash
+# projection + one map-side-combinable groupBy.
+# --------------------------------------------------------------------------
+def _q203_oracle() -> str:
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
+    WITH RECURSIVE
+    {minhash_pair_ctes(0.2)},
+    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    closure(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM closure GROUP BY u),
+    assigned AS (
+        SELECT d.doc_id,
+               coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp USING (doc_id)
+    ),
+    labeled AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 10 AS b
+              FROM assigned)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT)
+               AS n_docs_in_multi
+    FROM labeled GROUP BY 1
+    """
+
+
+@register("q203_cluster_aware_split", oracle=_q203_oracle())
+def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+    from ..operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.2)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    labeled = assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    out = labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        (F.count("*") - F.countDistinct("cluster_id"))
+        .cast("bigint")
+        .alias("n_docs_in_multi"),
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    DD.release_caches()
+    return result

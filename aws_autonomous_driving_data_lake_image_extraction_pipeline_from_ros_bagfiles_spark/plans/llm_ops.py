@@ -1433,3 +1433,75 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     D.release_caches()
     return result
+
+
+# --------------------------------------------------------------------------
+# q201 — banded-LSH recall evaluation (the audit for r5's default pair
+# generator): joins the banded-minhash + verify pair set (mh_pairs, q24's
+# recipe — what q54/q157/q172/q197 now run on) against the EXACT
+# inverted-index pair set at the same threshold, and reports per-Jaccard-
+# bucket recall — the measurement that tells a curation owner what the
+# 4x4 band S-curve misses at their threshold (on this corpus: true dups
+# sit at J >= 0.8 where recall ~ 1; see BENCH_NOTES round-5).
+#
+# Scale rule: the reference tier is q23's CAPPED exact join (stop-
+# shingle guard at Q23_MAX_SHINGLE_FREQ keeps its inverted index
+# near-linear) — the engine's canonical exact tier, so the audit
+# compares the two recipes a user actually chooses between. Even so the
+# exact tier is EVAL-ONLY: at production scale it runs on a bounded
+# audit sample of the corpus (q151's rule); the banded tier under audit
+# is the one that runs corpus-wide. Both tiers share one shingle table
+# (the oracle's shx CTE / the operator's cached shingles).
+# --------------------------------------------------------------------------
+def _q201_oracle() -> str:
+    return f"""
+    WITH {minhash_pair_ctes(0.2)},
+    exact_freq AS (SELECT shingle, count(*) AS f FROM shx GROUP BY 1),
+    exact_shj AS (SELECT s.doc_id, s.shingle FROM shx s
+                  JOIN exact_freq USING (shingle)
+                  WHERE f <= {Q23_MAX_SHINGLE_FREQ}),
+    exact_inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM exact_shj a JOIN exact_shj b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT ia, ib, c * 1.0 / (sa.n + sb.n - c) AS j
+        FROM exact_inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.2
+    )
+    SELECT round(e.j, 1) AS j_bucket,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           round(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS recall
+    FROM exact_pairs e
+    LEFT JOIN mh_pairs m ON e.ia = m.id_a AND e.ib = m.id_b
+    GROUP BY 1
+    """
+
+
+@register("q201_lsh_recall_eval", oracle=_q201_oracle())
+def q201_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_freq=Q23_MAX_SHINGLE_FREQ
+    )
+    found = D.minhash_lsh_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    joined = exact.join(found, ["id_a", "id_b"], "left")
+    out = joined.groupBy(F.round("jaccard", 1).alias("j_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(1.0) / F.count("*"),
+            6,
+        ).alias("recall"),
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    D.release_caches()
+    return result

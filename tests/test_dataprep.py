@@ -188,3 +188,59 @@ def test_split_leakage_pairs_cross_splits(spark):
         assert r.split_lo != r.split_hi
         assert r.kind in ("neardup", "exact")
         assert r.n_pairs > 0
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """q203's construction guarantee: every near-dup pair (the q54 banded
+    tier) lands in ONE split, because the split hash keys on cluster_id."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        dedup as D,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.2)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    split_of = {
+        r.doc_id: r.split
+        for r in assigned.select(
+            "doc_id",
+            F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias("split"),
+        ).collect()
+    }
+    raw_pairs = pairs.select("id_a", "id_b").collect()
+    assert raw_pairs  # fixture has near-dups
+    for r in raw_pairs:
+        assert split_of[r.id_a] == split_of[r.id_b]
+    D.release_caches()
+
+
+def test_mmr_rerank_diversity_properties(spark):
+    """q202: ranks are 1..K distinct docs; rank 1 is the pure-relevance
+    top; every later pick maximizes the rounded MMR among remaining."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.analytics import (
+        Q202_K,
+        q202_mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q202_mmr_rerank(spark, sf).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, Q202_K + 1))
+    assert len({r.vec_id for r in rows}) == Q202_K
+    # MMR scores after rank 1 are non-increasing is NOT guaranteed by MMR,
+    # but scores must stay <= the pure-relevance top (penalties only subtract)
+    assert all(r.mmr <= rows[0].mmr + 1e-9 for r in rows[1:])
