@@ -129,6 +129,23 @@ def band_keys(
     return out
 
 
+def cap_band_buckets(
+    bands: DataFrame, max_bucket_size: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Drop (band, band_key) buckets holding more than *max_bucket_size*
+    vectors — the vector twin of dedup.cap_band_buckets. The width rule
+    keeps EXPECTED bucket size bounded, but adversarial or degenerate
+    data (a million byte-identical vectors) floods one bucket with f
+    rows and f²/2 pairs regardless of width; the cap bounds the damage
+    at one extra aggregate over the narrow band table. Flooded cohorts
+    are exactly the ones exact-fingerprint dedup (q22 on a vector hash)
+    catches first, so dropping their band signal loses little."""
+    freq = bands.groupBy("band", "band_key").agg(F.count("*").alias("f"))
+    return bands.join(
+        freq.filter(F.col("f") <= max_bucket_size), ["band", "band_key"]
+    ).drop("f")
+
+
 def scaled_candidate_pairs(
     emb: DataFrame,
     nbits: int,
@@ -136,12 +153,15 @@ def scaled_candidate_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = DIM,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) distinct candidate pairs colliding in >= 1 band.
 
     In-bucket pair counts are linear in N by the n_block_bits contract;
     verification (exact cosine) is the caller's job and must stay
-    candidate-scoped.
+    candidate-scoped. ``max_bucket_size`` applies the
+    :func:`cap_band_buckets` flood guard (None = uncapped, the
+    oracle-replayable registry default).
 
     The band table feeds both sides of a self-join, so it is
     localCheckpoint'd (materialize once, lineage truncated, blocks freed
@@ -150,9 +170,10 @@ def scaled_candidate_pairs(
     for fault-tolerant reruns swap in a reliable checkpoint dir, cf.
     operators/pagerank.py.
     """
-    bands = band_keys(emb, nbits, n_bands, vec_col, id_col, dim).localCheckpoint(
-        eager=True
-    )
+    bands = band_keys(emb, nbits, n_bands, vec_col, id_col, dim)
+    if max_bucket_size is not None:
+        bands = cap_band_buckets(bands, max_bucket_size, id_col)
+    bands = bands.localCheckpoint(eager=True)
     cand = (
         bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
         .join(

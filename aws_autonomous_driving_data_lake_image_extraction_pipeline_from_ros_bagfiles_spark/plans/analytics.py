@@ -85,6 +85,10 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q58 — cross-corpus embedding near-dup (vector analog of q57's
 # incremental-ingest dedup): new vectors (even ids) against the corpus
 # (odd ids), label-blocked, cosine-verified. Norms precomputed per side.
+# Kept as the semantic-blocking tier (the label is a meaningful cluster
+# id here); the CORPUS-SCALED form of this exact shape is q200, which is
+# the recipe to copy when the block vocabulary does not grow with the
+# corpus.
 # --------------------------------------------------------------------------
 @register(
     "q58_embedding_cross_neardup",

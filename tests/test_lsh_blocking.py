@@ -117,6 +117,22 @@ def test_block_count_scales_with_corpus(spark):
     assert sizes[2048][1] < sizes[256][1] * 4
 
 
+def test_bucket_flood_guard_caps_degenerate_data(spark):
+    """Adversarial shape: many byte-identical vectors flood one bucket in
+    every band. The cap drops the flooded buckets (no pairs from them);
+    uncapped keeps them (quadratic pairs) — the q68-style guard, vector
+    edition."""
+    clones = [(i, [1.0] * 64) for i in range(12)]
+    other = [(100, [-1.0] * 64)]
+    emb = spark.createDataFrame(
+        clones + other, "vec_id long, embedding array<float>"
+    )
+    uncapped = L.scaled_candidate_pairs(emb, nbits=4).count()
+    assert uncapped >= 66  # 12 clones -> all 66 clone pairs collide
+    capped = L.scaled_candidate_pairs(emb, nbits=4, max_bucket_size=4)
+    assert capped.count() == 0  # flooded buckets dropped entirely
+
+
 def test_cell_keys_single_assignment(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cells = L.cell_keys(emb, nbits=3)
