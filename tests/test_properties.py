@@ -135,3 +135,53 @@ def test_fastss_deletion_neighborhood_complete(pair):
     a, b = pair
     # pairs constructed above are always at distance <= 1
     assert _deletion_neighborhood(a) & _deletion_neighborhood(b)
+
+
+# ---------------------------------------------------------------- lsh_blocking
+
+
+@given(n=st.integers(1, 10**7), target=st.sampled_from([16, 64, 256]))
+@settings(max_examples=200, deadline=None)
+def test_lsh_width_rule_contract(n, target):
+    """For every corpus size: the chosen width satisfies the bound it
+    promises (2^k * target >= n) unless clamped at MAX_BITS, and never
+    overshoots (k-1 would violate the bound)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        lsh_blocking as L,
+    )
+
+    k = L.n_block_bits(n, target=target)
+    assert 1 <= k <= L.MAX_BITS
+    if (1 << L.MAX_BITS) * target >= n:
+        assert (1 << k) * target >= n          # the promised bound
+        if k > 1:
+            assert (1 << (k - 1)) * target < n  # minimality
+    else:
+        assert k == L.MAX_BITS                  # clamp regime
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_lsh_prefix_consistency(seed):
+    """Band keys are PREFIX-consistent across widths: vectors sharing a
+    k-bit key also share every (k-1)-bit key — the invariant that makes
+    a stored index width-monotone (coarsening never splits a bucket)."""
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        lsh_blocking as L,
+    )
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(8, L.DIM))
+    planes = [np.array(L.plane(0, i), dtype=float) for i in range(6)]
+
+    def key(v, nbits):
+        k = 0
+        for i in range(nbits):
+            k = k * 2 + (1 if float(v @ planes[i]) >= 0 else 0)
+        return k
+
+    for v in vecs:
+        for nbits in range(2, 7):
+            assert key(v, nbits) >> 1 == key(v, nbits - 1)
