@@ -181,6 +181,56 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return bands_long(minhash_band_cols(df, text_col, id_col), id_col)
 
 
+def lsh_band_plan(
+    threshold: float, n_hashes: int = NUM_HASHES
+) -> tuple[int, int]:
+    """Pick (bands, rows) with bands*rows == n_hashes whose S-curve
+    midpoint (1/bands)^(1/rows) — the Jaccard where a pair's collision
+    probability crosses ~50% (Leskovec/Rajaraman/Ullman, MMDS §3.4) —
+    sits closest to the target threshold. The default 4x4 banding has
+    its midpoint at ~0.71 (the production near-dup regime); lower
+    thresholds want wider-flatter plans (0.35 -> 8x2, 0.2 -> 16x1).
+    Wider plans hash the SAME 16 signatures, so a stored q89-style
+    signature index serves every plan — only the band keys are recut.
+    Ties break toward fewer bands (cheaper candidate generation)."""
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        key = (abs(mid - threshold), b)
+        if best is None or key < best[0]:
+            best = (key, b, r)
+    return best[1], best[2]
+
+
+def minhash_bands_param(
+    df: DataFrame,
+    bands: int,
+    rows: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) under an arbitrary (bands, rows) plan from
+    :func:`lsh_band_plan`; band b's key is md5 of signature slice
+    [b*rows, (b+1)*rows). bands*rows must equal NUM_HASHES."""
+    if bands * rows != NUM_HASHES:
+        raise ValueError(f"bands*rows must be {NUM_HASHES}, got {bands}x{rows}")
+    sig = minhash_table(df, text_col, id_col)
+    cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"s{b * rows + i}" for i in range(rows)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    wide = sig.select(F.col(id_col), *cols)
+    arr = F.array(*[F.col(f"bk{b}") for b in range(bands)])
+    return wide.select(F.col(id_col), F.posexplode(arr).alias("band", "band_key"))
+
+
 def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     """(id_a, id_b, inter) + per-doc set sizes -> jaccard column."""
     na = sizes.select(F.col(sizes.columns[0]).alias("id_a"), F.col("n").alias("na"))

@@ -99,7 +99,9 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle rebuilds the identical 16 md5-min signatures and 4 band keys,
 # so candidate generation is checked too — not just the final pairs.
 # --------------------------------------------------------------------------
-def minhash_pair_ctes(threshold: float) -> str:
+def minhash_pair_ctes(
+    threshold: float, bands: int | None = None, rows: int | None = None
+) -> str:
     """Composable WITH-body ending in ``mh_pairs(id_a, id_b, jaccard)`` —
     the banded-LSH-candidates + exact-Jaccard-verify pipeline (q24's
     machinery). Shared by q24/q68/q87/q89 here and, since r5, by the
@@ -108,7 +110,14 @@ def minhash_pair_ctes(threshold: float) -> str:
     candidate counts stay ~linear as the corpus grows, while the fixed
     3-gram vocabulary made inverted-index pair counts quadratic (the r4
     scale audit's fixed-block family). ``jaccard`` is the UNROUNDED exact
-    ratio; consumers round for display."""
+    ratio; consumers round for display.
+
+    ``bands``/``rows`` override the default 4x4 plan (must multiply to
+    NUM_HASHES) — the oracle twin of dedup.minhash_bands_param, used by
+    q204's threshold-tuned banding."""
+    bands = D.BANDS if bands is None else bands
+    rows = D.ROWS_PER_BAND if rows is None else rows
+    assert bands * rows == D.NUM_HASHES
     p = D.MERSENNE_P
     sig_cols = ",\n                   ".join(
         "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
@@ -120,10 +129,10 @@ def minhash_pair_ctes(threshold: float) -> str:
         "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
             b=b,
             key=" || '|' || ".join(
-                f"s{i}" for i in range(b * D.ROWS_PER_BAND, (b + 1) * D.ROWS_PER_BAND)
+                f"s{i}" for i in range(b * rows, (b + 1) * rows)
             ),
         )
-        for b in range(D.BANDS)
+        for b in range(bands)
     )
     return f"""{_SHINGLE_CTES},
     based AS (SELECT doc_id,
@@ -1502,6 +1511,44 @@ def q201_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    D.release_caches()
+    return result
+
+
+# --------------------------------------------------------------------------
+# q204 — threshold-TUNED banded LSH: the default 4x4 banding's S-curve
+# midpoint sits at J~0.71 (right for near-identical dup detection); at a
+# mid-Jaccard threshold its recall decays steeply — exactly what q201
+# measures. The tuning rule (dedup.lsh_band_plan) recuts the SAME 16
+# stored signatures into the (bands, rows) plan whose midpoint is
+# closest to the query threshold — here t=0.35 -> 8 bands x 2 rows
+# (midpoint (1/8)^(1/2) ~ 0.354). No re-hashing: a q89-style persisted
+# signature index serves every plan, so switching thresholds is a
+# band-key recut, not a corpus pass. Oracle replays the tuned plan.
+# --------------------------------------------------------------------------
+Q204_THRESHOLD = 0.35
+
+
+def _q204_oracle() -> str:
+    b, r = D.lsh_band_plan(Q204_THRESHOLD)
+    return f"""
+    WITH {minhash_pair_ctes(Q204_THRESHOLD, bands=b, rows=r)}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM mh_pairs
+    """
+
+
+@register("q204_threshold_tuned_lsh", oracle=_q204_oracle())
+def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b, r = D.lsh_band_plan(Q204_THRESHOLD)
+    src = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bands = D.minhash_bands_param(src, b, r)
+    pairs = D.minhash_lsh_pairs(docs, threshold=Q204_THRESHOLD, bands=bands)
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     result = spark.createDataFrame(out.collect(), out.schema)
     D.release_caches()
     return result

@@ -359,3 +359,35 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edges, iterations=2).count() == 0
+
+
+def test_lsh_band_plan_midpoints(spark):
+    """The tuning rule picks the divisor plan whose S-curve midpoint is
+    nearest the threshold; the default 4x4 is what t~0.7 selects."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        lsh_band_plan,
+        minhash_bands,
+        minhash_bands_param,
+    )
+
+    assert lsh_band_plan(0.7) == (BANDS, ROWS_PER_BAND)  # 4x4, mid ~0.707
+    assert lsh_band_plan(0.35) == (8, 2)                 # mid ~0.354
+    assert lsh_band_plan(0.05) == (16, 1)                # mid 0.0625
+    assert lsh_band_plan(0.95) == (2, 8)                 # mid ~0.917
+    for t in (0.05, 0.2, 0.35, 0.5, 0.7, 0.95):
+        b, r = lsh_band_plan(t)
+        assert b * r == NUM_HASHES
+    # under the default plan the parameterized builder IS minhash_bands
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q p")],
+        "doc_id bigint, text string",
+    )
+    base = {tuple(r) for r in minhash_bands(docs).collect()}
+    param = {
+        tuple(r)
+        for r in minhash_bands_param(docs, BANDS, ROWS_PER_BAND).collect()
+    }
+    assert base == param
