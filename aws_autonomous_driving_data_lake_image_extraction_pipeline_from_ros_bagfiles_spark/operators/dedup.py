@@ -110,6 +110,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # Mersenne prime. One md5 per shingle provides the base integer; the 16
 # permutations are then pure arithmetic (16x fewer digests than hashing
 # per-permutation). a_i*h < p^2 < 2^62 keeps everything in int64.
+# Default stop-bucket cap for cluster-consumer recipes (q54/q157/q172/
+# q197/q203/q204): a (band, band_key) bucket larger than this carries
+# corpus-density noise, not near-dup signal, and capping it bounds
+# candidate generation at bands*(cap-1)/2 pairs PER DOC — a hard linear
+# guarantee at any corpus degeneracy (r5 sf10 audit receipt in
+# BENCH_NOTES; q68 pins that the guard binds and hash-matches).
+DEFAULT_BUCKET_CAP = 32
+
 MERSENNE_P = 2_147_483_647
 _A_MULT = 12_582_917
 _B_MULT = 31_415_927

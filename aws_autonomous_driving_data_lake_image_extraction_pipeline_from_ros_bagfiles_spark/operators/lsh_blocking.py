@@ -51,7 +51,11 @@ from pyspark.sql import functions as F
 from .similarity import dot
 
 N_BANDS = 4
-MAX_BITS = 12
+# Width ceiling: blocks regrow past 2^MAX_BITS * TARGET_BLOCK rows
+# (~4.2M vectors at 16/64) — raise with fleet size; the only cost is
+# signature compute, linear in the ceiling (the r5 sf10 audit ran
+# 200k vectors at nbits=12 without clamping).
+MAX_BITS = 16
 TARGET_BLOCK = 64
 DIM = 64
 

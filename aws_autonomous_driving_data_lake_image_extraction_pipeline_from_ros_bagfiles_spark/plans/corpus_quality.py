@@ -52,9 +52,11 @@ Q157_THRESHOLD = 0.2
 def _q157_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
     return f"""
     WITH RECURSIVE
-    {minhash_pair_ctes(Q157_THRESHOLD)},
+    {minhash_pair_ctes(Q157_THRESHOLD, max_bucket=DEFAULT_BUCKET_CAP)},
     edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
               UNION SELECT id_b, id_a FROM mh_pairs),
     closure(u, v) AS (
@@ -88,7 +90,9 @@ def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=Q157_THRESHOLD)
+    pairs = DD.minhash_lsh_pairs(
+        docs, threshold=Q157_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -490,8 +494,10 @@ Q197_THRESHOLD = 0.5
 def _q197_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
     return f"""
-    WITH {minhash_pair_ctes(Q197_THRESHOLD)},
+    WITH {minhash_pair_ctes(Q197_THRESHOLD, max_bucket=DEFAULT_BUCKET_CAP)},
     lab AS (
         SELECT p.id_a AS ia, p.id_b AS ib, da.source AS sa, db.source AS sb
         FROM mh_pairs p
@@ -511,7 +517,9 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
 
     docs = load(spark, sf_dir, "documents")
-    near = DD.minhash_lsh_pairs(docs, threshold=Q197_THRESHOLD).select(
+    near = DD.minhash_lsh_pairs(
+        docs, threshold=Q197_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    ).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )
     src = docs.select("doc_id", "source")

@@ -213,8 +213,10 @@ Q172_THRESHOLD = 0.5
 def _q172_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
     return f"""
-    WITH {minhash_pair_ctes(Q172_THRESHOLD)},
+    WITH {minhash_pair_ctes(Q172_THRESHOLD, max_bucket=DEFAULT_BUCKET_CAP)},
     splits AS (
       SELECT doc_id,
              CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
@@ -272,7 +274,9 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
-    near = DD.minhash_lsh_pairs(docs, threshold=Q172_THRESHOLD).select(
+    near = DD.minhash_lsh_pairs(
+        docs, threshold=Q172_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    ).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib"),
         F.lit("neardup").alias("kind"),
     )
@@ -503,9 +507,11 @@ def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q203_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
     return f"""
     WITH RECURSIVE
-    {minhash_pair_ctes(0.2)},
+    {minhash_pair_ctes(0.2, max_bucket=DEFAULT_BUCKET_CAP)},
     edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
               UNION SELECT id_b, id_a FROM mh_pairs),
     closure(u, v) AS (
@@ -544,7 +550,9 @@ def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=0.2)
+    pairs = DD.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )

@@ -97,9 +97,11 @@ def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q54_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
     return f"""
     WITH RECURSIVE
-    {minhash_pair_ctes(0.2)},
+    {minhash_pair_ctes(0.2, max_bucket=DEFAULT_BUCKET_CAP)},
     edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
               UNION SELECT id_b, id_a FROM mh_pairs),
     closure(u, v) AS (
@@ -118,7 +120,9 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=0.2)
+    pairs = DD.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    )
     comp = connected_components(pairs)
     out = comp.select(F.col("node").alias("doc_id"), "cluster_id")
     # materialize, then release the band/shingle caches the operator

@@ -100,7 +100,10 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so candidate generation is checked too — not just the final pairs.
 # --------------------------------------------------------------------------
 def minhash_pair_ctes(
-    threshold: float, bands: int | None = None, rows: int | None = None
+    threshold: float,
+    bands: int | None = None,
+    rows: int | None = None,
+    max_bucket: int | None = None,
 ) -> str:
     """Composable WITH-body ending in ``mh_pairs(id_a, id_b, jaccard)`` —
     the banded-LSH-candidates + exact-Jaccard-verify pipeline (q24's
@@ -114,7 +117,11 @@ def minhash_pair_ctes(
 
     ``bands``/``rows`` override the default 4x4 plan (must multiply to
     NUM_HASHES) — the oracle twin of dedup.minhash_bands_param, used by
-    q204's threshold-tuned banding."""
+    q204's threshold-tuned banding. ``max_bucket`` applies the q68
+    stop-bucket guard to candidate generation (the r5 sf10 audit showed
+    the guard is what keeps candidates LINEAR when corpus density rises:
+    capped buckets contribute <= bands*(cap-1)/2 pairs PER DOC, a hard
+    linear bound independent of how degenerate the corpus is)."""
     bands = D.BANDS if bands is None else bands
     rows = D.ROWS_PER_BAND if rows is None else rows
     assert bands * rows == D.NUM_HASHES
@@ -134,6 +141,23 @@ def minhash_pair_ctes(
         )
         for b in range(bands)
     )
+    if max_bucket is None:
+        # NOTE: this exact cand text is the splice target of
+        # _minhash_capped_oracle (q68) — keep it byte-stable
+        cand_ctes = """cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),"""
+    else:
+        cand_ctes = f"""bfreq AS (SELECT band, band_key FROM bands
+              GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+    jbands AS (SELECT b.* FROM bands b JOIN bfreq USING (band, band_key)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM jbands a JOIN jbands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),"""
     return f"""{_SHINGLE_CTES},
     based AS (SELECT doc_id,
                      list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
@@ -144,11 +168,7 @@ def minhash_pair_ctes(
     bands AS (
         {band_selects}
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id
-    ),
+    {cand_ctes}
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS c
         FROM cand c
@@ -1530,10 +1550,20 @@ def q201_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q204_THRESHOLD = 0.35
 
 
+def _q204_cap() -> int:
+    # hold the per-doc candidate bound bands*(cap-1)/2 constant across
+    # plans: wider-flatter plans (more bands) get proportionally smaller
+    # bucket caps, so tuning the threshold cannot silently multiply the
+    # verify bill (the r5 sf10 audit measured the uncompensated 8x2 plan
+    # at 2x the 4x4 verify cost for the same corpus)
+    b, _ = D.lsh_band_plan(Q204_THRESHOLD)
+    return max(2, 1 + (D.DEFAULT_BUCKET_CAP - 1) * D.BANDS // b)
+
+
 def _q204_oracle() -> str:
     b, r = D.lsh_band_plan(Q204_THRESHOLD)
     return f"""
-    WITH {minhash_pair_ctes(Q204_THRESHOLD, bands=b, rows=r)}
+    WITH {minhash_pair_ctes(Q204_THRESHOLD, bands=b, rows=r, max_bucket=_q204_cap())}
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM mh_pairs
     """
@@ -1547,7 +1577,12 @@ def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     bands = D.minhash_bands_param(src, b, r)
-    pairs = D.minhash_lsh_pairs(docs, threshold=Q204_THRESHOLD, bands=bands)
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        threshold=Q204_THRESHOLD,
+        bands=bands,
+        max_bucket_size=_q204_cap(),
+    )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     result = spark.createDataFrame(out.collect(), out.schema)
     D.release_caches()

@@ -202,7 +202,9 @@ def test_cluster_aware_split_never_straddles(spark):
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.2)
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket_size=D.DEFAULT_BUCKET_CAP
+    )
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
