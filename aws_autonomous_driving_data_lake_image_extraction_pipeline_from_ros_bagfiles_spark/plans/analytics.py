@@ -337,15 +337,22 @@ def q47_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q98 — hyperplane (cosine) LSH near-dup: the label-FREE counterpart of
-# q42's label-blocked scan. Sixteen deterministic Rademacher hyperplanes
-# (coefficients ±1 from md5(plane:dim) parity — reproducible on any
-# engine, no RNG state) give each vector a 16-bit sign signature, banded
-# 4×4 exactly like MinHash bands; candidates come only from band-bucket
-# equi-joins and the exact-cosine verify is candidate-scoped. Recall
-# against q42 is partial by design (that is the LSH trade); the oracle
-# rebuilds the identical planes/bands/verify, so the WHOLE pipeline is
-# hash-checked, not just the output shape.
+# q98 — hyperplane (cosine) LSH near-dup with a FIXED 16-bit / 4x4-band
+# structure. Sixteen deterministic Rademacher hyperplanes (coefficients
+# ±1 from md5(plane:dim) parity — reproducible on any engine, no RNG
+# state) give each vector a 16-bit sign signature, banded 4×4 exactly
+# like MinHash bands; candidates come only from band-bucket equi-joins
+# and the exact-cosine verify is candidate-scoped. Recall is partial by
+# design (that is the LSH trade); the oracle rebuilds the identical
+# planes/bands/verify, so the WHOLE pipeline is hash-checked.
+#
+# SCALE NOTE (r5): the 4-bit band keys give 16 buckets per band — a
+# FIXED block count, so in-bucket pairs grow quadratically with the
+# corpus. That is deliberate here: q98's fixed structure is what q151's
+# recall evaluation studies (its oracle rebuilds these exact planes and
+# bands). The corpus-scaled DEFAULT for production near-dup pairs is
+# q42 (operators/lsh_blocking.py, width ∝ log2 N); copy that recipe,
+# not this one, for a growing corpus.
 # --------------------------------------------------------------------------
 Q98_PLANES = 16
 Q98_BAND_BITS = 4
