@@ -780,3 +780,93 @@ def q193_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — INCREMENTAL near-dup cluster maintenance: a grown corpus must
+# not re-cluster from scratch. Existing docs (doc_id % 3 != 0, q57's
+# convention) already have cluster assignments; a new batch (% 3 == 0)
+# arrives. The maintenance step runs connected components over
+# (star edges of the OLD assignment) ∪ (pairs touching the new batch) —
+# never re-deriving old intra-corpus pairs. Correct by the star
+# theorem: CC(star(G) ∪ E') == CC(G ∪ E') (contracting a component to
+# its star preserves connectivity), which
+# tests/test_operators.py::test_incremental_cc_equals_full_recompute
+# pins against the from-scratch clustering.
+#
+# Pair generation is the r5 default (banded minhash + verify, stop-
+# bucket capped); band keys are per-doc, so the one global band table
+# serves both the old-pair and new-pair filters — an incremental system
+# maintains exactly this table plus per-bucket counters (q89/q65's
+# persisted index). Output: every clustered doc with its merged cluster
+# id and whether it arrived in the new batch.
+# --------------------------------------------------------------------------
+def _q205_oracle() -> str:
+    from ..operators.dedup import DEFAULT_BUCKET_CAP
+
+    from .llm_ops import minhash_pair_ctes
+
+    return f"""
+    WITH RECURSIVE
+    {minhash_pair_ctes(0.2, max_bucket=DEFAULT_BUCKET_CAP)},
+    old_pairs AS (
+        SELECT id_a, id_b FROM mh_pairs
+        WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
+    ),
+    new_pairs AS (
+        SELECT id_a, id_b FROM mh_pairs
+        WHERE id_a % 3 = 0 OR id_b % 3 = 0
+    ),
+    old_edges AS (SELECT id_a AS u, id_b AS v FROM old_pairs
+                  UNION SELECT id_b, id_a FROM old_pairs),
+    old_closure(u, v) AS (
+        SELECT u, v FROM old_edges
+        UNION
+        SELECT c.u, e.v FROM old_closure c JOIN old_edges e ON c.v = e.u
+    ),
+    old_comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                 FROM old_closure GROUP BY u),
+    star AS (SELECT doc_id AS id_a, cluster_id AS id_b FROM old_comp
+             WHERE doc_id <> cluster_id),
+    inc AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM new_pairs),
+    inc_edges AS (SELECT id_a AS u, id_b AS v FROM inc
+                  UNION SELECT id_b, id_a FROM inc),
+    inc_closure(u, v) AS (
+        SELECT u, v FROM inc_edges
+        UNION
+        SELECT c.u, e.v FROM inc_closure c JOIN inc_edges e ON c.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+           CAST(u % 3 = 0 AS INT) AS is_new
+    FROM inc_closure GROUP BY u
+    """
+
+
+@register("q205_incremental_clusters", oracle=_q205_oracle())
+def q205_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+    from ..operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)  # feeds two filters + CC rounds
+    DD.release_caches()
+    old_pairs = pairs.filter(
+        (F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0)
+    )
+    new_pairs = pairs.filter(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0)
+    )
+    old_comp = connected_components(old_pairs)
+    star = old_comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    merged = connected_components(star.unionAll(new_pairs))
+    out = merged.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") % 3 == 0).cast("int").alias("is_new"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -391,3 +391,33 @@ def test_lsh_band_plan_midpoints(spark):
         for r in minhash_bands_param(docs, BANDS, ROWS_PER_BAND).collect()
     }
     assert base == param
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """q205's star theorem: CC(star(old assignment) ∪ new pairs) must
+    equal CC(all pairs) — incremental cluster maintenance never diverges
+    from the from-scratch clustering."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket_size=D.DEFAULT_BUCKET_CAP
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    D.release_caches()
+    full = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    old_pairs = pairs.filter((F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0))
+    new_pairs = pairs.filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+    old_comp = connected_components(old_pairs)
+    star = old_comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    inc = {
+        r.node: r.cluster_id
+        for r in connected_components(star.unionAll(new_pairs)).collect()
+    }
+    assert inc == full
+    assert len(full) > 0  # fixture has near-dups
