@@ -20,10 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# last dir set per SparkContext (by id): setCheckpointDir is global to the
-# context and mints a fresh UUID subdir on every call, so we only re-set it
-# when the requested dir actually changes
-_SET_DIRS: dict[int, str] = {}
+# last dir set per SparkContext (keyed by applicationId — id(sc) could
+# alias after a context restart reuses the address, cf. tables._BUCKETED's
+# convention): setCheckpointDir is global to the context and mints a fresh
+# UUID subdir on every call, so we only re-set it when the requested dir
+# actually changes
+_SET_DIRS: dict[str, str] = {}
 
 
 def truncate_lineage(
@@ -32,7 +34,8 @@ def truncate_lineage(
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if _SET_DIRS.get(id(sc)) != checkpoint_dir:
+    app = sc.applicationId
+    if _SET_DIRS.get(app) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
-        _SET_DIRS[id(sc)] = checkpoint_dir
+        _SET_DIRS[app] = checkpoint_dir
     return df.checkpoint(eager=eager)

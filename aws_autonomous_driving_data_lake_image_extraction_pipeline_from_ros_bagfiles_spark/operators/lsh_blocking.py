@@ -48,6 +48,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import cap_band_buckets  # key-column-agnostic flood guard (re-export)
 from .similarity import dot
 
 N_BANDS = 4
@@ -108,6 +109,16 @@ def _prefix_key(vec: Column, band: int, nbits: int, dim: int) -> Column:
     return key
 
 
+def cell_key_col(
+    vec: Column, nbits: int, dim: int = DIM
+) -> Column:
+    """Single-assignment cell id (band 0's nbits-bit sign prefix) as a
+    COLUMN — for callers that want the cell as a zero-shuffle projection
+    on an existing frame (cf. q109) instead of the (id, cell) frame
+    :func:`cell_keys` returns."""
+    return _prefix_key(vec, 0, nbits, dim)
+
+
 def band_keys(
     emb: DataFrame,
     nbits: int,
@@ -118,36 +129,15 @@ def band_keys(
 ) -> DataFrame:
     """(id, band, band_key) — one row per (vector, band). Narrow output:
     ids and two ints, never the vectors, so the candidate self-join
-    shuffles O(N * n_bands) small rows."""
-    frames = [
-        emb.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            _prefix_key(F.col(vec_col), b, nbits, dim).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
-
-
-def cap_band_buckets(
-    bands: DataFrame, max_bucket_size: int, id_col: str = "vec_id"
-) -> DataFrame:
-    """Drop (band, band_key) buckets holding more than *max_bucket_size*
-    vectors — the vector twin of dedup.cap_band_buckets. The width rule
-    keeps EXPECTED bucket size bounded, but adversarial or degenerate
-    data (a million byte-identical vectors) floods one bucket with f
-    rows and f²/2 pairs regardless of width; the cap bounds the damage
-    at one extra aggregate over the narrow band table. Flooded cohorts
-    are exactly the ones exact-fingerprint dedup (q22 on a vector hash)
-    catches first, so dropping their band signal loses little."""
-    freq = bands.groupBy("band", "band_key").agg(F.count("*").alias("f"))
-    return bands.join(
-        freq.filter(F.col("f") <= max_bucket_size), ["band", "band_key"]
-    ).drop("f")
+    shuffles O(N * n_bands) small rows. All bands come from ONE
+    projection + posexplode (a per-band select union would scan the
+    source n_bands times)."""
+    keys = F.array(
+        *[_prefix_key(F.col(vec_col), b, nbits, dim) for b in range(n_bands)]
+    )
+    return emb.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
 
 
 def scaled_candidate_pairs(
@@ -176,7 +166,10 @@ def scaled_candidate_pairs(
     """
     bands = band_keys(emb, nbits, n_bands, vec_col, id_col, dim)
     if max_bucket_size is not None:
-        bands = cap_band_buckets(bands, max_bucket_size, id_col)
+        # dedup.cap_band_buckets is key-column-agnostic (groups on
+        # band/band_key only); flooded cohorts carry no near-dup signal
+        # — see the q68 rationale there
+        bands = cap_band_buckets(bands, max_bucket_size)
     bands = bands.localCheckpoint(eager=True)
     cand = (
         bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
@@ -201,8 +194,7 @@ def cell_keys(
     """(id, cell) single-assignment cell ids (band 0's planes) — the
     SemDeDup partition shape: ~N / TARGET_BLOCK cells of bounded size."""
     return emb.select(
-        F.col(id_col),
-        _prefix_key(F.col(vec_col), 0, nbits, dim).alias("cell"),
+        F.col(id_col), cell_key_col(F.col(vec_col), nbits, dim).alias("cell")
     )
 
 

@@ -54,12 +54,13 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import lsh_blocking as L
     from ..operators.similarity import dot, norm
 
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    # N from the parquet footer (metadata-only count job) fixes the block
-    # width; the oracle derives the identical width from count(*)
-    nbits = L.n_block_bits(emb.count())
+    raw = load(spark, sf_dir, "embeddings")
+    # N from the parquet footer (metadata-only count job on the
+    # UN-repartitioned scan — counting after the repartition would force
+    # a full pass + shuffle just to size the blocks); the oracle derives
+    # the identical width from count(*)
+    nbits = L.n_block_bits(raw.count())
+    emb = raw.repartition(spark.sparkContext.defaultParallelism)
     cand = L.scaled_candidate_pairs(emb.select("vec_id", "embedding"), nbits)
     # norms are computed ONCE per vector before the verify join
     # (recomputing them per pair would triple the fold work); same doubles
@@ -1013,8 +1014,13 @@ def q200_embedding_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     newb = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
     work = tempfile.mkdtemp(prefix="lsh_vec_index_")
     try:
-        # ingest time: width from the CORPUS size; band + persist once
-        nbits = L.n_block_bits(corpus.count())
+        # ingest time: width from the CORPUS size (counted on the raw
+        # scan, not the repartitioned frame); band + persist once
+        nbits = L.n_block_bits(
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 2 == 1)
+            .count()
+        )
         L.band_keys(corpus, nbits).write.mode("overwrite").parquet(
             f"{work}/index"
         )
@@ -1088,6 +1094,11 @@ _Q202_COS = (
 
 def _q202_oracle() -> str:
     lam, mu = Q202_LAMBDA, round(1 - Q202_LAMBDA, 6)
+    # greedy comparisons run on the RAW double mmr (identical IEEE ops
+    # from identical round-6 inputs on both engines — rounding inside the
+    # loop would reintroduce engine-specific tie behavior, Python's
+    # round() being half-to-even while SQL round is half-away); rounding
+    # happens once, at output, via the proven round()/F.round parity
     steps = []
     sel_union = "SELECT vec_id FROM s1"
     for k in range(2, Q202_K + 1):
@@ -1095,10 +1106,10 @@ def _q202_oracle() -> str:
     sel{k - 1} AS ({sel_union}),
     s{k} AS (
         SELECT c.vec_id,
-               round({lam} * c.qsim - {mu} * (
+               {lam} * c.qsim - {mu} * (
                    SELECT max(p.s) FROM pair p
                    WHERE p.ia = c.vec_id
-                     AND p.ib IN (SELECT vec_id FROM sel{k - 1})), 6) AS mmr
+                     AND p.ib IN (SELECT vec_id FROM sel{k - 1})) AS mmr
         FROM cand c
         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
         ORDER BY mmr DESC, c.vec_id LIMIT 1
@@ -1124,7 +1135,7 @@ def _q202_oracle() -> str:
     ),
     s1 AS (SELECT vec_id, qsim FROM cand ORDER BY qsim DESC, vec_id LIMIT 1),
     {",".join(steps)}
-    SELECT rk, vec_id, mmr FROM ({picks}) ORDER BY rk
+    SELECT rk, vec_id, round(mmr, 6) AS mmr FROM ({picks}) ORDER BY rk
     """
 
 
@@ -1168,7 +1179,10 @@ def q202_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam, mu = Q202_LAMBDA, round(1 - Q202_LAMBDA, 6)
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
-    # step 1: pure relevance; steps 2..K: rounded MMR, vec_id tie-break
+    if not qsims:
+        return spark.createDataFrame([], "rk int, vec_id bigint, mmr double")
+    # step 1: pure relevance; steps 2..K: RAW-double MMR (see the oracle
+    # note — rounding only at output), vec_id tie-break
     first = min(qsims, key=lambda v: (-qsims[v], v))
     selected.append((1, first, qsims[first]))
     chosen.append(first)
@@ -1178,12 +1192,15 @@ def q202_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v in chosen:
                 continue
             pen = max(sims[(v, s)] for s in chosen)
-            mmr = round(lam * qs - mu * pen, 6)
+            mmr = lam * qs - mu * pen
             key = (-mmr, v)
             if best is None or key < best[0]:
                 best = (key, v, mmr)
+        if best is None:  # window exhausted before K picks
+            break
         selected.append((rk, best[1], best[2]))
         chosen.append(best[1])
-    return spark.createDataFrame(
-        selected, "rk int, vec_id bigint, mmr double"
-    )
+    out = spark.createDataFrame(selected, "rk int, vec_id bigint, mmr double")
+    # final rounding happens in Spark so both engines round the same raw
+    # double through the proven F.round <-> round() parity path
+    return out.select("rk", "vec_id", F.round("mmr", 6).alias("mmr"))

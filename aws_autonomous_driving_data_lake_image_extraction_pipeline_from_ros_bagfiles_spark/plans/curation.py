@@ -135,13 +135,19 @@ def _q109_oracle() -> str:
 def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import lsh_blocking as L
 
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    raw = load(spark, sf_dir, "embeddings")
+    # width from the raw scan's footer count (counting the repartitioned
+    # frame would force a full pass + shuffle first)
+    nbits = L.n_block_bits(raw.count())
+    emb = raw.repartition(spark.sparkContext.defaultParallelism)
+    # one cell per vector, cell count ∝ N (the SemDeDup k ∝ N regime);
+    # the cell is a pure function of the vector, so it is a zero-shuffle
+    # PROJECTION on the frame — never a join back onto itself
+    emb = emb.select(
+        L.cell_key_col(F.col("embedding"), nbits).alias("cell"),
+        "vec_id",
+        "embedding",
     )
-    nbits = L.n_block_bits(emb.count())
-    # one cell per vector, cell count ∝ N (the SemDeDup k ∝ N regime)
-    cells = L.cell_keys(emb.select("vec_id", "embedding"), nbits)
-    emb = emb.join(cells, "vec_id").select("cell", "vec_id", "embedding")
     # centroid table is ~N/TARGET_BLOCK rows of d doubles — broadcast,
     # never shuffled in
     cent = _centroids(emb)

@@ -1367,8 +1367,12 @@ def q177_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_micros is timezone-independent (epoch microseconds), matching
     # the oracle's epoch(); unix_timestamp would re-interpret the
     # timestamp under spark.sql.session.timeZone and shift hour buckets
-    # on non-UTC sessions (ADVICE r4)
-    hour = F.expr("unix_micros(ts) div 3600000000").cast("bigint")
+    # on non-UTC sessions (ADVICE r4). floor(), not integer `div`: div
+    # truncates toward zero and would disagree with the oracle's
+    # floor(epoch/3600) for pre-1970 timestamps. Exact-hour boundaries
+    # stay exact: h*3.6e9 and h are both representable doubles, so the
+    # correctly-rounded quotient is exactly h.
+    hour = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint")
     span = ev.agg(
         F.min(hour).alias("h0"), F.max(hour).alias("h1")
     )

@@ -66,12 +66,14 @@ def _scaled_raw_sql() -> str:
     )"""
 
 
-def _scaled_raw_edges(emb: DataFrame) -> DataFrame:
+def _scaled_raw_edges(emb: DataFrame, n_rows: int) -> DataFrame:
     """Spark twin of :func:`_scaled_raw_sql`: (u, v, c) verified edges from
-    corpus-scaled LSH candidates; norms computed once per vector."""
+    corpus-scaled LSH candidates; norms computed once per vector.
+    ``n_rows`` comes from the caller's footer-only count of the raw scan
+    (counting a repartitioned frame would force a full pass first)."""
     from ..operators import lsh_blocking as L
 
-    nbits = L.n_block_bits(emb.count())
+    nbits = L.n_block_bits(n_rows)
     cand = L.scaled_candidate_pairs(emb.select("vec_id", "embedding"), nbits)
     normed = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nm")
@@ -130,10 +132,10 @@ def _scaled_raw_edges(emb: DataFrame) -> DataFrame:
     """,
 )
 def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    raw = _scaled_raw_edges(emb)
+    base = load(spark, sf_dir, "embeddings")
+    n = base.count()  # footer-only job on the raw scan
+    emb = base.repartition(spark.sparkContext.defaultParallelism)
+    raw = _scaled_raw_edges(emb, n)
     direct = raw.unionAll(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
     )
@@ -224,10 +226,10 @@ def _q180_edges_sql() -> str:
     """,
 )
 def q180_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    raw = _scaled_raw_edges(emb)
+    base = load(spark, sf_dir, "embeddings")
+    n = base.count()  # footer-only job on the raw scan
+    emb = base.repartition(spark.sparkContext.defaultParallelism)
+    raw = _scaled_raw_edges(emb, n)
     direct = raw.unionAll(
         raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
     )

@@ -1576,7 +1576,11 @@ def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    bands = D.minhash_bands_param(src, b, r)
+    # cache the recut band table: it feeds the bucket-frequency scan and
+    # both sides of the candidate self-join — uncached, the 16-signature
+    # minhash pipeline would re-execute per reference (released below via
+    # release_caches, q24's hygiene)
+    bands = D._cached(D.minhash_bands_param(src, b, r))
     pairs = D.minhash_lsh_pairs(
         docs,
         threshold=Q204_THRESHOLD,

@@ -906,14 +906,21 @@ def q143_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q199_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import materialize_bucketed
+    from ..tables import (
+        DEFAULT_BUCKET_SPECS,
+        deregister_bucketed,
+        materialize_bucketed,
+        registered_bucketed,
+    )
 
-    # one-time layout (no-op if this session already materialized it);
-    # registered in tables._BUCKETED so load() serves the bucketed tables
+    # one-time layout (no-op write if this session already materialized
+    # it); registered in tables._BUCKETED so load() serves the bucketed
+    # tables while we BUILD the plan
+    pre = registered_bucketed(spark, sf_dir)
     materialize_bucketed(spark, sf_dir)
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     li = load(spark, sf_dir, "lineitem")
-    return (
+    out = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
@@ -924,3 +931,9 @@ def q199_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+    # the returned plan is already bound to the bucketed catalog tables;
+    # de-register only the entries THIS call added so later load()s of
+    # orders/lineitem are not silently re-routed for the rest of the
+    # session (bench.py's own session-wide registration is left intact)
+    deregister_bucketed(spark, sf_dir, set(DEFAULT_BUCKET_SPECS) - pre)
+    return out

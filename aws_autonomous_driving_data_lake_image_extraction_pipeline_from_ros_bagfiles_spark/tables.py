@@ -103,6 +103,22 @@ def materialize_bucketed(
     return out
 
 
+def registered_bucketed(spark: SparkSession, sf_dir: str) -> set:
+    """Names currently routed to the bucketed layout for this sf_dir."""
+    app = spark.sparkContext.applicationId
+    return {name for (a, d, name) in _BUCKETED if a == app and d == sf_dir}
+
+
+def deregister_bucketed(spark: SparkSession, sf_dir: str, names) -> None:
+    """Remove registry entries so load() reverts to plain parquet WITHOUT
+    dropping the catalog tables — the physical layout stays for reuse
+    (materialize_bucketed finds the table and skips the rewrite). Used by
+    callers that must not leave session-global routing behind (q199)."""
+    app = spark.sparkContext.applicationId
+    for name in names:
+        _BUCKETED.pop((app, sf_dir, name), None)
+
+
 def drop_bucketed(spark: SparkSession, sf_dir: str) -> None:
     """Deregister + drop this sf_dir's bucketed tables (test/bench cleanup)."""
     app = spark.sparkContext.applicationId
