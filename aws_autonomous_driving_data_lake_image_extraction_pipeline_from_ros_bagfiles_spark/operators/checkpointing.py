@@ -14,6 +14,22 @@ Two tiers (VERDICT r4 #6):
   preemptible fleets. The checkpoint dir is set once per SparkContext
   (Spark keeps one global dir; per-call divergent dirs would silently
   re-point the whole context, so we only set it when unset or changed).
+
+Storage lifecycle of the reliable tier (ADVICE r5): each call writes one
+``rdd-N`` snapshot under the dir and Spark does NOT delete superseded
+ones by default — an unbounded leak for per-iteration checkpointing.
+The engine therefore sets ``spark.cleaner.referenceTracking
+.cleanCheckpoints=true`` at context start (session.py): the
+ContextCleaner deletes a checkpoint's files once its RDD is
+garbage-collected, which for the iterative loops here happens as soon
+as the round rebinds ``cur``/``ranks`` (CPython refcount drops the
+py4j handle; the JVM reclaims on its next GC). Frames that stay live
+across the loop (``nodes``/``deg``/the returned result) keep their
+files, which is exactly the fault-tolerance contract. A blanket
+"delete all but the newest rdd-*" sweep here would be WRONG for that
+same reason. Sessions built outside ``session.get_spark`` must set the
+conf themselves (it is read once by the ContextCleaner constructor) or
+accept the accumulation.
 """
 
 from __future__ import annotations

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 
 # --------------------------------------------------------------------------
@@ -221,7 +221,7 @@ def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
     )
     # materialize then release the cached simhash table (see q24 note)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     sh.unpersist()  # release exactly the cache this query pinned
     return result
 
@@ -489,7 +489,7 @@ def q98_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= Q98_THRESHOLD)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     bands.unpersist()
     return result
 
@@ -568,7 +568,7 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("qid").alias("n_queries"),
             F.count("*").alias("n_rows"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -952,7 +952,7 @@ def q184_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.max("cosine"), 6).alias("max_cosine"),
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------
@@ -1060,7 +1060,7 @@ def q200_embedding_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(sim >= Q200_TAU)
             .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

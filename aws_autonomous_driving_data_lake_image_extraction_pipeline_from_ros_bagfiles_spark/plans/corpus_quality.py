@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 # --------------------------------------------------------------------------
 # q157 — near-dup cluster canonicalization: q54's connected components
@@ -117,7 +117,7 @@ def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize, then drop the operator's band/shingle caches (q24's
     # session hygiene)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     DD.release_caches()
     return result
 
@@ -549,6 +549,6 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize, then drop the operator's band/shingle caches (q24's
     # session hygiene)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     DD.release_caches()
     return result

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 # --------------------------------------------------------------------------
 # q170 — product-quantization ADC retrieval: m=4 subspaces x 16 dims,
@@ -303,7 +303,7 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
     # materialize, then drop the operator's band/shingle caches (q24's
     # session hygiene)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     DD.release_caches()
     return result
 
@@ -583,6 +583,6 @@ def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_in_multi"),
     )
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     DD.release_caches()
     return result

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 _DAY_US = 86_400_000_000
 
@@ -276,7 +276,7 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=f"{work}/ckpt",
         )
         out = spark.read.parquet(f"{work}/out")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -330,7 +330,7 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(f"{work}/out").select(
             "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -519,7 +519,7 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("value"), 6).alias("total_value"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -579,7 +579,7 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_committed(
             spark, sink, "event_id long, user_id long, event_type string"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 
 # --------------------------------------------------------------------------
@@ -128,7 +128,7 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize, then release the band/shingle caches the operator
     # pinned (q24's hygiene — a 198-query bench session must not
     # accumulate executor storage)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     DD.release_caches()
     return result
 
@@ -151,7 +151,7 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(corpus, centroids, qvec, k=5, nprobe=3).select(
         "vec_id", F.round("sim", 6).alias("cosine")
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------
@@ -179,7 +179,7 @@ def q52_bag_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("topic")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -240,7 +240,7 @@ def q60_bag_topic_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("chunks_selected", F.lit(stats["chunks_selected"]))
             .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -378,7 +378,7 @@ def q69_bag_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("parts_full", F.lit(parts_full))
             .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         spark.conf.set(conf_key, prior)
         shutil.rmtree(work, ignore_errors=True)
@@ -535,7 +535,7 @@ def q95_bag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_msgs"))
             .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         spark.conf.set(conf_key, prior)
         shutil.rmtree(work, ignore_errors=True)
@@ -869,4 +869,4 @@ def q205_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("node") % 3 == 0).cast("int").alias("is_new"),
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+    return materialize(out)

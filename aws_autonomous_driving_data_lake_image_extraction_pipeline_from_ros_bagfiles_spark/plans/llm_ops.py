@@ -18,7 +18,7 @@ from ..operators import pii as PII
 from ..operators import similarity as S
 from ..operators import text as T
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 # Shared DuckDB CTEs: word tokens, distinct 3-gram shingle lists, exploded
 # shingles, set sizes. Mirrors operators.dedup.shingles exactly.
@@ -124,7 +124,13 @@ def minhash_pair_ctes(
     linear bound independent of how degenerate the corpus is)."""
     bands = D.BANDS if bands is None else bands
     rows = D.ROWS_PER_BAND if rows is None else rows
-    assert bands * rows == D.NUM_HASHES
+    if bands * rows != D.NUM_HASHES:
+        # explicit raise, not assert: asserts vanish under `python -O`,
+        # which would silently emit a wrong-banded oracle (ADVICE r5);
+        # matches the Spark twin dedup.minhash_bands_param's contract
+        raise ValueError(
+            f"bands*rows must be {D.NUM_HASHES}, got {bands}x{rows}"
+        )
     p = D.MERSENNE_P
     sig_cols = ",\n                   ".join(
         "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
@@ -202,7 +208,7 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize (the pair set is tiny), then release the bands/shingle
     # caches the operator pinned — repeated invocations in one session
     # (bench, the driver's gate) must not accumulate executor storage
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()  # only this module's caches — not the whole session
     return result
 
@@ -245,7 +251,7 @@ def q68_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket_size=Q68_MAX_BUCKET)
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()
     return result
 
@@ -266,7 +272,7 @@ def q87_salted_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs_salted(docs, threshold=0.2, block_size=Q87_BLOCK)
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()
     return result
 
@@ -297,7 +303,7 @@ def q89_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pairs.select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
+        result = materialize(out)
         D.release_caches()
         return result
     finally:
@@ -377,7 +383,7 @@ def q57_minhash_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     pairs = D.minhash_lsh_join(new_batch, corpus, threshold=0.2)
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()  # only this module's caches — not the whole session
     return result
 
@@ -684,7 +690,7 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.read.parquet(f"{work}/corpus").select(
             "doc_id", F.col("batch").cast("int").alias("batch")
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return materialize(final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1459,7 +1465,7 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= Q99_T
     )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()
     return result
 
@@ -1531,7 +1537,7 @@ def q201_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()
     return result
 
@@ -1588,6 +1594,6 @@ def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=_q204_cap(),
     )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = materialize(out)
     D.release_caches()
     return result

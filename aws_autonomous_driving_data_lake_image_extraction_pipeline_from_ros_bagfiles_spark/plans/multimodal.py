@@ -13,7 +13,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import materialize, register
 
 
 def _audio_clips(spark: SparkSession) -> DataFrame:
@@ -171,7 +171,7 @@ def q106_video_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = render_avi_videos(
             frames, work, fps=12, group_col="video_id", order_col="frame_idx"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

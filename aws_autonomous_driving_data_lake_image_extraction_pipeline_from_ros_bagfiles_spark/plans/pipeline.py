@@ -23,7 +23,7 @@ from ..sources.rosbag import decode_bag_df
 from ..sources.rosbag_fixtures import build_demo_bag
 from ..sources.topic_views import image_view
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 _DETECTION_VOCAB = ["Person", "Car", "Bicycle", "Truck", "Motorcycle"]
 
@@ -143,7 +143,7 @@ def q56_select_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         curated = blur_regions(boxed).select(
             "topic", "seq", F.length("pixels").alias("n_bytes")
         )
-        return spark.createDataFrame(curated.collect(), curated.schema)
+        return materialize(curated)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -285,7 +285,7 @@ def q35_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = final.select(
             "user_id", "event_type", F.round("max_value", 3).alias("max_value")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = materialize(out)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

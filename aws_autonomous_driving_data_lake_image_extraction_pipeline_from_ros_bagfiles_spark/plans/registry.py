@@ -31,3 +31,22 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Distributed materialization barrier: compute ``df`` NOW and return a
+    DataFrame backed by the stored result blocks (eager localCheckpoint).
+
+    Used wherever a query must snapshot its result before tearing down
+    what produced it — ``release_caches()`` hygiene, temp-dir cleanup
+    after a streaming drain, or freezing a nondeterministically-trained
+    stage (KMeans centroids) so later actions see one consistent answer.
+    Unlike the previous collect-then-createDataFrame idiom
+    this never round-trips the result through the driver, so the
+    barrier is O(1) driver memory at production scale (ADVICE r5:
+    query outputs are small at bench SF but unbounded in general).
+    Blocks live in executor storage (MEMORY_AND_DISK_DESER) and are
+    released by the ContextCleaner once the returned frame is
+    garbage-collected.
+    """
+    return df.localCheckpoint(eager=True)

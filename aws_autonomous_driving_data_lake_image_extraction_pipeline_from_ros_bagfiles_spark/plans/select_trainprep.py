@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.paths import extension_rewrite
 from ..operators.detections import explode_labels, stub_detector
 from ..tables import load, normalize_event_ts, table_path
-from .registry import register
+from .registry import materialize, register
 
 # Stub-detector long form as SQL (shared with q34's oracle).
 _LABELS_CTE = """
@@ -285,7 +285,7 @@ def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("hour_start", "event_type")
             .agg(F.sum("partial_n").alias("n_events"))
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return materialize(final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -382,7 +382,7 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         land(2, "c", batch_c)
         drain()  # run 2: late filter enforced from wm1; probe finalizes all
         final = spark.read.parquet(f"{work}/out")
-        return spark.createDataFrame(final.collect(), final.schema)
+        return materialize(final)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -445,7 +445,7 @@ def q107_recordio_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="recordio_")
     try:
         out = write_recordio_files(packed, work)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -518,7 +518,7 @@ def q112_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="wds_")
     try:
         out = write_webdataset_shards(samples, work)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

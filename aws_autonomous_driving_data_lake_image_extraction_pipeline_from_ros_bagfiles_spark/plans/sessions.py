@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..streaming.sessionize import SESSION_GAP_SEC, sessionize_batch
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 
 # --------------------------------------------------------------------------
@@ -210,6 +210,6 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("user_id", "n_events", F.round("ema", 6).alias("ema"))
         )
-        return spark.createDataFrame(final.collect(), final.schema)
+        return materialize(final)
     finally:
         shutil.rmtree(work, ignore_errors=True)

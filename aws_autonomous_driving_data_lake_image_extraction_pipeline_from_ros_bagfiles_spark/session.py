@@ -58,6 +58,17 @@ def get_spark(app_name: str = "ros-baglake-spark", *, shuffle_partitions: int | 
         # OOMs long before 100 TB. Compressed-bytes estimates say nothing
         # about hashed-relation memory; only opt-in broadcasts are safe.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Reliable checkpoints (operators/checkpointing.py) write one
+        # rdd-N snapshot per iteration and Spark does NOT delete them by
+        # default — a multi-hour pagerank/CC run would accumulate
+        # unbounded checkpoint storage (ADVICE r5). With this on, the
+        # ContextCleaner removes a checkpoint's files once its RDD is
+        # garbage-collected, i.e. as soon as the loop rebinds `cur`/
+        # `ranks` and a GC cycle runs; only the checkpoints still
+        # referenced by live frames (the returned result, `nodes`/`deg`)
+        # survive. Must be set at context start — it is read once by the
+        # ContextCleaner constructor.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))

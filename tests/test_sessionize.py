@@ -96,7 +96,15 @@ def test_transform_with_state_sessionizer_gate(spark):
         has_protobuf = importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:  # parent package 'google' absent entirely
         has_protobuf = False
-    assert HAS_TRANSFORM_WITH_STATE == has_protobuf
+    # the module gate requires BOTH conditions (protobuf runtime dep AND
+    # the PySpark>=4 StatefulProcessor API) — asserting on protobuf alone
+    # would fail spuriously on PySpark 3.x with protobuf installed
+    try:
+        importlib.import_module("pyspark.sql.streaming.stateful_processor")
+        has_api = True
+    except ImportError:
+        has_api = False
+    assert HAS_TRANSFORM_WITH_STATE == (has_protobuf and has_api)
 
     if not HAS_TRANSFORM_WITH_STATE:
         with pytest.raises(NotImplementedError, match="protobuf"):
