@@ -44,6 +44,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     sketches,
     temporal,
     text_ir,
+    tpch,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
