@@ -48,5 +48,17 @@ def materialize(df: DataFrame) -> DataFrame:
     Blocks live in executor storage (MEMORY_AND_DISK_DESER) and are
     released by the ContextCleaner once the returned frame is
     garbage-collected.
+
+    Durability caveat (cluster mode): ``localCheckpoint`` truncates
+    lineage WITHOUT replication, so on a multi-node cluster the stored
+    blocks are unrecoverable if an executor holding them is lost before
+    the caller consumes the frame — Spark fails the downstream job with
+    a "Checkpoint block not found" error rather than recomputing. That
+    is acceptable for the barrier's intra-query uses here (the consumer
+    runs immediately; a lost-executor failure is loud, not silent, and
+    the query simply reruns). If a materialized frame must SURVIVE
+    executor loss — e.g. a long-lived handle consumed minutes later —
+    use ``df.checkpoint()`` with a reliable (HDFS/S3) checkpoint dir or
+    an explicit parquet round-trip instead.
     """
     return df.localCheckpoint(eager=True)

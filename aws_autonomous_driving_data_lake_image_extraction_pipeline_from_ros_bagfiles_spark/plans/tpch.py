@@ -256,7 +256,7 @@ def q209_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey, c_name, nation, round(rev, 2) AS revenue
     FROM rev
-    ORDER BY rev DESC, c_custkey
+    ORDER BY round(rev, 2) DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -280,7 +280,12 @@ def q210_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.orderBy(F.desc("rev"), F.asc("c_custkey"))
+        # Rank on the CENT-rounded revenue so the c_custkey tie-break
+        # governs whenever revenues agree at cent precision — the raw
+        # double differs across engines by summation order, and a
+        # last-ulp divergence at the rank-20 boundary would otherwise
+        # flip the top-20 set between Spark and the oracle.
+        rev.orderBy(F.desc(F.round("rev", 2)), F.asc("c_custkey"))
         .limit(20)
         .select(
             "c_custkey", "c_name", "nation", F.round("rev", 2).alias("revenue")
@@ -391,7 +396,7 @@ def q212_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2) AS total_revenue
     FROM supplier s
     JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    WHERE round(r.total_rev, 2) = (SELECT max(round(total_rev, 2)) FROM rev)
     """,
 )
 def q213_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,10 +409,16 @@ def q213_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev"
         )
     )
-    mx = F.broadcast(rev.agg(F.max("total_rev").alias("mx")))
+    # The max-revenue equality compares CENT-rounded values on both
+    # branches (like q221): ReuseExchange dedups the shuffle write, but
+    # each consumer re-runs the reduce-side double sum in fetch order,
+    # so a raw-double equality could last-ulp-diverge between the two
+    # consumers on a real cluster and silently return zero rows.
+    rev = rev.withColumn("rev_c", F.round("total_rev", 2))
+    mx = F.broadcast(rev.agg(F.max("rev_c").alias("mx")))
     sup = load(spark, sf_dir, "supplier")
     return (
-        rev.join(mx, rev.total_rev == mx.mx)
+        rev.join(mx, rev.rev_c == mx.mx)
         .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue")
