@@ -213,19 +213,87 @@ def lsh_band_plan(
     return best[1], best[2]
 
 
-def minhash_bands_param(
-    df: DataFrame,
-    bands: int,
-    rows: int,
-    text_col: str = "text",
+# A banding plan is DEGENERATE when its short band keys stop
+# discriminating: on a dense/repetitive corpus, random-pair collisions
+# (not near-dup signal) fill band buckets past the stop-bucket cap. The
+# probe metric is the fraction of (doc, band) rows landing in over-cap
+# buckets — 0.0 on healthy corpora at every bench SF, ~0.09-0.12 on the
+# degenerate sf1.0/sf10 fixtures (round-7 probe receipts in
+# BENCH_NOTES). Above FLOOD_FRAC, the adaptive planner falls back one
+# factorization step to wider rows (e.g. 8x2 -> 4x4): longer keys
+# restore discrimination at the cost of S-curve recall, which under
+# flood the cap was already destroying (over-cap buckets are dropped
+# wholesale, so the tuned plan's nominal recall is fiction there).
+FLOOD_FRAC = 0.05
+
+
+def compensated_cap(bands: int) -> int:
+    """Stop-bucket cap holding the per-doc candidate bound
+    bands*(cap-1)/2 constant across plans, anchored at the default
+    BANDS x DEFAULT_BUCKET_CAP: tuning the threshold can never silently
+    multiply the verify bill (the r5 sf10 audit measured the
+    uncompensated 8x2 plan at 2x the 4x4 verify cost)."""
+    return max(2, 1 + (DEFAULT_BUCKET_CAP - 1) * BANDS // bands)
+
+
+def band_flood_frac(bands_df: DataFrame, cap: int) -> float:
+    """One cheap aggregate over band-key counts: the fraction of
+    (doc, band) rows that sit in buckets larger than ``cap``. Input is
+    the (id, band, band_key) long table; the group-by is map-side
+    combinable and the result is a single driver scalar (a plan
+    DECISION, not data — O(1) driver memory at any corpus size)."""
+    row = (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("m") > cap, F.col("m")).otherwise(0)), F.lit(0)
+            ).alias("overmass"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("mass"),
+        )
+        .collect()[0]
+    )
+    return (row.overmass / row.mass) if row.mass else 0.0
+
+
+def lsh_band_plan_adaptive(
+    sig: DataFrame,
+    threshold: float,
     id_col: str = "doc_id",
+) -> tuple[int, int, int, float, DataFrame]:
+    """Probe-driven banding: start from :func:`lsh_band_plan`'s S-curve
+    ideal, measure its bucket density on THIS corpus, and fall back one
+    factorization step to wider rows when the plan is degenerate
+    (> FLOOD_FRAC of band rows in over-cap buckets — see FLOOD_FRAC).
+
+    Returns ``(bands, rows, cap, flood_frac, bands_df)`` where
+    ``bands_df`` is the (id, band, band_key) table of the CHOSEN plan
+    and ``cap`` its :func:`compensated_cap`. ``sig`` should be cached:
+    the probe reads the ideal plan's band cut once, and a fallback
+    recut is a second narrow projection over the same signatures — no
+    corpus re-hash either way. The decision rule is deliberately
+    SQL-derivable (counts and a fixed constant) so a DuckDB oracle can
+    replay the identical plan choice on the same data."""
+    b, r = lsh_band_plan(threshold)
+    bands_df = bands_from_sig(sig, b, r, id_col)
+    frac = band_flood_frac(bands_df, compensated_cap(b))
+    if frac > FLOOD_FRAC and b >= 2 and r * 2 * (b // 2) == NUM_HASHES:
+        b, r = b // 2, r * 2
+        bands_df = bands_from_sig(sig, b, r, id_col)
+    return b, r, compensated_cap(b), frac, bands_df
+
+
+def bands_from_sig(
+    sig: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, band, band_key) under an arbitrary (bands, rows) plan from
-    :func:`lsh_band_plan`; band b's key is md5 of signature slice
-    [b*rows, (b+1)*rows). bands*rows must equal NUM_HASHES."""
+    """(id, band, band_key) cut from an EXISTING signature frame
+    (:func:`minhash_table` output, possibly cached/persisted). Band b's
+    key is md5 of signature slice [b*rows, (b+1)*rows); bands*rows must
+    equal NUM_HASHES. This is the recut primitive: switching (bands,
+    rows) plans over a cached/stored signature table costs only this
+    narrow projection, never a corpus re-hash."""
     if bands * rows != NUM_HASHES:
         raise ValueError(f"bands*rows must be {NUM_HASHES}, got {bands}x{rows}")
-    sig = minhash_table(df, text_col, id_col)
     cols = [
         F.md5(
             F.concat_ws(
@@ -237,6 +305,19 @@ def minhash_bands_param(
     wide = sig.select(F.col(id_col), *cols)
     arr = F.array(*[F.col(f"bk{b}") for b in range(bands)])
     return wide.select(F.col(id_col), F.posexplode(arr).alias("band", "band_key"))
+
+
+def minhash_bands_param(
+    df: DataFrame,
+    bands: int,
+    rows: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) under an arbitrary (bands, rows) plan from
+    :func:`lsh_band_plan`; hashes signatures from text then delegates to
+    :func:`bands_from_sig`."""
+    return bands_from_sig(minhash_table(df, text_col, id_col), bands, rows, id_col)
 
 
 def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:

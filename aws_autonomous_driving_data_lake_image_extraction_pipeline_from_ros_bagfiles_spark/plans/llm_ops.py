@@ -99,6 +99,32 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle rebuilds the identical 16 md5-min signatures and 4 band keys,
 # so candidate generation is checked too — not just the final pairs.
 # --------------------------------------------------------------------------
+def _sig_cols_sql() -> str:
+    """The 16 minhash signature expressions (shared by every oracle
+    that replays the Spark minhash family — twin of dedup.minhash_table)."""
+    p = D.MERSENNE_P
+    return ",\n                   ".join(
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
+            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
+        )
+        for i in range(D.NUM_HASHES)
+    )
+
+
+def _band_selects_sql(bands: int, rows: int) -> str:
+    """UNION ALL band-key cut of the sigs CTE for a (bands, rows) plan —
+    twin of dedup.bands_from_sig."""
+    return "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}" for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
 def minhash_pair_ctes(
     threshold: float,
     bands: int | None = None,
@@ -132,21 +158,8 @@ def minhash_pair_ctes(
             f"bands*rows must be {D.NUM_HASHES}, got {bands}x{rows}"
         )
     p = D.MERSENNE_P
-    sig_cols = ",\n                   ".join(
-        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS s{i}".format(
-            a=D.minhash_params(i)[0], b=D.minhash_params(i)[1], p=p, i=i
-        )
-        for i in range(D.NUM_HASHES)
-    )
-    band_selects = "\n        UNION ALL\n        ".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
-            b=b,
-            key=" || '|' || ".join(
-                f"s{i}" for i in range(b * rows, (b + 1) * rows)
-            ),
-        )
-        for b in range(bands)
-    )
+    sig_cols = _sig_cols_sql()
+    band_selects = _band_selects_sql(bands, rows)
     if max_bucket is None:
         # NOTE: this exact cand text is the splice target of
         # _minhash_capped_oracle (q68) — keep it byte-stable
@@ -1556,20 +1569,82 @@ def q201_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q204_THRESHOLD = 0.35
 
 
-def _q204_cap() -> int:
-    # hold the per-doc candidate bound bands*(cap-1)/2 constant across
-    # plans: wider-flatter plans (more bands) get proportionally smaller
-    # bucket caps, so tuning the threshold cannot silently multiply the
-    # verify bill (the r5 sf10 audit measured the uncompensated 8x2 plan
-    # at 2x the 4x4 verify cost for the same corpus)
-    b, _ = D.lsh_band_plan(Q204_THRESHOLD)
-    return max(2, 1 + (D.DEFAULT_BUCKET_CAP - 1) * D.BANDS // b)
+def minhash_pair_ctes_adaptive(threshold: float) -> str:
+    """Oracle twin of dedup.lsh_band_plan_adaptive: a WITH-body ending
+    in ``mh_pairs`` that computes BOTH the S-curve-ideal banding and its
+    wider-rows fallback over the same 16 signatures, measures the ideal
+    plan's over-cap bucket-mass fraction, and selects the candidate set
+    by the SAME flood rule the Spark side applies (frac > FLOOD_FRAC).
+    Both branches stay in the query so the plan CHOICE — not a baked-in
+    plan — is what the hash gate certifies: a one-sided change to the
+    decision rule or either plan's cut breaks the match."""
+    b1, r1 = D.lsh_band_plan(threshold)
+    if b1 < 2:
+        return minhash_pair_ctes(
+            threshold, bands=b1, rows=r1, max_bucket=D.compensated_cap(b1)
+        )
+    b2, r2 = b1 // 2, r1 * 2
+    cap1, cap2 = D.compensated_cap(b1), D.compensated_cap(b2)
+    p = D.MERSENNE_P
+    return f"""{_SHINGLE_CTES},
+    based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM shl),
+    sigs AS (SELECT doc_id,
+                   {_sig_cols_sql()}
+             FROM based),
+    bands1 AS (
+        {_band_selects_sql(b1, r1)}
+    ),
+    bands2 AS (
+        {_band_selects_sql(b2, r2)}
+    ),
+    flood AS (
+        SELECT coalesce(sum(CASE WHEN m > {cap1} THEN m ELSE 0 END), 0) * 1.0
+               > {D.FLOOD_FRAC} * coalesce(sum(m), 0) AS f
+        FROM (SELECT count(*) AS m FROM bands1 GROUP BY band, band_key)
+    ),
+    bfreq1 AS (SELECT band, band_key FROM bands1
+               GROUP BY 1, 2 HAVING count(*) <= {cap1}),
+    jb1 AS (SELECT b.* FROM bands1 b JOIN bfreq1 USING (band, band_key)),
+    cand1 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM jb1 a JOIN jb1 b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    bfreq2 AS (SELECT band, band_key FROM bands2
+               GROUP BY 1, 2 HAVING count(*) <= {cap2}),
+    jb2 AS (SELECT b.* FROM bands2 b JOIN bfreq2 USING (band, band_key)),
+    cand2 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM jb2 a JOIN jb2 b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    cand AS (
+        SELECT id_a, id_b FROM cand1 WHERE NOT (SELECT f FROM flood)
+        UNION ALL
+        SELECT id_a, id_b FROM cand2 WHERE (SELECT f FROM flood)
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    mh_pairs AS (
+        SELECT i.id_a, i.id_b,
+               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {threshold}
+    )"""
 
 
 def _q204_oracle() -> str:
-    b, r = D.lsh_band_plan(Q204_THRESHOLD)
     return f"""
-    WITH {minhash_pair_ctes(Q204_THRESHOLD, bands=b, rows=r, max_bucket=_q204_cap())}
+    WITH {minhash_pair_ctes_adaptive(Q204_THRESHOLD)}
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM mh_pairs
     """
@@ -1577,21 +1652,33 @@ def _q204_oracle() -> str:
 
 @register("q204_threshold_tuned_lsh", oracle=_q204_oracle())
 def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuned banding with a degenerate-density fallback: the
+    S-curve-ideal plan for t=0.35 is 8 bands x 2 rows, but 2-row band
+    keys stop discriminating on dense corpora (the r5/r6 sf10 audit
+    measured the capped 8x2 bill AT its linear bound, 426 s, while 4x4
+    consumers sat well under theirs). One cheap aggregate over the
+    ideal plan's band-key counts (dedup.band_flood_frac) detects that
+    regime — over-cap bucket mass 0.0 at sf0.01/0.1 vs ~0.12 at sf10 —
+    and recuts the SAME cached 16 signatures to the wider-rows 4x4
+    fallback, whose longer keys restore discrimination. The oracle
+    replays plan probe, decision rule, and both cuts in SQL, so the
+    hash gate certifies the CHOICE, not one baked-in plan."""
     docs = load(spark, sf_dir, "documents")
-    b, r = D.lsh_band_plan(Q204_THRESHOLD)
     src = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # cache the recut band table: it feeds the bucket-frequency scan and
-    # both sides of the candidate self-join — uncached, the 16-signature
-    # minhash pipeline would re-execute per reference (released below via
-    # release_caches, q24's hygiene)
-    bands = D._cached(D.minhash_bands_param(src, b, r))
+    # cache the signature table: the density probe reads the ideal
+    # plan's cut, a fallback recuts it, and the chosen band table feeds
+    # the bucket-frequency scan plus both sides of the candidate
+    # self-join — uncached, the 16-signature minhash pipeline would
+    # re-execute per reference (released below via release_caches)
+    sig = D._cached(D.minhash_table(src))
+    _b, _r, cap, _frac, bands = D.lsh_band_plan_adaptive(sig, Q204_THRESHOLD)
     pairs = D.minhash_lsh_pairs(
         docs,
         threshold=Q204_THRESHOLD,
-        bands=bands,
-        max_bucket_size=_q204_cap(),
+        bands=D._cached(bands),
+        max_bucket_size=cap,
     )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     result = materialize(out)

@@ -393,6 +393,45 @@ def test_lsh_band_plan_midpoints(spark):
     assert base == param
 
 
+def test_lsh_band_plan_adaptive_flood_fallback(spark):
+    """The density probe keeps the S-curve-ideal plan on a healthy
+    corpus and falls back one step to wider rows on a degenerate one
+    (every doc identical -> every 8x2 band key is one over-cap bucket)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.dedup import (
+        _cached,
+        band_flood_frac,
+        bands_from_sig,
+        compensated_cap,
+        lsh_band_plan_adaptive,
+        minhash_table,
+        release_caches,
+    )
+
+    try:
+        cap8 = compensated_cap(8)
+        healthy = spark.createDataFrame(
+            [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e") for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        sig_h = _cached(minhash_table(healthy))
+        assert band_flood_frac(bands_from_sig(sig_h, 8, 2), cap8) == 0.0
+        assert lsh_band_plan_adaptive(sig_h, 0.35)[:3] == (8, 2, cap8)
+
+        degen = spark.createDataFrame(
+            [(i, "same text every single document carries here") for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        sig_d = _cached(minhash_table(degen))
+        assert band_flood_frac(bands_from_sig(sig_d, 8, 2), cap8) == 1.0
+        b, r, cap, frac, bands_df = lsh_band_plan_adaptive(sig_d, 0.35)
+        assert (b, r, cap) == (4, 4, compensated_cap(4))
+        assert frac == 1.0
+        # the returned band table is the FALLBACK plan's cut
+        assert bands_df.select("band").distinct().count() == 4
+    finally:
+        release_caches()
+
+
 def test_incremental_cc_equals_full_recompute(spark):
     """q205's star theorem: CC(star(old assignment) ∪ new pairs) must
     equal CC(all pairs) — incremental cluster maintenance never diverges
