@@ -699,6 +699,12 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_dir=f"{work}/corpus",
             checkpoint_dir=f"{work}/ckpt",
             threshold=INGEST_THRESHOLD,
+            # one-file micro-batches: size the drain's shuffles to the
+            # bounded batch, not the full-corpus session width (the
+            # cluster-scale form of this is adaptive=True + AQE coalesce)
+            shuffle_partitions=max(
+                8, spark.sparkContext.defaultParallelism // 4
+            ),
         )
         final = spark.read.parquet(f"{work}/corpus").select(
             "doc_id", F.col("batch").cast("int").alias("batch")
