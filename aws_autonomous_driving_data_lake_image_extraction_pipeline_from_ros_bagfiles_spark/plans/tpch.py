@@ -450,11 +450,23 @@ def q213_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q214_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 45))
+    )
+    # pair dedup below a broadcast semi-join on the filtered part keys —
+    # same pair set (p_partkey unique), but the distinct shuffles only
+    # the qualifying parts' pairs instead of the whole fact table
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("__pk"))),
+            F.col("l_partkey") == F.col("__pk"),
+            "left_semi",
+        )
+        .distinct()
     )
     bad = F.broadcast(
         load(spark, sf_dir, "supplier")
@@ -651,8 +663,15 @@ def q218_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     li = load(spark, sf_dir, "lineitem")
+    # one explicit shuffle on l_orderkey serves the whole stack: hash
+    # partitioning by orderkey alone satisfies the composite-key
+    # aggregate's clustered distribution AND both window partitions, so
+    # the planner inserts no further exchange (left to groupBy, Spark
+    # would shuffle on (orderkey, suppkey) and then AGAIN on orderkey
+    # for the windows — plan-verified two exchanges vs one)
     per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("s_max"))
     )
@@ -768,9 +787,24 @@ def q219_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q220_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    # reconstruct partsupp ONLY for the surviving parts: the broadcast
+    # semi-join runs below the distinct, so the pair dedup shuffles the
+    # selective subset instead of every (partkey, suppkey) in the fact
+    # table (Catalyst won't push a join through an Aggregate on its own;
+    # at 100 TB the unfiltered distinct is the whole query's bill).
+    # Same pair set as distinct-then-join: p_partkey is unique in part.
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
     )
     sup = load(spark, sf_dir, "supplier")
     nat = F.broadcast(load(spark, sf_dir, "nation"))
