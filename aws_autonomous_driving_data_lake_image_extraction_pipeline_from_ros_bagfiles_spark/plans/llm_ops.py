@@ -125,6 +125,53 @@ def _band_selects_sql(bands: int, rows: int) -> str:
     )
 
 
+def _sig_ctes_sql() -> str:
+    """``based`` + ``sigs`` CTEs over ``shl`` — the shared signature
+    prefix of :func:`minhash_pair_ctes` and
+    :func:`minhash_pair_ctes_adaptive` (the q57/q65 variants
+    parameterize their CTE names and keep their own copies).
+
+    ``WHERE len(hs) > 0`` mirrors the Spark side's explode
+    (dedup.minhash_table): a doc with no shingles (<3 tokens) produces
+    no (id, hash) rows there, so it never reaches the signature, band,
+    or flood-probe tables. Without the filter, DuckDB would emit an
+    all-NULL signature row per such doc (list_min([]) is NULL), whose
+    NULL band keys can never JOIN (so candidates agree) but DO land in
+    the adaptive flood probe's per-band NULL bucket — on a corpus with
+    many empty/short docs the two probes would disagree on the plan
+    choice and break the q204 hash gate."""
+    p = D.MERSENNE_P
+    return f"""based AS (SELECT doc_id,
+                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
+              FROM shl),
+    sigs AS (SELECT doc_id,
+                   {_sig_cols_sql()}
+             FROM based
+             WHERE len(hs) > 0)"""
+
+
+def _verify_tail_sql(threshold: float) -> str:
+    """``inter`` + ``mh_pairs`` CTEs — the exact-Jaccard verify over a
+    ``cand(id_a, id_b)`` CTE, shared by the plain and adaptive pair
+    pipelines. ``jaccard`` is the UNROUNDED exact ratio; consumers
+    round for display."""
+    return f"""inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN shx a ON a.doc_id = c.id_a
+        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    mh_pairs AS (
+        SELECT i.id_a, i.id_b,
+               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {threshold}
+    )"""
+
+
 def minhash_pair_ctes(
     threshold: float,
     bands: int | None = None,
@@ -157,8 +204,6 @@ def minhash_pair_ctes(
         raise ValueError(
             f"bands*rows must be {D.NUM_HASHES}, got {bands}x{rows}"
         )
-    p = D.MERSENNE_P
-    sig_cols = _sig_cols_sql()
     band_selects = _band_selects_sql(bands, rows)
     if max_bucket is None:
         # NOTE: this exact cand text is the splice target of
@@ -178,31 +223,12 @@ def minhash_pair_ctes(
         WHERE a.doc_id < b.doc_id
     ),"""
     return f"""{_SHINGLE_CTES},
-    based AS (SELECT doc_id,
-                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
-              FROM shl),
-    sigs AS (SELECT doc_id,
-                   {sig_cols}
-             FROM based),
+    {_sig_ctes_sql()},
     bands AS (
         {band_selects}
     ),
     {cand_ctes}
-    inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS c
-        FROM cand c
-        JOIN shx a ON a.doc_id = c.id_a
-        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        GROUP BY 1, 2
-    ),
-    mh_pairs AS (
-        SELECT i.id_a, i.id_b,
-               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.id_a = sa.doc_id
-        JOIN sizes sb ON i.id_b = sb.doc_id
-        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {threshold}
-    )"""
+    {_verify_tail_sql(threshold)}"""
 
 
 def _minhash_oracle() -> str:
@@ -1591,14 +1617,8 @@ def minhash_pair_ctes_adaptive(threshold: float) -> str:
         )
     b2, r2 = b1 // 2, r1 * 2
     cap1, cap2 = D.compensated_cap(b1), D.compensated_cap(b2)
-    p = D.MERSENNE_P
     return f"""{_SHINGLE_CTES},
-    based AS (SELECT doc_id,
-                     list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p}) AS hs
-              FROM shl),
-    sigs AS (SELECT doc_id,
-                   {_sig_cols_sql()}
-             FROM based),
+    {_sig_ctes_sql()},
     bands1 AS (
         {_band_selects_sql(b1, r1)}
     ),
@@ -1631,21 +1651,7 @@ def minhash_pair_ctes_adaptive(threshold: float) -> str:
         UNION ALL
         SELECT id_a, id_b FROM cand2 WHERE (SELECT f FROM flood)
     ),
-    inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS c
-        FROM cand c
-        JOIN shx a ON a.doc_id = c.id_a
-        JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        GROUP BY 1, 2
-    ),
-    mh_pairs AS (
-        SELECT i.id_a, i.id_b,
-               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.id_a = sa.doc_id
-        JOIN sizes sb ON i.id_b = sb.doc_id
-        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {threshold}
-    )"""
+    {_verify_tail_sql(threshold)}"""
 
 
 def _q204_oracle() -> str:

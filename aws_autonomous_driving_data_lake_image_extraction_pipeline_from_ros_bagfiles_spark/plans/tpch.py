@@ -234,8 +234,10 @@ def q209_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q210 — TPC-H Q10 (returned item reporting): top 20 customers by lost
 # revenue (returnflag='R') in a quarter. LIMIT with a DETERMINISTIC
 # tie-break (revenue DESC, custkey ASC) so the Spark and DuckDB top-20
-# sets are identical even on revenue ties; the sort happens on the
-# UNROUNDED revenue, rounding is display-only. Spark plan:
+# sets are identical even on revenue ties; the sort key is the
+# CENT-ROUNDED revenue so the custkey tie-break also governs whenever
+# cross-engine summation-order noise lands within half a cent at the
+# rank-20 boundary (ADVICE r6). Spark plan:
 # TakeOrderedAndProject — the top-20 is computed per-partition then
 # merged on the driver, never a full sort at scale.
 # --------------------------------------------------------------------------
@@ -379,9 +381,11 @@ def q212_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q213 — TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
 # the max-revenue supplier(s). The max is a one-row aggregate of the
 # SAME revenue frame — broadcast back as a scalar join (Spark reuses the
-# shuffle output of `rev` for both consumers). Equality on the
-# unrounded sum is safe because both comparands come from the same
-# engine's aggregation; rounding is display-only.
+# shuffle output of `rev` for both consumers). The equality compares
+# CENT-ROUNDED sums on both sides: ReuseExchange dedups the shuffle
+# WRITE, but each consumer re-runs the reduce-side double sum in its
+# own fetch order, so exact equality on the raw doubles is
+# flaky-by-construction on a real cluster (ADVICE r6).
 # --------------------------------------------------------------------------
 @register(
     "q213_tpch_q15",

@@ -109,15 +109,30 @@ def dedup_batch_against_corpus(
     )
     wide = _cached(minhash_band_cols(hashed))
     blong = bands_long(wide)
-    la = blong.select(F.col("doc_id").alias("id_a"), "band", "band_key")
-    lb = blong.select(F.col("doc_id").alias("id_b"), "band", "band_key")
-    # intra-batch candidates: keep-min drops the larger id
+
+    # Verify keys parity-tag the sides: batch ids map to 2*id, corpus
+    # ids to 2*id+1, making the combined verify's key space disjoint BY
+    # CONSTRUCTION — a source that re-emits a corpus doc_id with edited
+    # text must still near-dup-check by CONTENT. Without the tag, that
+    # same-id cross pair would normalize to (id, id) and be silently
+    # discarded by the verify's id_a < id_b convention, and the unioned
+    # verify table would merge both texts' shingles under one id,
+    # deflating jaccard for every pair touching it. Doubling preserves
+    # per-side ordering, so the intra-batch keep-min convention
+    # survives the remap. (Assumes |doc_id| < 2^62.)
+    la = blong.select(F.col("doc_id").alias("raw_a"), "band", "band_key")
+    lb = blong.select(F.col("doc_id").alias("raw_b"), "band", "band_key")
+    # intra-batch candidates: keep-min dooms the larger id
     cand = (
         la.join(lb, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.col("id_b").alias("doomed"))
+        .filter(F.col("raw_a") < F.col("raw_b"))
+        .select(
+            (F.col("raw_a") * 2).alias("id_a"),
+            (F.col("raw_b") * 2).alias("id_b"),
+            F.col("raw_b").alias("doomed"),
+        )
     )
-    verify_docs = batch.select("doc_id", "text")
+    verify_docs = batch.select((F.col("doc_id") * 2).alias("doc_id"), "text")
 
     if has_corpus:
         if all(f"bk{b}" in corpus.columns for b in range(BANDS)):
@@ -128,21 +143,22 @@ def dedup_batch_against_corpus(
                     spark.sparkContext.defaultParallelism
                 )
             )
-        rb = rlong.select(F.col("doc_id").alias("id_b"), "band", "band_key")
-        # cross candidates: the BATCH side is doomed; normalize the pair
-        # to (lo, hi) so the shared verify's id_a < id_b convention holds
-        # (batch and corpus ids are disjoint, so order carries no meaning)
+        rb = rlong.select(F.col("doc_id").alias("raw_b"), "band", "band_key")
+        # cross candidates: the BATCH side is doomed; normalize the
+        # tagged keys to (lo, hi) for the shared verify's id_a < id_b
+        # convention (tagged keys never tie, even on id collision)
         cross = (
             la.join(rb, ["band", "band_key"])
             .select(
-                F.least("id_a", "id_b").alias("lo"),
-                F.greatest("id_a", "id_b").alias("hi"),
-                F.col("id_a").alias("doomed"),
+                F.least(F.col("raw_a") * 2, F.col("raw_b") * 2 + 1).alias("id_a"),
+                F.greatest(F.col("raw_a") * 2, F.col("raw_b") * 2 + 1).alias("id_b"),
+                F.col("raw_a").alias("doomed"),
             )
-            .select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b"), "doomed")
         )
         cand = cand.unionAll(cross)
-        verify_docs = verify_docs.unionAll(corpus.select("doc_id", "text"))
+        verify_docs = verify_docs.unionAll(
+            corpus.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+        )
 
     # cand is read twice (verify pair set, doomed lookup); duplicates are
     # deduped once in the verify projection — no pre-distinct shuffle

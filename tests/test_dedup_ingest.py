@@ -70,6 +70,47 @@ def test_streaming_dedup_ingest(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_reemitted_doc_id_checked_by_content(spark):
+    """A source that re-emits a CORPUS doc_id in a later batch must still
+    be near-dup-checked by content (the verify keys parity-tag the
+    sides): the edited near-dup is dropped, a same-id genuinely-new text
+    is admitted, and the collision must not corrupt jaccard for other
+    candidates sharing the batch."""
+    work = tempfile.mkdtemp(prefix="t_collide_")
+    try:
+        corpus_dir = f"{work}/corpus"
+        b0 = spark.createDataFrame(
+            [(42, BASE), (43, "cc dd ee ff gg hh ii jj kk ll")],
+            "doc_id bigint, text string",
+        )
+        # batch 1: id 42 re-emitted with near-dup text (must drop);
+        # id 43 re-emitted with unrelated novel text (must admit);
+        # id 60 near-dup of corpus 43 (must drop — its jaccard would be
+        # deflated if 43's two texts merged under one verify key)
+        b1 = spark.createDataFrame(
+            [
+                (42, BASE.replace("kappa", "lambda")),
+                (43, "one two three four five six seven eight nine ten"),
+                (60, "c0 dd ee ff gg hh ii jj kk ll"),
+            ],
+            "doc_id bigint, text string",
+        )
+
+        def deliver(batch_df, batch_id):
+            corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
+            novel = dedup_batch_against_corpus(batch_df, corpus, 0.5)
+            novel.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+
+        deliver(b0, 0)
+        deliver(b1, 1)
+        survivors = sorted(
+            (r.doc_id, r.text[:2]) for r in read_corpus(spark, corpus_dir).collect()
+        )
+        assert survivors == [(42, "al"), (43, "cc"), (43, "on")]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_replayed_batch_is_idempotent(spark):
     """At-least-once: re-running a batch with the same batch_id (crash
     between output write and checkpoint commit) must neither duplicate its

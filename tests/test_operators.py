@@ -432,6 +432,61 @@ def test_lsh_band_plan_adaptive_flood_fallback(spark):
         release_caches()
 
 
+def test_q204_flood_probe_parity_with_subshingle_docs(spark, tmp_path):
+    """Spark's flood probe never sees sub-shingle (<3-token) docs —
+    minhash_table's explode drops them — so the DuckDB oracle must drop
+    them too. Before the r7 sigs filter, each such doc contributed an
+    all-NULL signature row whose NULL band keys pooled into one over-cap
+    bucket per band: on this corpus (40% short docs) the oracle's probe
+    would fire flood and pick 4x4 while Spark kept 8x2."""
+    import duckdb
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.dedup import (
+        FLOOD_FRAC,
+        lsh_band_plan_adaptive,
+        minhash_table,
+        release_caches,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.llm_ops import (
+        Q204_THRESHOLD,
+        minhash_pair_ctes_adaptive,
+        q204_threshold_tuned_lsh,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"alpha{i} beta{i} gamma{i} delta{i}"} for i in range(60)
+    ] + [{"doc_id": 100 + i, "text": f"x{i}"} for i in range(40)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    try:
+        sig = minhash_table(spark.read.parquet(str(tmp_path / "documents.parquet")))
+        b, r, _cap, frac, _bands = lsh_band_plan_adaptive(sig, Q204_THRESHOLD)
+        assert frac <= FLOOD_FRAC and (b, r) == (8, 2)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        ctes = minhash_pair_ctes_adaptive(Q204_THRESHOLD)
+        flooded = con.execute(f"WITH {ctes} SELECT f FROM flood").fetchone()[0]
+        assert bool(flooded) == (frac > FLOOD_FRAC)
+
+        sp = {
+            (x.id_a, x.id_b, x.jaccard)
+            for x in q204_threshold_tuned_lsh(spark, str(tmp_path)).collect()
+        }
+        du = {
+            (a, c, round(j, 6))
+            for a, c, j in con.execute(
+                f"WITH {ctes} SELECT id_a, id_b, round(jaccard, 6) FROM mh_pairs"
+            ).fetchall()
+        }
+        assert sp == du
+    finally:
+        release_caches()
+
+
 def test_incremental_cc_equals_full_recompute(spark):
     """q205's star theorem: CC(star(old assignment) ∪ new pairs) must
     equal CC(all pairs) — incremental cluster maintenance never diverges

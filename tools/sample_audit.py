@@ -35,12 +35,17 @@ def covered_queries() -> dict[str, str]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            ok = rec.get("err") is None and (
-                rec.get("hash_match")
-                or (rec.get("hash_match") is None and rec.get("rows_match") is not False)
-                or rec.get("spark_rows", 0) >= 0  # no_oracle rows-only row
+            # Green = oracled hash-match, or the driver's declared
+            # rows-only row (err == "no_oracle" with a recorded count).
+            # Anything else — hash_match false, rows_match false, a real
+            # err string — is NOT evidence.
+            oracled_pass = rec.get("err") is None and rec.get("hash_match") is True
+            rows_only = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+                and rec.get("spark_rows") >= 0
             )
-            if ok and rec.get("err") is None:
+            if oracled_pass or rows_only:
                 green[name] = os.path.basename(path)
     # local full sweeps: {"results": {name: {"status": PASS|ROWS|FAIL}}}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_local_r*.json"))):
