@@ -7,18 +7,25 @@ comparison level matching the driver's spirit: exact string equality after
 canonicalization).
 
 Usage: python tools/check_correctness.py [query ...]
+
+``SPARK_GRAFT_CHECK_SF_DIR`` overrides the data directory (default
+``/root/testdata/sf0.01`` — the driver gate's SF), e.g. sf0.1 for a
+correctness-at-scale sweep: the registry queries and their oracles are
+SF-agnostic by contract (both sides read whatever the table views hold),
+so the same hash compare must stay green at any SF.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
