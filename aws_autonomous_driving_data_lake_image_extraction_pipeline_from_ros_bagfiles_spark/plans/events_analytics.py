@@ -249,11 +249,11 @@ def q86_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
 
+    from ..streaming.staging import stage_single_parquet
     from ..streaming.stream_join import stream_stream_click_view_join
 
     events = load(spark, sf_dir, "events").select(
@@ -263,11 +263,7 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        stage = f"{work}/ev.stage"
-        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-        events.coalesce(1).write.mode("overwrite").parquet(stage)
-        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
-        shutil.rmtree(stage, ignore_errors=True)
+        stage_single_parquet(events, f"{src}/ev.parquet")
         stream_stream_click_view_join(
             spark,
             src,
@@ -297,12 +293,12 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
     import time
 
+    from ..streaming.staging import stage_single_parquet
     from ..streaming.windows import dedup_within_watermark
 
     events = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -310,15 +306,13 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        stage = f"{work}/ev.stage"
-        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-        events.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
         now = int(time.time())
-        for i in range(2):  # same payload delivered twice
-            shutil.copy(part, f"{src}/delivery{i}.parquet")
-            os.utime(f"{src}/delivery{i}.parquet", (now - 30 + i * 10,) * 2)
-        shutil.rmtree(stage, ignore_errors=True)
+        first = stage_single_parquet(
+            events, f"{src}/delivery0.parquet", mtime=now - 30
+        )
+        # same payload delivered twice (the at-least-once redelivery case)
+        shutil.copy(first, f"{src}/delivery1.parquet")
+        os.utime(f"{src}/delivery1.parquet", (now - 20,) * 2)
         dedup_within_watermark(
             spark,
             src,
@@ -477,10 +471,11 @@ def q97_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
+
+    from ..streaming.staging import stage_single_parquet
 
     events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -493,11 +488,7 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        stage = f"{work}/ev.stage"
-        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-        events.coalesce(1).write.mode("overwrite").parquet(stage)
-        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
-        shutil.rmtree(stage, ignore_errors=True)
+        stage_single_parquet(events, f"{src}/ev.parquet")
         enriched = (
             spark.readStream.schema(events.schema)
             .parquet(src)
@@ -540,12 +531,12 @@ def q100_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
 
     from ..sources.manifest_sink import read_committed, register_manifest_sink
+    from ..streaming.staging import stage_single_parquet
 
     register_manifest_sink(spark)
     events = load(spark, sf_dir, "events").select(
@@ -555,11 +546,7 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        stage = f"{work}/ev.stage"
-        # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-        events.coalesce(1).write.mode("overwrite").parquet(stage)
-        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/ev.parquet")
-        shutil.rmtree(stage, ignore_errors=True)
+        stage_single_parquet(events, f"{src}/ev.parquet")
         sink = f"{work}/sink"
         q = (
             spark.readStream.schema(events.schema)
@@ -1543,7 +1530,7 @@ def q182_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH anchor AS (SELECT max(ts) AS t1 FROM events),
     per_user AS (
       SELECT user_id,
-             CAST(floor(epoch(anchor.t1 - max(ts)) / 86400) AS BIGINT)
+             CAST(epoch_us(anchor.t1 - max(ts)) // 86400000000 AS BIGINT)
                  AS recency_days,
              count(*) AS frequency,
              round(sum(value), 2) AS monetary
@@ -1573,9 +1560,15 @@ def q196_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .groupBy("user_id", "t1")
         .agg(
-            F.floor(
-                (F.unix_timestamp(F.first("t1")) - F.unix_timestamp(F.max("ts")))
-                / 86400
+            # microsecond-exact integer day arithmetic on BOTH engines:
+            # unix_timestamp truncates to whole seconds while DuckDB's
+            # epoch(interval) is fractional, so a user whose last purchase
+            # straddles a day boundary by sub-second could land in a
+            # different recency quintile per engine. diff >= 0 (anchor is
+            # the global max), so `div` truncation == floor division.
+            F.expr(
+                "(unix_micros(first(t1)) - unix_micros(max(ts)))"
+                " div 86400000000"
             )
             .cast("bigint")
             .alias("recency_days"),

@@ -36,9 +36,15 @@ def q51_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         x = pdf["x"].astype("float64")
-        z = (x - x.mean()) / x.std(ddof=1)
-        return pd.DataFrame({"vec_id": pdf["vec_id"], "label": pdf["label"], "z": z.round(4)})
+        z = ((x - x.mean()) / x.std(ddof=1)).round(4)
+        # singleton group (std undefined) or zero variance (0/0): pandas
+        # yields NaN/inf where SQL stddev_samp / division yields NULL —
+        # mask to null (nullable Float64 -> Arrow null) for parity
+        z = z.astype("Float64").mask(~np.isfinite(z.to_numpy(dtype="float64", na_value=float("nan"))))
+        return pd.DataFrame({"vec_id": pdf["vec_id"], "label": pdf["label"], "z": z})
 
     return emb.groupBy("label").applyInPandas(zscore, schema="vec_id bigint, label int, z double")
 
@@ -64,12 +70,16 @@ def q51_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_agg
 
-    events = load(spark, sf_dir, "events")
+    # the oracle counts ROWS (count(*)); salted_agg's "count" is SQL
+    # count(col) — skip-nulls — so count a never-null literal, not the
+    # nullable value column (latent divergence the day a fixture carries
+    # a NULL value; see salted_agg's docstring contract)
+    events = load(spark, sf_dir, "events").withColumn("__one", F.lit(1))
     out = salted_agg(
         events,
         keys=["event_type"],
         aggs={
-            "n_events": ("count", "value"),
+            "n_events": ("count", "__one"),
             "max_value": ("max", "value"),
             "sum_value": ("sum", "value"),
         },
@@ -578,7 +588,13 @@ Q133_OVERLAP = 10
 def q133_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id bigint, n_tokens bigint, first_tok string, last_tok string")
+    # useArrow on the decorator, NOT spark.conf.set(...pythonUDTF.arrow...):
+    # the conf form leaked session-wide (never restored) into the other
+    # 220 registry queries sharing the SparkSession
+    @udtf(
+        returnType="chunk_id bigint, n_tokens bigint, first_tok string, last_tok string",
+        useArrow=True,
+    )
     class Chunker:
         def eval(self, text: str, width: int, overlap: int):
             toks = text.split(" ")
@@ -591,7 +607,6 @@ def q133_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield cid, len(w), w[0], w[-1]
                 cid += 1
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("rag_chunker", Chunker)
     load(spark, sf_dir, "documents").createOrReplaceTempView("q133_docs")
     return spark.sql(

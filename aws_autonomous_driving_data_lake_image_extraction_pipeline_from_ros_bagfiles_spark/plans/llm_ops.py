@@ -695,13 +695,13 @@ def _ingest_oracle() -> str:
 
 @register("q65_dedup_ingest", oracle=_ingest_oracle())
 def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
     import time
 
     from ..streaming.dedup_ingest import run_dedup_ingest
+    from ..streaming.staging import stage_single_parquet
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="dedup_ingest_")
@@ -711,13 +711,8 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         now = int(time.time())
         for i in range(_INGEST_BATCHES):
             part = docs.filter(F.col("doc_id") % _INGEST_BATCHES == i)
-            stage = f"{work}/b{i}.stage"
-            # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            dst = f"{src}/b{i}.parquet"
-            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(dst, (now - 60 + i * 10, now - 60 + i * 10))  # mtime = arrival order
+            # mtime = arrival order
+            stage_single_parquet(part, f"{src}/b{i}.parquet", mtime=now - 60 + i * 10)
         run_dedup_ingest(
             spark,
             src,

@@ -325,9 +325,9 @@ def q41_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import glob
     import os
 
+    from ..streaming.staging import stage_single_parquet
     from ..streaming.windows import watermarked_window_counts
 
     events = load(spark, sf_dir, "events").select("ts", "event_type")
@@ -357,13 +357,8 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         now = int(__import__("time").time())
 
         def land(i: int, name: str, df: DataFrame) -> None:
-            stage = f"{work}/{name}.stage"
-            # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            dst = f"{src}/{name}.parquet"
-            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-            shutil.rmtree(stage, ignore_errors=True)
-            os.utime(dst, (now - 30 + i * 10, now - 30 + i * 10))  # mtime = batch order
+            # mtime = batch order
+            stage_single_parquet(df, f"{src}/{name}.parquet", mtime=now - 30 + i * 10)
 
         def drain() -> None:
             watermarked_window_counts(

@@ -165,12 +165,12 @@ Q156_ALPHA = 0.3
     """,
 )
 def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
 
     from ..streaming.ema_state import ema_stream
+    from ..streaming.staging import stage_single_parquet
 
     events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -185,13 +185,7 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, cond in enumerate(
             [F.to_date("ts") < "2023-01-16", F.to_date("ts") >= "2023-01-16"]
         ):
-            stage = f"{work}/b{i}.stage"
-            # demo fixture staging (coalesce(1) of a tiny sf slice into a temp landing dir); not the production write path
-            events.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
-            shutil.move(
-                glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b{i}.parquet"
-            )
-            shutil.rmtree(stage, ignore_errors=True)
+            stage_single_parquet(events.filter(cond), f"{src}/b{i}.parquet")
         ema_stream(
             spark,
             src,

@@ -905,10 +905,17 @@ Q162_NEGS = 3
 Q162_POSTING_CAP = 128
 
 
-@register(
-    "q162_hard_negatives",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _bm25_scored_ctes() -> str:
+    """Shared oracle CTE prefix for the q162/q195 retrieval core.
+
+    Ends with ``scored(qid, doc_id, bm25)`` — bm25 rounded to 6 on BOTH
+    engines before any ordering. One source of truth so a one-sided edit
+    of the retrieval contract (term selection, posting cap, BM25 form)
+    is structurally impossible (the same discipline as llm_ops'
+    _sig_ctes_sql).
+    """
+    return f"""d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
     corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
     tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
     dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
@@ -941,31 +948,29 @@ Q162_POSTING_CAP = 128
     ),
     scored AS (
       SELECT q.qid, tf.doc_id,
-             sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-                 * tf.tf * (1.2 + 1)
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / corpus.avgdl)))
-                 AS raw
+             round(sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * tf.tf * ({Q80_K1} + 1)
+                 / (tf.tf + {Q80_K1} * (1 - {Q80_B}
+                    + {Q80_B} * tf.dl / corpus.avgdl))), 6) AS bm25
       FROM qterms q
       JOIN tf ON q.t = tf.t
       JOIN dft ON q.t = dft.t
       CROSS JOIN corpus
       WHERE tf.doc_id <> q.qid
       GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT qid, doc_id, round(raw, 6) AS bm25,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY round(raw, 6) DESC, doc_id) AS rk
-      FROM scored
-    )
-    SELECT qid, CAST(rk AS INT) AS neg_rank, doc_id AS neg_doc_id, bm25
-    FROM ranked WHERE rk <= {Q162_NEGS}
-    """,
-)
-def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
+    )"""
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """Shared q162/q195 retrieval core (Spark twin of _bm25_scored_ctes).
+
+    Every {Q162_EVERY}th document becomes a query (its {Q162_NTERMS}
+    rarest distinct tokens of length >= {Q162_MINLEN}, ascending global
+    df with term tie-break); candidates come from impact-ordered posting
+    lists truncated at {Q162_POSTING_CAP}. Returns (qid, doc_id, bm25)
+    with bm25 rounded to 6. Scale guards documented at q162's header.
+    """
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
     corpus = d.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
     )
@@ -1019,7 +1024,7 @@ def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         F.broadcast(qterms)
         .join(tf, "t")
         .filter(F.col("doc_id") != F.col("qid"))
@@ -1028,6 +1033,24 @@ def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+
+
+@register(
+    "q162_hard_negatives",
+    oracle=f"""
+    WITH {_bm25_scored_ctes()},
+    ranked AS (
+      SELECT qid, doc_id, bm25,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT qid, CAST(rk AS INT) AS neg_rank, doc_id AS neg_doc_id, bm25
+    FROM ranked WHERE rk <= {Q162_NEGS}
+    """,
+)
+def q162_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(load(spark, sf_dir, "documents"))
     rk = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.select(
@@ -1147,51 +1170,7 @@ Q195_K = 10
 @register(
     "q195_ndcg_eval",
     oracle=f"""
-    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
-               FROM documents),
-    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
-    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
-    dfall AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok
-              WHERE length(t) >= {Q162_MINLEN} GROUP BY 1),
-    qcand AS (
-      SELECT doc_id AS qid, unnest(list_distinct(
-                 list_filter(w, t -> length(t) >= {Q162_MINLEN}))) AS t
-      FROM d WHERE doc_id % {Q162_EVERY} = 0
-    ),
-    qterms AS (
-      SELECT qid, t FROM (
-        SELECT c.qid, c.t,
-               row_number() OVER (PARTITION BY c.qid
-                                  ORDER BY dfall.df, c.t) AS rn
-        FROM qcand c JOIN dfall USING (t))
-      WHERE rn <= {Q162_NTERMS}
-    ),
-    qtok AS (SELECT DISTINCT t FROM qterms),
-    rtok AS (SELECT tok.* FROM tok JOIN qtok USING (t)),
-    dft AS (SELECT t, df FROM dfall JOIN qtok USING (t)),
-    tfall AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
-              FROM rtok GROUP BY 1, 2),
-    tf AS (
-      SELECT doc_id, t, tf, dl FROM (
-        SELECT doc_id, t, tf, dl,
-               row_number() OVER (PARTITION BY t
-                                  ORDER BY tf DESC, doc_id) AS prn
-        FROM tfall)
-      WHERE prn <= {Q162_POSTING_CAP}
-    ),
-    scored AS (
-      SELECT q.qid, tf.doc_id,
-             round(sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-                 * tf.tf * ({Q80_K1} + 1)
-                 / (tf.tf + {Q80_K1} * (1 - {Q80_B}
-                    + {Q80_B} * tf.dl / corpus.avgdl))), 6) AS bm25
-      FROM qterms q
-      JOIN tf ON q.t = tf.t
-      JOIN dft ON q.t = dft.t
-      CROSS JOIN corpus
-      WHERE tf.doc_id <> q.qid
-      GROUP BY 1, 2
-    ),
+    WITH {_bm25_scored_ctes()},
     rel AS (
       SELECT s.qid, s.doc_id, s.bm25,
              CAST(dq.source = dc.source AS INT) AS r
@@ -1229,69 +1208,7 @@ Q195_K = 10
 )
 def q195_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
-    corpus = d.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
-    )
-    tok = d.select(
-        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
-    )
-    dfall = (
-        tok.filter(F.length("t") >= Q162_MINLEN)
-        .select("doc_id", "t")
-        .distinct()
-        .groupBy("t")
-        .agg(F.count("*").alias("df"))
-    )
-    qcand = d.filter(F.col("doc_id") % Q162_EVERY == 0).select(
-        F.col("doc_id").alias("qid"),
-        F.explode(
-            F.array_distinct(
-                F.filter("w", lambda t: F.length(t) >= Q162_MINLEN)
-            )
-        ).alias("t"),
-    )
-    wq = Window.partitionBy("qid").orderBy("df", "t")
-    qterms = (
-        qcand.join(F.broadcast(dfall), "t")
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= Q162_NTERMS)
-        .select("qid", "t")
-    )
-    qtok = qterms.select("t").distinct()
-    rtok = tok.join(F.broadcast(qtok), "t")
-    dft = dfall.join(F.broadcast(qtok), "t").select("t", "df")
-    tfall = rtok.groupBy("doc_id", "t").agg(
-        F.count("*").alias("tf"), F.min("dl").alias("dl")
-    )
-    wp = Window.partitionBy("t").orderBy(F.desc("tf"), F.asc("doc_id"))
-    tf = (
-        tfall.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= Q162_POSTING_CAP)
-        .select("doc_id", "t", "tf", "dl")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    term_score = (
-        idf
-        * F.col("tf")
-        * (Q80_K1 + 1)
-        / (
-            F.col("tf")
-            + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scored = (
-        F.broadcast(qterms)
-        .join(tf, "t")
-        .filter(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(dft), "t")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
-    )
+    scored = _bm25_scored(docs)
     src = docs.select("doc_id", "source")
     rel = (
         scored.join(

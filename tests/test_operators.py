@@ -515,3 +515,35 @@ def test_incremental_cc_equals_full_recompute(spark):
     }
     assert inc == full
     assert len(full) > 0  # fixture has near-dups
+
+
+def test_q51_zscore_null_on_degenerate_groups(spark, tmp_path):
+    """Singleton and zero-variance label groups must yield NULL z (SQL
+    stddev_samp / 0-division semantics), not pandas NaN — the r7 review's
+    NaN-vs-NULL parity fix. The driver hash treats NULL and NaN
+    differently, so the first fixture generation with a degenerate group
+    would have broken the q51 gate without the mask."""
+    import math
+
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.grouped import (
+        q51_grouped_zscore,
+    )
+
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "embedding": [[1.0], [3.0], [5.0], [2.0], [2.0]],
+            "label": [1, 1, 2, 3, 3],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = q51_grouped_zscore(spark, str(tmp_path)).collect()
+    zs = {r["vec_id"]: r["z"] for r in rows}
+    # label 1 (two distinct values): finite +/- 1/sqrt(2) z-scores
+    assert zs[0] == -0.7071 and zs[1] == 0.7071
+    # label 2 (singleton, std undefined) and label 3 (zero variance, 0/0):
+    # NULL, never NaN
+    for vid in (2, 3, 4):
+        assert zs[vid] is None, f"vec {vid}: expected NULL, got {zs[vid]}"
+    assert not any(isinstance(z, float) and math.isnan(z) for z in zs.values())
