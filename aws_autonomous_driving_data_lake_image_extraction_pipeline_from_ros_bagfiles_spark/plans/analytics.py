@@ -375,7 +375,15 @@ def _q98_coeffs() -> list[list[int]]:
     ]
 
 
-def _q98_oracle() -> str:
+def _hyperplane_sigs_sql() -> str:
+    """Oracle fragment: per-vector hyperplane sign bits b0..b{P-1}.
+
+    Shared by q98 (the index) and q151 (its recall evaluation) — the
+    eval's contract is that it rebuilds these EXACT planes and bands, so
+    the fragments live here once rather than as hand-synchronized copies
+    (same discipline as llm_ops' _sig_ctes_sql and text_ir's
+    _bm25_scored_ctes). Keep in lockstep with _hyperplane_bands().
+    """
     coeffs = _q98_coeffs()
     projs = ", ".join(
         "CASE WHEN list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ([{c}]::DOUBLE[])[i])) >= 0 THEN 1 ELSE 0 END AS b{p}".format(
@@ -383,8 +391,13 @@ def _q98_oracle() -> str:
         )
         for p in range(Q98_PLANES)
     )
+    return f"SELECT vec_id, {projs} FROM embeddings"
+
+
+def _hyperplane_band_selects_sql() -> str:
+    """Oracle fragment: (vec_id, band, band_key) rows from the sigs CTE."""
     n_bands = Q98_PLANES // Q98_BAND_BITS
-    band_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT vec_id, {band} AS band, {key} AS band_key FROM sigs".format(
             band=b,
             key=" + ".join(
@@ -394,9 +407,53 @@ def _q98_oracle() -> str:
         )
         for b in range(n_bands)
     )
+
+
+def _hyperplane_bands(emb: DataFrame) -> DataFrame:
+    """Spark twin of the sigs/bands fragments: (vec_id, band, band_key)."""
+    from ..operators.similarity import dot
+
+    coeffs = _q98_coeffs()
+    bits = [
+        F.when(
+            dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
+            )
+            >= 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"b{p}")
+        for p in range(Q98_PLANES)
+    ]
+    sigs = emb.select("vec_id", *bits)
+    n_bands = Q98_PLANES // Q98_BAND_BITS
+    frames = [
+        sigs.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            sum(
+                (
+                    F.col(f"b{b * Q98_BAND_BITS + i}")
+                    * (1 << (Q98_BAND_BITS - 1 - i))
+                    for i in range(Q98_BAND_BITS)
+                ),
+                F.lit(0),
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = frames[0]
+    for bf in frames[1:]:
+        bands = bands.unionAll(bf)
+    return bands
+
+
+def _q98_oracle() -> str:
     return f"""
-    WITH sigs AS (SELECT vec_id, {projs} FROM embeddings),
-    bands AS ({band_selects}),
+    WITH sigs AS ({_hyperplane_sigs_sql()}),
+    bands AS ({_hyperplane_band_selects_sql()}),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -418,46 +475,12 @@ def _q98_oracle() -> str:
 def q98_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot, norm
 
-    coeffs = _q98_coeffs()
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    bits = [
-        F.when(
-            dot(
-                F.col("embedding"),
-                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
-            )
-            >= 0,
-            1,
-        )
-        .otherwise(0)
-        .alias(f"b{p}")
-        for p in range(Q98_PLANES)
-    ]
-    sigs = emb.select("vec_id", *bits)
-    n_bands = Q98_PLANES // Q98_BAND_BITS
-    band_frames = [
-        sigs.select(
-            "vec_id",
-            F.lit(b).alias("band"),
-            sum(
-                (
-                    F.col(f"b{b * Q98_BAND_BITS + i}")
-                    * (1 << (Q98_BAND_BITS - 1 - i))
-                    for i in range(Q98_BAND_BITS)
-                ),
-                F.lit(0),
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionAll(bf)
-    bands = bands.cache()
+    bands = _hyperplane_bands(emb).cache()
     cand = (
         bands.alias("a")
         .join(
@@ -746,32 +769,14 @@ assert Q151_NQ <= Q151_NQ_MAX, "q151 truth tier requires a bounded query sample"
 
 
 def _q151_oracle() -> str:
-    coeffs = _q98_coeffs()
-    projs = ", ".join(
-        "CASE WHEN list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ([{c}]::DOUBLE[])[i])) >= 0 THEN 1 ELSE 0 END AS b{p}".format(
-            c=", ".join(str(v) for v in coeffs[p]), p=p
-        )
-        for p in range(Q98_PLANES)
-    )
-    n_bands = Q98_PLANES // Q98_BAND_BITS
-    band_selects = " UNION ALL ".join(
-        "SELECT vec_id, {band} AS band, {key} AS band_key FROM sigs".format(
-            band=b,
-            key=" + ".join(
-                f"b{b * Q98_BAND_BITS + i} * {1 << (Q98_BAND_BITS - 1 - i)}"
-                for i in range(Q98_BAND_BITS)
-            ),
-        )
-        for b in range(n_bands)
-    )
     cos = (
         "round(list_sum(list_transform(eq.embedding::DOUBLE[], (x, i) -> x * (ec.embedding::DOUBLE[])[i]))"
         " / (sqrt(list_sum(list_transform(eq.embedding::DOUBLE[], x -> x * x)))"
         " * sqrt(list_sum(list_transform(ec.embedding::DOUBLE[], x -> x * x)))), 6)"
     )
     return f"""
-    WITH sigs AS (SELECT vec_id, {projs} FROM embeddings),
-    bands AS ({band_selects}),
+    WITH sigs AS ({_hyperplane_sigs_sql()}),
+    bands AS ({_hyperplane_band_selects_sql()}),
     q AS (SELECT vec_id FROM embeddings WHERE vec_id < {Q151_NQ}),
     truth AS (
       SELECT qid, cid FROM (
@@ -813,37 +818,8 @@ def q151_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import dot, norm
 
-    coeffs = _q98_coeffs()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bits = [
-        F.when(
-            dot(
-                F.col("embedding"),
-                F.array(*[F.lit(float(c)) for c in coeffs[p]]),
-            )
-            >= 0,
-            1,
-        )
-        .otherwise(0)
-        .alias(f"b{p}")
-        for p in range(Q98_PLANES)
-    ]
-    sigs = emb.select("vec_id", *bits)
-    n_bands = Q98_PLANES // Q98_BAND_BITS
-    bands = None
-    for b in range(n_bands):
-        key = sum(
-            (
-                F.col(f"b{b * Q98_BAND_BITS + i}")
-                * (1 << (Q98_BAND_BITS - 1 - i))
-                for i in range(Q98_BAND_BITS)
-            ),
-            F.lit(0),
-        )
-        frame = sigs.select(
-            "vec_id", F.lit(b).alias("band"), key.alias("band_key")
-        )
-        bands = frame if bands is None else bands.unionByName(frame)
+    bands = _hyperplane_bands(emb)
     qv = emb.filter(F.col("vec_id") < Q151_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
     )
@@ -1152,7 +1128,10 @@ def q202_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (norm(F.col("embedding")) * norm(F.col("qe"))),
         6,
     )
-    cand = (
+    # freeze the top-W retrieval once: qsims.collect() and BOTH alias
+    # sides of the pair crossJoin consume cand — without the barrier the
+    # full-corpus scan + TakeOrdered re-runs ~3x (r7 review)
+    cand = materialize(
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "embedding", sim_q.alias("qsim"))

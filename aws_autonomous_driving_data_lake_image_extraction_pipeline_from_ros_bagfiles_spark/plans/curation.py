@@ -687,7 +687,7 @@ def q148_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
     b AS (
-      SELECT CAST(floor(ln(n_tokens) / ln(2)) AS BIGINT) AS bucket,
+      SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
              count(*) AS n_docs, sum(n_tokens) AS tok
       FROM dl GROUP BY 1),
     tot AS (SELECT sum(n_docs) AS nd FROM b)
@@ -707,8 +707,14 @@ def q152_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select(
         F.size(F.split("text", " ")).alias("n_tokens")
     )
+    # integer-exact floor(log2): bit length of n_tokens. The float form
+    # floor(ln(n)/ln(2)) has no exactness guarantee at power-of-two counts
+    # (JVM Math.log and libm are different 1-ulp implementations), so a
+    # 512-token doc could land in bucket 8 on one engine and 9 on the
+    # other — the group KEY must never ride on a float boundary (the q177
+    # discipline).
     b = dl.groupBy(
-        F.floor(F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0)))
+        (F.length(F.bin("n_tokens")) - 1)
         .cast("bigint")
         .alias("bucket")
     ).agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok"))

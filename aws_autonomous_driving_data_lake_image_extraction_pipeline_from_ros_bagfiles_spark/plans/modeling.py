@@ -7,9 +7,11 @@ evaluation as DataFrame plans.
   and prices are scaled to integers, every X'X / X'y entry is an exact
   integer aggregate (order-independent, engine-independent), and the
   3x3 Cramer solve happens on those exact moments — so the fitted
-  coefficients value-hash across engines. This is "train the curation
-  model in the engine" without the float-summation nondeterminism that
-  forces most ML fits to rows-only checks.
+  coefficients value-hash across engines (within the decimal(38,0)
+  product budget — see the q185 header for the overflow bound and the
+  at-scale mitigations). This is "train the curation model in the
+  engine" without the float-summation nondeterminism that forces most
+  ML fits to rows-only checks.
 - q186 Kaplan-Meier survival over user lifetimes (signup -> first
   error, censored otherwise): the estimator is a cumulative product
   over ORDERED event times — both engines multiply in the same order,
@@ -29,11 +31,45 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
+
+
+def _arm():
+    """Deterministic experiment-arm assignment from the user_id md5.
+
+    This hash IS the experiment contract: q187's readout, q190's CUPED
+    adjustment and q191's quantile effects are only cross-comparable
+    because all three split users identically — which is why the
+    expression lives here once (a one-sided edit of an inlined copy
+    would silently break comparability while each query still passed
+    its own oracle). Keep in lockstep with ``_ARM_SQL``.
+    """
+    return F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+
+
+# DuckDB twin of _arm() — interpolated into the q187/q190/q191 oracles
+_ARM_SQL = """CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END"""
+
 
 # --------------------------------------------------------------------------
 # q185 — OLS: price_cents ~ b0 + b1*quantity + b2*discount_bp over
 # lineitem, via exact-decimal normal equations + Cramer's rule.
+#
+# Exactness budget: the Cramer products are three-factor moments, so the
+# largest term is ~n * sqp * sdd. decimal(38,0) holds ~1e38 — exact up
+# to roughly sf700 lineitem (~4e9 rows); DuckDB's HUGEINT (~1.7e38)
+# errors LOUDLY on overflow while Spark's non-ANSI decimal returns NULL
+# silently. Past that scale, run with spark.sql.ansi.enabled=true (loud
+# parity with the oracle) or center the regressors first — the moments
+# about the mean are ~n*var-sized, shrinking the products by ~(mean/sd)^2.
 # --------------------------------------------------------------------------
 _DEC = "decimal(38,0)"
 
@@ -156,7 +192,7 @@ def q185_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     life AS (
       SELECT user_id,
-             CAST(floor(epoch(coalesce(t_err, t_last) - t0) / 86400)
+             CAST(epoch_us(coalesce(t_err, t_last) - t0) // 86400000000
                   AS BIGINT) AS days,
              CAST(t_err IS NOT NULL AS INT) AS died
       FROM lt WHERE t0 IS NOT NULL
@@ -208,9 +244,14 @@ def q186_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("t_last"),
     )
     end = F.coalesce("t_err", "t_last")
+    # microsecond-exact day key (q196's discipline): unix_timestamp
+    # truncates to whole seconds while the oracle's interval epoch is
+    # exact, so a sub-second-straddling lifetime could land in different
+    # day buckets per engine. diff >= 0 (filter), so div == floor.
     life = lt.filter(F.col("t0").isNotNull() & (end >= F.col("t0"))).select(
-        F.floor(
-            (F.unix_timestamp(end) - F.unix_timestamp("t0")) / 86400
+        F.expr(
+            "(unix_micros(coalesce(t_err, t_last)) - unix_micros(t0))"
+            " div 86400000000"
         )
         .cast("bigint")
         .alias("days"),
@@ -267,11 +308,9 @@ def q186_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q187_ab_test",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
-      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
-                       AS BIGINT) % 2 = 0
-                  THEN 'control' ELSE 'treatment' END AS arm,
+      SELECT {_ARM_SQL} AS arm,
              value
       FROM events WHERE event_type = 'purchase'
     ),
@@ -301,15 +340,8 @@ def q186_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q187_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 2
-        == 0,
-        "control",
-    ).otherwise("treatment")
     assigned = ev.filter(F.col("event_type") == "purchase").select(
-        arm.alias("arm"), "value"
+        _arm().alias("arm"), "value"
     )
     stats = assigned.groupBy("arm").agg(
         F.count("*").alias("n"),
@@ -350,8 +382,10 @@ def q187_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qhat = the ceil((n+1)(1-alpha)) smallest calibration score; report the
 # guaranteed-coverage check on the held-out half. Both split levels are
 # md5 hash bits (replayable); the quantile picks an EXACT calibration
-# element via a rank window over the (bounded) calibration scores, so
-# the interval value-hashes.
+# element — via operators/selection.py's bounded-histogram k-th-smallest
+# (the calibration set is ~25% of the fact table, so a global rank
+# window would be a one-task sort at scale) — so the interval
+# value-hashes against the oracle's rank-window form.
 # --------------------------------------------------------------------------
 Q188_ALPHA = 0.1
 
@@ -424,14 +458,15 @@ def q188_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), "event_type")
         .select(F.abs(F.col("value") - F.col("mu")).alias("score"))
     )
+    from ..operators.selection import exact_kth_smallest
+
+    # freeze the calibration scores once — count(), the selection's stats/
+    # histogram passes and the bucket sort all consume them; without the
+    # barrier each action would recompute the split+broadcast-join lineage
+    cal = materialize(cal)
     n_cal = cal.count()
     rank = math.ceil((n_cal + 1) * (1 - Q188_ALPHA))
-    wr = Window.orderBy("score", "score")
-    qhat = (
-        cal.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == rank)
-        .select("score")
-    )
+    qhat = exact_kth_smallest(cal, "score", rank)
     test = (
         split.filter(F.col("half") == 1)
         .join(F.broadcast(model), "event_type")
@@ -583,9 +618,13 @@ def q189_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") == F.ceil(F.col("nb") * 0.975).cast("bigint")
     ).select(F.col("m").alias("ci_hi"))
     base = purch.agg(F.round(F.avg("value"), 4).alias("point"))
+    # left joins, not crossJoins: if no replicate survives the sum(k) > 0
+    # guard (degenerate all-zero draw), lo/hi are EMPTY and a cross join
+    # would return 0 rows — the oracle's scalar subqueries return one row
+    # with NULL CIs instead (r7 review)
     return (
-        base.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        base.join(F.broadcast(lo), F.lit(True), "left")
+        .join(F.broadcast(hi), F.lit(True), "left")
         .select(
             "point",
             "ci_lo",
@@ -612,9 +651,7 @@ Q190_SPLIT = "2024-01-16"
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,
-             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
-                      AS BIGINT) % 2 = 0
-                  THEN 'control' ELSE 'treatment' END AS arm,
+             {_ARM_SQL} AS arm,
              sum(CASE WHEN ts < TIMESTAMP '{Q190_SPLIT}'
                       AND event_type = 'purchase' THEN value ELSE 0 END)
                  AS pre,
@@ -646,13 +683,7 @@ Q190_SPLIT = "2024-01-16"
 )
 def q190_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 2
-        == 0,
-        "control",
-    ).otherwise("treatment")
+    arm = _arm()
     is_purch = F.col("event_type") == "purchase"
     pre_cut = F.col("ts") < F.lit(Q190_SPLIT).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
@@ -719,9 +750,7 @@ _Q191_QS = ", ".join(f"({q})" for q in Q191_QUANTILES)
     "q191_quantile_effects",
     oracle=f"""
     WITH assigned AS (
-      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
-                       AS BIGINT) % 2 = 0
-                  THEN 'control' ELSE 'treatment' END AS arm,
+      SELECT {_ARM_SQL} AS arm,
              value, event_id
       FROM events WHERE event_type = 'purchase'
     ),
@@ -750,15 +779,8 @@ _Q191_QS = ", ".join(f"({q})" for q in Q191_QUANTILES)
 )
 def q191_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 2
-        == 0,
-        "control",
-    ).otherwise("treatment")
     assigned = ev.filter(F.col("event_type") == "purchase").select(
-        arm.alias("arm"), "value", "event_id"
+        _arm().alias("arm"), "value", "event_id"
     )
     wr = Window.partitionBy("arm").orderBy("value", "event_id")
     wn = Window.partitionBy("arm")

@@ -547,3 +547,56 @@ def test_q51_zscore_null_on_degenerate_groups(spark, tmp_path):
     for vid in (2, 3, 4):
         assert zs[vid] is None, f"vec {vid}: expected NULL, got {zs[vid]}"
     assert not any(isinstance(z, float) and math.isnan(z) for z in zs.values())
+
+
+def test_exact_kth_smallest_matches_sorted_rank(spark):
+    """operators/selection.py: the bounded-histogram selection must return
+    exactly sorted(values)[k-1] for every k, including duplicate-heavy
+    multisets, and an empty frame out of range."""
+    import random
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.selection import (
+        exact_kth_smallest,
+    )
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-5, 5), 2) for _ in range(500)]
+    vals += [vals[3]] * 40 + [vals[7]] * 25  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    ordered = sorted(vals)
+    for k in (1, 2, 17, len(vals) // 2, len(vals) - 1, len(vals)):
+        got = exact_kth_smallest(df, "score", k, buckets=16).collect()
+        assert len(got) == 1 and got[0]["score"] == ordered[k - 1], k
+    assert exact_kth_smallest(df, "score", 0).count() == 0
+    assert exact_kth_smallest(df, "score", len(vals) + 1).count() == 0
+    # degenerate all-equal column short-circuits
+    const = spark.createDataFrame([(3.5,)] * 9, "score double")
+    assert exact_kth_smallest(const, "score", 5).collect()[0]["score"] == 3.5
+
+
+def test_q189_empty_replicates_keep_base_row(spark, tmp_path):
+    """q189's CI joins must be LEFT joins: with zero purchase events every
+    replicate dies on the sum(k) > 0 guard, lo/hi are empty, and the old
+    crossJoin returned 0 rows while the oracle's scalar subqueries return
+    one row with NULL CIs."""
+    import pandas as pd
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        q189_poisson_bootstrap,
+    )
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "user_id": [10, 11],
+            "event_type": ["view", "click"],  # no purchases
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = q189_poisson_bootstrap(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["point"] is None and r["ci_lo"] is None and r["ci_hi"] is None
+    assert r["n_replicates"] == 32
