@@ -37,7 +37,7 @@ from ..operators.map_metric import (
     voc_greedy_match,
 )
 from ..tables import load
-from .registry import register
+from .registry import materialize, register
 
 # Shared derivation constants (mirrored literally in the oracle SQL).
 _N_IMAGES = 20
@@ -210,8 +210,14 @@ def _map_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 def q105_voc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     dets, gt = _map_fixture(spark, sf_dir)
     matched = voc_greedy_match(dets, gt, iou_thresh=0.5)
-    ap = voc07_average_precision(matched, gt).select(
-        "class_id", "n_pos", "n_det", "ap"
+    # freeze the per-class AP table: both union branches (per-class rows
+    # and the mAP summary aggregate) consume it, and without the barrier
+    # each re-runs the cogrouped python greedy matcher — the dominant
+    # cost — from scratch (r7 review)
+    ap = materialize(
+        voc07_average_precision(matched, gt).select(
+            "class_id", "n_pos", "n_det", "ap"
+        )
     )
     summary = ap.agg(
         F.lit(-1).cast("int").alias("class_id"),
@@ -462,30 +468,25 @@ def q164_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = docs.select(
         F.col("lang").alias("gold"), lang_id(F.col("text")).alias("pred")
     )
+    # ONE documents scan: the (gold, pred) confusion matrix (<= |classes|^2
+    # rows) — every marginal below derives from it. The previous form ran
+    # four separate aggregations plus an eager count() over pred,
+    # recomputing the 5-HOF lang_id scoring ~6x (r7 review).
+    conf = materialize(
+        pred.groupBy("gold", "pred").agg(F.count("*").alias("c"))
+    )
+    labels = conf.select(F.col("gold").alias("label")).distinct()
+    gold_m = conf.groupBy("gold").agg(F.sum("c").alias("n_gold"))
+    pred_m = conf.groupBy("pred").agg(F.sum("c").alias("n_pred"))
+    corr_m = conf.filter(F.col("gold") == F.col("pred")).select(
+        F.col("gold").alias("label"), F.col("c").alias("n_correct")
+    )
     per = (
-        pred.selectExpr("gold AS label", "pred", "gold")
-        .select(F.col("label"))
-        .distinct()
-        .join(
-            pred.groupBy("gold").agg(F.count("*").alias("n_gold")),
-            F.col("label") == F.col("gold"),
-            "left",
-        )
+        labels.join(gold_m, F.col("label") == F.col("gold"), "left")
         .drop("gold")
-        .join(
-            pred.groupBy("pred").agg(F.count("*").alias("n_pred")),
-            F.col("label") == F.col("pred"),
-            "left",
-        )
+        .join(pred_m, F.col("label") == F.col("pred"), "left")
         .drop("pred")
-        .join(
-            pred.filter(F.col("gold") == F.col("pred"))
-            .groupBy("gold")
-            .agg(F.count("*").alias("n_correct")),
-            F.col("label") == F.col("gold"),
-            "left",
-        )
-        .drop("gold")
+        .join(corr_m, "label", "left")
         .select(
             "label",
             F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
@@ -513,7 +514,7 @@ def q164_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f1, 6).alias("f1"),
         F.lit(None).cast("double").alias("kappa"),
     )
-    n = pred.count()
+    n = conf.agg(F.sum("c")).first()[0]  # total docs, off the tiny matrix
     agg = per.agg(
         (F.sum("n_correct") * F.lit(1.0) / n).alias("po"),
         F.sum(

@@ -289,7 +289,7 @@ def q08_frame_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q09 — gap detection (A7: check_pngs.py:1976-1997 gapless frame indices).
-# lag(ts) per user; report users with inter-event gaps > 7 days. Same
+# lag(ts) per user; report users with inter-event gaps > 2 days. Same
 # user_id partitioning as q08 — on a real pipeline these share one shuffle.
 # --------------------------------------------------------------------------
 @register(
@@ -687,12 +687,19 @@ Q123_MAX_DIST = 1
 )
 def q123_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    # i = 0 keeps the name itself; i = 1..len deletes position i
+    # i = 0 keeps the name itself; i = 1..len deletes position i.
+    # array_distinct BEFORE the explode: deleting any position of an
+    # identical-character run yields the same variant (TPC-H names carry
+    # ~9-zero runs), and without the dedup each matching pair multiplies
+    # into run_len^2 join candidates that dropDuplicates only collapses
+    # AFTER the shuffle.
     variants = F.explode(
-        F.expr(
-            "transform(sequence(0, length(c_name)), i -> CASE WHEN i = 0"
-            " THEN c_name ELSE concat(substring(c_name, 1, i - 1),"
-            " substring(c_name, i + 1, length(c_name))) END)"
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> CASE WHEN i = 0"
+                " THEN c_name ELSE concat(substring(c_name, 1, i - 1),"
+                " substring(c_name, i + 1, length(c_name))) END)"
+            )
         )
     )
     v = cust.select(

@@ -311,10 +311,14 @@ Q126_PS = (0.25, 0.5, 0.9, 0.99)
 _Q126_PS_SQL = ", ".join(f"({p})" for p in Q126_PS)
 
 
-@register(
-    "q126_histogram_quantiles",
-    oracle=f"""
-    WITH hist AS (
+def _histogram_cdf_ctes() -> str:
+    """Oracle fragment: hist/cum/tot CTEs of the fixed-width price
+    histogram. Shared by q126 (quantile probes) and q139 (equi-depth
+    boundaries, which its own header says 'come from q126's histogram')
+    so a bin-width or boundary-condition change cannot diverge them.
+    Keep in lockstep with _quantile_estimates().
+    """
+    return f"""hist AS (
       SELECT CAST(floor(l_extendedprice / {Q126_W}) AS BIGINT) AS bin,
              count(*) AS cnt
       FROM lineitem GROUP BY 1),
@@ -323,21 +327,15 @@ _Q126_PS_SQL = ", ".join(f"({p})" for p in Q126_PS)
              sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
              sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS c_prev
       FROM hist),
-    tot AS (SELECT count(*) AS n FROM lineitem),
-    probes AS (SELECT CAST(p AS DOUBLE) AS p
-               FROM (VALUES {_Q126_PS_SQL}) AS t(p))
-    SELECT p,
-           round(bin * {Q126_W}
-                 + (p * tot.n - c_prev) / cnt * {Q126_W}, 6) AS est
-    FROM probes CROSS JOIN tot JOIN cum
-      ON cum.c >= p * tot.n AND cum.c_prev < p * tot.n
-    ORDER BY p
-    """,
-)
-def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tot AS (SELECT count(*) AS n FROM lineitem)"""
+
+
+def _quantile_estimates(li: DataFrame, ps) -> DataFrame:
+    """Spark twin: (p, est) interpolated quantile estimates from the
+    histogram CDF, one row per probe in ``ps`` (est unrounded — callers
+    round at output)."""
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem")
     hist = li.groupBy(
         F.floor(F.col("l_extendedprice") / Q126_W).cast("bigint").alias("bin")
     ).agg(F.count("*").alias("cnt"))
@@ -350,8 +348,7 @@ def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = li.agg(F.count("*").alias("n"))
     probes = F.broadcast(
-        load(spark, sf_dir, "lineitem")
-        .sparkSession.createDataFrame([(p,) for p in Q126_PS], "p double")
+        li.sparkSession.createDataFrame([(p,) for p in ps], "p double")
     )
     t = F.col("p") * F.col("n")
     return (
@@ -359,12 +356,33 @@ def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cum, (F.col("c") >= t) & (F.col("c_prev") < t))
         .select(
             "p",
-            F.round(
+            (
                 F.col("bin") * Q126_W
-                + (t - F.col("c_prev")) / F.col("cnt") * Q126_W,
-                6,
+                + (t - F.col("c_prev")) / F.col("cnt") * Q126_W
             ).alias("est"),
         )
+    )
+
+
+@register(
+    "q126_histogram_quantiles",
+    oracle=f"""
+    WITH {_histogram_cdf_ctes()},
+    probes AS (SELECT CAST(p AS DOUBLE) AS p
+               FROM (VALUES {_Q126_PS_SQL}) AS t(p))
+    SELECT p,
+           round(bin * {Q126_W}
+                 + (p * tot.n - c_prev) / cnt * {Q126_W}, 6) AS est
+    FROM probes CROSS JOIN tot JOIN cum
+      ON cum.c >= p * tot.n AND cum.c_prev < p * tot.n
+    ORDER BY p
+    """,
+)
+def q126_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        _quantile_estimates(li, Q126_PS)
+        .select("p", F.round("est", 6).alias("est"))
         .orderBy("p")
     )
 
@@ -385,16 +403,7 @@ Q139_B = 8
 def _q139_oracle() -> str:
     ps = ", ".join(f"({i / Q139_B})" for i in range(1, Q139_B))
     return f"""
-    WITH hist AS (
-      SELECT CAST(floor(l_extendedprice / {Q126_W}) AS BIGINT) AS bin,
-             count(*) AS cnt
-      FROM lineitem GROUP BY 1),
-    cum AS (
-      SELECT bin, cnt,
-             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
-             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - cnt AS c_prev
-      FROM hist),
-    tot AS (SELECT count(*) AS n FROM lineitem),
+    WITH {_histogram_cdf_ctes()},
     probes AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES {ps}) AS t(p)),
     bounds AS (
       SELECT p, bin * {Q126_W} + (p * tot.n - c_prev) / cnt * {Q126_W} AS est
@@ -414,36 +423,10 @@ def _q139_oracle() -> str:
 
 @register("q139_equidepth_binning", oracle=_q139_oracle())
 def q139_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load(spark, sf_dir, "lineitem")
-    hist = li.groupBy(
-        F.floor(F.col("l_extendedprice") / Q126_W).cast("bigint").alias("bin")
-    ).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w).alias("c"),
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("c_prev"),
-    )
-    tot = li.agg(F.count("*").alias("n"))
-    probes = F.broadcast(
-        li.sparkSession.createDataFrame(
-            [(i / Q139_B,) for i in range(1, Q139_B)], "p double"
-        )
-    )
-    t = F.col("p") * F.col("n")
-    bounds = (
-        probes.crossJoin(F.broadcast(tot))
-        .join(cum, (F.col("c") >= t) & (F.col("c_prev") < t))
-        .select(
-            (
-                F.col("bin") * Q126_W
-                + (t - F.col("c_prev")) / F.col("cnt") * Q126_W
-            ).alias("est")
-        )
-    )
+    bounds = _quantile_estimates(
+        li, [i / Q139_B for i in range(1, Q139_B)]
+    ).select("est")
     barr = bounds.agg(F.array_sort(F.collect_list("est")).alias("bs"))
     assigned = li.crossJoin(F.broadcast(barr)).select(
         F.size(
@@ -483,6 +466,46 @@ Q158_ALPHA = 0.709   # alpha_64 from the HLL paper
 Q158_WBITS = 48      # rho field: 12 md5 hex chars -> exact in double
 
 
+def _hll_parts_cols() -> list:
+    """(bucket, w) register-address columns from the md5 ``hx`` column.
+
+    Shared by q158 (the sketch) and q174 (its set-ops consumer): the two
+    queries' registers are only mergeable because they hash identically,
+    so the address derivation lives here once. Keep in lockstep with the
+    oracle ``parts`` CTEs.
+    """
+    return [
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % Q158_M).alias(
+            "bucket"
+        ),
+        F.conv(F.substring("hx", 3, 12), 16, 10).cast("bigint").alias("w"),
+    ]
+
+
+def _hll_rho():
+    """rho = (leading-zero count of the 48-bit w) + 1, as WBITS - floor(log2 w).
+
+    floor(log2) is computed INTEGER-EXACTLY as the bit length of w: the
+    float form floor(F.log2(w)) rides a libm boundary — Spark's Log2 is
+    StrictMath.log(x)/log(2) (can land a hair BELOW the exact value at
+    powers of two, e.g. log2(8) -> 2.9999999999999996 -> floor 2) while
+    DuckDB's log2 is exact there — a 1-off register that flips the
+    harmonic sum and fails the hash gate (the q152/q177 float-group-key
+    discipline). Keep in lockstep with _HLL_RHO_SQL.
+    """
+    return F.when(F.col("w") == 0, F.lit(Q158_WBITS + 1)).otherwise(
+        F.lit(Q158_WBITS) - (F.length(F.bin("w")) - 1).cast("bigint")
+    )
+
+
+# DuckDB twin of _hll_rho() — length(bin(w)) - 1 is the same integer-exact
+# bit length (bin() of BIGINT has no leading zeros)
+_HLL_RHO_SQL = (
+    f"CASE WHEN w = 0 THEN {Q158_WBITS + 1} "
+    f"ELSE {Q158_WBITS} - (length(bin(w)) - 1) END"
+)
+
+
 @register(
     "q158_hll_sketch",
     oracle=f"""
@@ -498,9 +521,7 @@ Q158_WBITS = 48      # rho field: 12 md5 hex chars -> exact in double
     ),
     regs AS (
       SELECT event_type, bucket,
-             max(CASE WHEN w = 0 THEN {Q158_WBITS + 1}
-                      ELSE {Q158_WBITS} - CAST(floor(log2(w)) AS BIGINT)
-                 END) AS rho
+             max({_HLL_RHO_SQL}) AS rho
       FROM parts GROUP BY 1, 2
     ),
     sketch AS (
@@ -536,18 +557,10 @@ def q158_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hx = F.md5(F.col("user_id").cast("string"))
     h = ev.select("event_type", hx.alias("hx")).distinct()
-    w = F.conv(F.substring("hx", 3, 12), 16, 10).cast("bigint")
-    parts = h.select(
-        "event_type",
-        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % Q158_M).alias(
-            "bucket"
-        ),
-        w.alias("w"),
+    parts = h.select("event_type", *_hll_parts_cols())
+    regs = parts.groupBy("event_type", "bucket").agg(
+        F.max(_hll_rho()).alias("rho")
     )
-    rho = F.when(F.col("w") == 0, F.lit(Q158_WBITS + 1)).otherwise(
-        F.lit(Q158_WBITS) - F.floor(F.log2("w")).cast("bigint")
-    )
-    regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
     sketch = regs.groupBy("event_type").agg(
         (
             F.sum(F.pow(F.lit(2.0), -F.col("rho")))
@@ -613,9 +626,7 @@ def _hll_est_sql(s: str, v: str) -> str:
     ),
     regs AS (
       SELECT event_type, bucket,
-             max(CASE WHEN w = 0 THEN {Q158_WBITS + 1}
-                      ELSE {Q158_WBITS} - CAST(floor(log2(w)) AS BIGINT)
-                 END) AS rho
+             max({_HLL_RHO_SQL}) AS rho
       FROM parts GROUP BY 1, 2
     ),
     pairs AS (SELECT * FROM (VALUES {_PAIR_SQL}) AS t(ta, tb)),
@@ -679,18 +690,10 @@ def q174_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select("event_type", "user_id").distinct().select(
         "event_type", "user_id", hx.alias("hx")
     )
-    parts = h.select(
-        "event_type",
-        "user_id",
-        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % Q158_M).alias(
-            "bucket"
-        ),
-        F.conv(F.substring("hx", 3, 12), 16, 10).cast("bigint").alias("w"),
+    parts = h.select("event_type", "user_id", *_hll_parts_cols())
+    regs = parts.groupBy("event_type", "bucket").agg(
+        F.max(_hll_rho()).alias("rho")
     )
-    rho = F.when(F.col("w") == 0, F.lit(Q158_WBITS + 1)).otherwise(
-        F.lit(Q158_WBITS) - F.floor(F.log2("w")).cast("bigint")
-    )
-    regs = parts.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
     pairs = spark.createDataFrame(list(Q174_PAIRS), ["ta", "tb"])
 
     tagged = (

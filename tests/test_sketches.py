@@ -108,3 +108,33 @@ def test_q126_cumulative_window_is_bounded(spark):
     # map-side partial), so the window sorts histogram rows, not data rows
     assert "HashAggregate" in win_input.split("FileScan")[0]
     assert "partial_count" in win_input.split("FileScan")[0]
+
+
+def test_hll_rho_integer_exact_at_power_of_two(spark):
+    """The HLL register value must come from integer bit arithmetic: a
+    float floor(log2(w)) rides a libm boundary at exact powers of two
+    (JVM StrictMath vs DuckDB libm are different 1-ulp implementations),
+    flipping rho by 1 on exactly the w values most likely to be register
+    maxima. Pins rho = WBITS - floor(log2 w) for boundary w on BOTH the
+    Spark expression and its DuckDB twin."""
+    import duckdb
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.sketches import (
+        _HLL_RHO_SQL,
+        Q158_WBITS,
+        _hll_rho,
+    )
+
+    cases = {0: Q158_WBITS + 1, 1: Q158_WBITS, 7: Q158_WBITS - 2,
+             8: Q158_WBITS - 3, 512: Q158_WBITS - 9,
+             (1 << 47): 1, (1 << 48) - 1: 1}
+    df = spark.createDataFrame([(w,) for w in cases], "w long")
+    got = {r["w"]: r["rho"] for r in df.select("w", _hll_rho().alias("rho")).collect()}
+    assert got == cases
+    vals = ", ".join(f"({w})" for w in cases)
+    duck = dict(
+        duckdb.sql(
+            f"SELECT w, {_HLL_RHO_SQL} AS rho FROM (VALUES {vals}) t(w)"
+        ).fetchall()
+    )
+    assert duck == cases
