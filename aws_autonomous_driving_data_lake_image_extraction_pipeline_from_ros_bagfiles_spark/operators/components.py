@@ -122,3 +122,23 @@ def connected_components(
     return nodes.join(stars, nodes.node == stars.u, "left").select(
         "node", F.coalesce("cluster_id", "node").alias("cluster_id")
     )
+
+
+def assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``docs`` plus a ``cluster_id`` column: connected components over
+    ``pairs`` with singleton closure (a doc in no pair is its own
+    cluster). The Spark twin of llm_ops.closure_ctes()'s comp CTE plus
+    the documents LEFT JOIN — shared by q157 (survivor pick) and q203
+    (cluster-keyed split) so the two queries' cluster definitions cannot
+    drift. Input columns ride along.
+    """
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__cid")
+    )
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("__cid", F.col(id_col)))
+        .drop("__cid")
+    )

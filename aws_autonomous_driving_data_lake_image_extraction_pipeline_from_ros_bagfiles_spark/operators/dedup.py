@@ -45,6 +45,14 @@ def _cached(df: DataFrame) -> DataFrame:
     return df
 
 
+def cache_pinned(df: DataFrame) -> DataFrame:
+    """Public form of ``_cached`` for plan modules that build their own
+    shingle/gram frames read more than once per query (q160/q161):
+    pins the frame in this module's registry so ``release_caches()``
+    evicts it with the operator-internal caches."""
+    return _cached(df)
+
+
 def release_caches() -> None:
     """Unpersist exactly the DataFrames this module cached, and no others."""
     while _ACTIVE_CACHES:

@@ -38,6 +38,37 @@ def uniform_hash(col: Column, salt: str = "strat") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def hash_split(key: Column) -> Column:
+    """60/20/20 train/val/test assignment: md5(key) 60-bit hash mod 10.
+
+    This IS the repo's split contract: q96 produces it over doc_id, q107
+    writes RecordIO shards by it, q172 audits cross-split leakage against
+    it, and q203 re-keys it on cluster ids — the leakage audit only
+    audits THE split if every consumer derives it from this one
+    expression. Keep in lockstep with :func:`hash_split_sql`.
+    """
+    b = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 10
+    )
+    return F.when(b < 6, "train").when(b < 8, "val").otherwise("test")
+
+
+def hash_split_sql(key_expr: str) -> str:
+    """DuckDB twin of :func:`hash_split` for oracle texts (the hash
+    expression repeats per branch; oracle-side CSE makes that free)."""
+    b = (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % 10"
+    )
+    return (
+        f"CASE WHEN {b} < 6 THEN 'train' "
+        f"WHEN {b} < 8 THEN 'val' ELSE 'test' END"
+    )
+
+
 def fraction_threshold(fraction: float) -> int:
     """Integer keep-threshold for a fraction — computed driver-side so the
     oracle can embed the identical literal."""

@@ -50,22 +50,14 @@ Q157_THRESHOLD = 0.2
 
 
 def _q157_oracle() -> str:
-    from .llm_ops import minhash_pair_ctes
+    from .llm_ops import closure_ctes, minhash_pair_ctes
 
     from ..operators.dedup import DEFAULT_BUCKET_CAP
 
     return f"""
     WITH RECURSIVE
     {minhash_pair_ctes(Q157_THRESHOLD, max_bucket=DEFAULT_BUCKET_CAP)},
-    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
-              UNION SELECT id_b, id_a FROM mh_pairs),
-    closure(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
-    ),
-    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-             FROM closure GROUP BY u),
+    {closure_ctes()},
     alldocs AS (
         SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
                d.n_chars
@@ -87,24 +79,13 @@ def _q157_oracle() -> str:
 @register("q157_cluster_representatives", oracle=_q157_oracle())
 def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
-    from ..operators.components import connected_components
+    from ..operators.components import assign_clusters
 
     docs = load(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
         docs, threshold=Q157_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
     )
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-    alldocs = (
-        docs.select("doc_id", "n_chars")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            "n_chars",
-        )
-    )
+    alldocs = assign_clusters(docs.select("doc_id", "n_chars"), pairs)
     w = Window.partitionBy("cluster_id")
     rk = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -256,14 +237,20 @@ Q160_N = 5
     """,
 )
 def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles_long
+    from ..operators import dedup as DD
 
     docs = load(spark, sf_dir, "documents")
-    sh = shingles_long(docs, n=Q160_N).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("gh"),
+    # cache the shingle+hash stream: sizes and BOTH self-join sides read
+    # it, so without the pin the interpreted-HOF tokenize+md5 stage — the
+    # expensive step — runs 3x (r7 review; the dedup module's own
+    # convention for exactly this shape)
+    sh = DD.cache_pinned(
+        DD.shingles_long(docs, n=Q160_N).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("ia"), "gh")
@@ -277,12 +264,15 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
     cont = F.col("c") * F.lit(1.0) / F.least("na", "nb")
-    return (
+    out = (
         inter.join(sa, "ia")
         .join(sb, "ib")
         .filter(cont >= Q160_THRESHOLD)
         .select("ia", "ib", F.round(cont, 6).alias("containment"))
     )
+    result = materialize(out)
+    DD.release_caches()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -324,21 +314,27 @@ def q160_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles_long
+    from ..operators import dedup as DD
 
     docs = load(spark, sf_dir, "documents")
-    sh = shingles_long(docs).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("gh"),
+    # cache the gram stream: the sizes (by doc_id) and first-occurrence
+    # (by gh) aggregates are independent consumers — without the pin the
+    # gram tokenize+md5 bill (the stage the header's sf1.0 audit showed
+    # dominating) is paid twice (r7 review)
+    sh = DD.cache_pinned(
+        DD.shingles_long(docs).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     first = sh.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count("*").alias("n_novel")
     )
-    return sizes.join(novel, "doc_id", "left").select(
+    out = sizes.join(novel, "doc_id", "left").select(
         "doc_id",
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
@@ -346,6 +342,9 @@ def q161_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_novel", F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
         ).alias("novelty"),
     )
+    result = materialize(out)
+    DD.release_caches()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -420,11 +419,21 @@ def q163_quality_mass_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample budget across strata proportionally to N_h * S_h (stratum size
 # x standard deviation) — the variance-minimizing allocation, vs q72's
 # fixed-fraction strata. All moments are computed from INTEGER sums
-# (sum, sum of squares, count) so both engines derive identical doubles;
-# the builtin stddev aggregates are avoided on purpose (Welford vs naive
-# accumulation would diverge in float order).
+# (sum, sum of squares, count) so both engines derive identical doubles
+# per stratum; the builtin stddev aggregates are avoided on purpose
+# (Welford vs naive accumulation would diverge in float order).
+#
+# The CROSS-stratum denominator is the one place a raw double sum would
+# reintroduce accumulation-order dependence (Spark sums partials in
+# partition order, DuckDB in scan order — a last-ulp difference feeding
+# round()+CAST flips alloc by 1 near a .5 boundary). So S_h is quantized
+# to fixed point FIRST (x{Q176_SCALE}, bigint) and the denominator is an
+# INTEGER sum — order-free on both engines; the allocation ratio then
+# divides identical integers. The x1e4 quantum keeps nh*sh_fp within
+# bigint at warehouse scale (1e10 docs x 1e7 fp-std ~ 1e17 < 2^63).
 # --------------------------------------------------------------------------
 Q176_BUDGET = 100
+Q176_SCALE = 10_000
 
 
 @register(
@@ -439,15 +448,18 @@ Q176_BUDGET = 100
     ),
     sd AS (
       SELECT source, nh,
-             sqrt((s2 - s1 * 1.0 * s1 / nh) / nh) AS sh
+             sqrt((s2 - s1 * 1.0 * s1 / nh) / nh) AS sh,
+             CAST(round(sqrt((s2 - s1 * 1.0 * s1 / nh) / nh)
+                        * {Q176_SCALE}) AS BIGINT) AS sh_fp
       FROM m
     ),
-    tot AS (SELECT sum(nh * sh) AS denom FROM sd)
+    tot AS (SELECT CAST(sum(nh * sh_fp) AS BIGINT) AS denom_fp FROM sd)
     SELECT sd.source,
            CAST(sd.nh AS BIGINT) AS n_h,
            round(sd.sh, 6) AS s_h,
            CAST(least(sd.nh * 1.0,
-                      round({Q176_BUDGET} * sd.nh * sd.sh / tot.denom))
+                      round({Q176_BUDGET} * (sd.nh * 1.0) * sd.sh_fp
+                            / tot.denom_fp))
                 AS BIGINT) AS alloc
     FROM sd CROSS JOIN tot
     """,
@@ -463,8 +475,15 @@ def q176_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("nh"))
         / F.col("nh")
     )
-    sd = m.select("source", "nh", sh.alias("sh"))
-    tot = sd.agg(F.sum(F.col("nh") * F.col("sh")).alias("denom"))
+    sd = m.select(
+        "source",
+        "nh",
+        sh.alias("sh"),
+        F.round(sh * Q176_SCALE).cast("bigint").alias("sh_fp"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("nh") * F.col("sh_fp")).cast("bigint").alias("denom_fp")
+    )
     return sd.crossJoin(F.broadcast(tot)).select(
         "source",
         F.col("nh").cast("bigint").alias("n_h"),
@@ -472,7 +491,10 @@ def q176_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.col("nh") * F.lit(1.0),
             F.round(
-                Q176_BUDGET * F.col("nh") * F.col("sh") / F.col("denom")
+                F.lit(Q176_BUDGET)
+                * (F.col("nh") * F.lit(1.0))
+                * F.col("sh_fp")
+                / F.col("denom_fp")
             ),
         )
         .cast("bigint")

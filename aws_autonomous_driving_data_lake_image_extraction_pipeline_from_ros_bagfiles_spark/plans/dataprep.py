@@ -214,17 +214,12 @@ def _q172_oracle() -> str:
     from .llm_ops import minhash_pair_ctes
 
     from ..operators.dedup import DEFAULT_BUCKET_CAP
+    from ..operators.sampling import hash_split_sql
 
     return f"""
     WITH {minhash_pair_ctes(Q172_THRESHOLD, max_bucket=DEFAULT_BUCKET_CAP)},
     splits AS (
-      SELECT doc_id,
-             CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (SELECT doc_id,
-                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                        AS BIGINT) % 10 AS b
-            FROM documents)
+      SELECT doc_id, {hash_split_sql("doc_id")} AS split FROM documents
     ),
     near AS (
         SELECT id_a AS ia, id_b AS ib FROM mh_pairs
@@ -261,18 +256,13 @@ def _q172_oracle() -> str:
 def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
     from ..operators.dedup import text_fingerprint
+    from ..operators.sampling import hash_split
 
     docs = load(spark, sf_dir, "documents")
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 10
-    )
+    # the split under audit MUST be q96's — both derive from the shared
+    # hash_split contract (operators/sampling.py)
     splits = docs.select(
-        "doc_id",
-        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias(
-            "split"
-        ),
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
     )
     near = DD.minhash_lsh_pairs(
         docs, threshold=Q172_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
@@ -505,81 +495,63 @@ def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection + one map-side-combinable groupBy.
 # --------------------------------------------------------------------------
 def _q203_oracle() -> str:
-    from .llm_ops import minhash_pair_ctes
+    from .llm_ops import closure_ctes, minhash_pair_ctes
 
     from ..operators.dedup import DEFAULT_BUCKET_CAP
+    from ..operators.sampling import hash_split_sql
 
     return f"""
     WITH RECURSIVE
     {minhash_pair_ctes(0.2, max_bucket=DEFAULT_BUCKET_CAP)},
-    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
-              UNION SELECT id_b, id_a FROM mh_pairs),
-    closure(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
-    ),
-    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-             FROM closure GROUP BY u),
+    {closure_ctes()},
     assigned AS (
         SELECT d.doc_id,
                coalesce(comp.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp USING (doc_id)
     ),
     labeled AS (
-        SELECT doc_id, cluster_id,
-               CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id, cluster_id,
-                     CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
-                          AS BIGINT) % 10 AS b
-              FROM assigned)
+        SELECT doc_id, cluster_id, {hash_split_sql("cluster_id")} AS split
+        FROM assigned
+    ),
+    csize AS (
+        SELECT split, cluster_id, count(*) AS sz
+        FROM labeled GROUP BY 1, 2
     )
     SELECT split,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-           CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT)
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
                AS n_docs_in_multi
-    FROM labeled GROUP BY 1
+    FROM csize GROUP BY 1
     """
 
 
 @register("q203_cluster_aware_split", oracle=_q203_oracle())
 def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
-    from ..operators.components import connected_components
+    from ..operators.components import assign_clusters
+    from ..operators.sampling import hash_split
 
     docs = load(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
         docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
     )
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
-    assigned = (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
-        )
-    )
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
-        % 10
-    )
+    assigned = assign_clusters(docs.select("doc_id"), pairs)
     labeled = assigned.select(
-        "doc_id",
-        "cluster_id",
-        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias(
-            "split"
-        ),
+        "doc_id", "cluster_id", hash_split(F.col("cluster_id")).alias("split")
     )
-    out = labeled.groupBy("split").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
-        (F.count("*") - F.countDistinct("cluster_id"))
+    # per-(split, cluster) sizes first: n_docs_in_multi counts the DOCS
+    # sitting in multi-doc clusters (the dataset-card number the header
+    # promises) — the old count(*) - countDistinct(cluster) computed
+    # sum(size-1), undercounting by one doc per multi-doc cluster on
+    # both engines (r7 review)
+    csize = labeled.groupBy("split", "cluster_id").agg(
+        F.count("*").alias("sz")
+    )
+    out = csize.groupBy("split").agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
         .cast("bigint")
         .alias("n_docs_in_multi"),
     )

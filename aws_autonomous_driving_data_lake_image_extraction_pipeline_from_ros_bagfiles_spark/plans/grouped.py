@@ -105,22 +105,15 @@ def q53_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph), which is the only form that survives a billion-edge pair list.
 # --------------------------------------------------------------------------
 def _q54_oracle() -> str:
-    from .llm_ops import minhash_pair_ctes
+    from .llm_ops import closure_ctes, minhash_pair_ctes
 
     from ..operators.dedup import DEFAULT_BUCKET_CAP
 
     return f"""
     WITH RECURSIVE
     {minhash_pair_ctes(0.2, max_bucket=DEFAULT_BUCKET_CAP)},
-    edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
-              UNION SELECT id_b, id_a FROM mh_pairs),
-    closure(u, v) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-    FROM closure GROUP BY u
+    {closure_ctes()}
+    SELECT doc_id, cluster_id FROM comp
     """
 
 

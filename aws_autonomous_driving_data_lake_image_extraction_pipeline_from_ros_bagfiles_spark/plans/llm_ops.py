@@ -231,6 +231,25 @@ def minhash_pair_ctes(
     {_verify_tail_sql(threshold)}"""
 
 
+def closure_ctes() -> str:
+    """edges/closure/comp CTEs: transitive closure of ``mh_pairs`` into a
+    min-id cluster assignment (comp: doc_id -> cluster_id, pair-touched
+    docs only). Requires a ``WITH RECURSIVE`` prefix and a preceding
+    ``mh_pairs`` CTE (minhash_pair_ctes). Shared by q54/q157/q203 — the
+    cluster definition exists once; the Spark twin is
+    operators/components.py (connected_components / assign_clusters).
+    """
+    return """edges AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    closure(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM closure GROUP BY u)"""
+
+
 def _minhash_oracle() -> str:
     return f"""
     WITH {minhash_pair_ctes(0.2)}

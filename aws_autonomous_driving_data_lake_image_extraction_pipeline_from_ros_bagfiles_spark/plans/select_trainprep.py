@@ -395,23 +395,25 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 64 + 20*n_boxes. Content round-trip (labels, ids, payloads, index
 # offsets) is pinned in tests/test_recordio.py, not in this plan.
 # --------------------------------------------------------------------------
-@register(
-    "q107_recordio_sink",
-    oracle="""
+def _q107_oracle() -> str:
+    from ..operators.sampling import hash_split_sql
+
+    return f"""
     WITH assigned AS (
         SELECT CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS nb,
-               CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15)
-                    AS BIGINT) % 10 AS b
+               {hash_split_sql("p_partkey")} AS split
         FROM part)
-    SELECT CASE WHEN b < 6 THEN 'train' WHEN b < 8 THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT split,
            count(*) AS n_records,
            CAST(sum(64 + 20 * nb) AS BIGINT) AS rec_bytes,
            count(*) AS idx_records
     FROM assigned GROUP BY 1
-    """,
-)
+    """
+
+
+@register("q107_recordio_sink", oracle=_q107_oracle())
 def q107_recordio_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
     from ..sources.sinks import write_recordio_files
 
     m = _manifest(spark, sf_dir)
@@ -427,15 +429,11 @@ def q107_recordio_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(4.0), F.lit(5.0), F.lit(800.0), F.lit(600.0)),
         F.flatten(F.transform("annotations", box)),
     )
-    b = (
-        F.conv(F.substring(F.md5(p.cast("string")), 1, 15), 16, 10).cast("bigint")
-        % 10
-    )
     packed = m.select(
         p.alias("rec_id"),
         labels.alias("labels"),
         F.unhex(F.md5(p.cast("string"))).alias("payload"),
-        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias("split"),
+        hash_split(p).alias("split"),
     )
     work = tempfile.mkdtemp(prefix="recordio_")
     try:

@@ -359,31 +359,23 @@ def q90_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q36's sampler can only ever be rows-only. Pure projection: no shuffle
 # for the assignment; one tiny aggregate for the audit counts.
 # --------------------------------------------------------------------------
-@register(
-    "q96_hash_split",
-    oracle="""
+def _q96_oracle() -> str:
+    from ..operators.sampling import hash_split_sql
+
+    return f"""
     WITH assigned AS (
-        SELECT doc_id,
-               CASE WHEN b < 6 THEN 'train'
-                    WHEN b < 8 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id,
-                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                          AS BIGINT) % 10 AS b
-              FROM documents))
+        SELECT doc_id, {hash_split_sql("doc_id")} AS split FROM documents)
     SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM assigned GROUP BY 1
-    """,
-)
+    """
+
+
+@register("q96_hash_split", oracle=_q96_oracle())
 def q96_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 10
-    )
+    from ..operators.sampling import hash_split
+
     assigned = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(b < 6, "train").when(b < 8, "val").otherwise("test").alias("split"),
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
     )
     return assigned.groupBy("split").agg(
         F.count("*").alias("n_docs"),

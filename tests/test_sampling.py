@@ -126,3 +126,38 @@ def test_mixture_sample_unknown_source_raises(docs):
 
     with _pytest.raises(ValueError, match="no budget"):
         mixture_sample(docs, {"src0": 1000})
+
+
+def test_hash_split_spark_duckdb_parity_and_fractions(spark):
+    """hash_split / hash_split_sql are THE split contract (q96 produces
+    it, q107 shards by it, q172 audits it, q203 re-keys it): the Spark
+    expression and its SQL twin must assign every key identically, and
+    the 60/20/20 design must hold in aggregate."""
+    import duckdb
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.sampling import (
+        hash_split,
+        hash_split_sql,
+    )
+
+    from pyspark.sql import functions as F
+
+    n = 2000
+    got = {
+        r["k"]: r["s"]
+        for r in spark.range(n)
+        .select(F.col("id").alias("k"), hash_split(F.col("id")).alias("s"))
+        .collect()
+    }
+    duck = dict(
+        duckdb.sql(
+            f"SELECT k, {hash_split_sql('k')} AS s FROM range({n}) t(k)"
+        ).fetchall()
+    )
+    assert got == duck
+    from collections import Counter
+
+    frac = Counter(got.values())
+    assert abs(frac["train"] / n - 0.6) < 0.05
+    assert abs(frac["val"] / n - 0.2) < 0.05
+    assert abs(frac["test"] / n - 0.2) < 0.05
