@@ -25,11 +25,22 @@ def ros_time_pack(ts: Column) -> Column:
     Matches the wire layout decoded at bagstream.py:222-223. Microsecond
     precision (parquet timestamps are micros); nsec = micros*1000 < 2^30 so
     the shifted value fits a signed 64-bit int.
+
+    EXACT integer arithmetic for the seconds split: the previous float
+    ``epoch_us / 1e6`` + truncating cast loses to double rounding once
+    epoch_us outgrows the 2^53 mantissa headroom (a quotient sitting one
+    micro below a whole second can round UP before the cast, shifting sec
+    by 1 where the oracle's integer ``//`` doesn't). Remainder-then-
+    subtract in the integer/decimal domain is truncation-exact at every
+    magnitude and matches DuckDB's sign-of-dividend ``%`` / truncating
+    ``//`` pre-epoch as well.
     """
     epoch_us = F.unix_micros(ts)
-    sec = (epoch_us / F.lit(1_000_000)).cast("bigint")
-    nsec = (epoch_us - sec * F.lit(1_000_000)) * F.lit(1000)
-    return F.shiftleft(nsec, 32).bitwiseOR(sec)
+    rem = epoch_us % F.lit(1_000_000)  # sign-of-dividend, as DuckDB's %
+    sec = (
+        (epoch_us - rem).cast("decimal(20,0)") / F.lit(1_000_000)
+    ).cast("bigint")
+    return F.shiftleft(rem * F.lit(1000), 32).bitwiseOR(sec)
 
 
 def ros_time_unpack_ts(packed: Column) -> Column:

@@ -101,10 +101,13 @@ def _scaled_raw_edges(emb: DataFrame, n_rows: int) -> DataFrame:
     )
 
 
-@register(
-    "q168_triangle_count",
-    oracle=f"""
-    WITH {_scaled_raw_sql()},
+def _mutual_knn_edges_sql() -> str:
+    """Oracle CTE chain ending in ``edges(u, v)``: the mutual top-K
+    similarity graph. Shared by q168 and q180 — q180 is documented as
+    operating on q168's edge set, so the construction (and any K or
+    tie-break change) exists once. Spark twin: _mutual_knn_edges()."""
+    return f"""
+    {_scaled_raw_sql()},
     dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
     top AS (
       SELECT u, v FROM (
@@ -115,7 +118,44 @@ def _scaled_raw_edges(emb: DataFrame, n_rows: int) -> DataFrame:
     edges AS (
       SELECT a.u, a.v FROM top a JOIN top b ON a.u = b.v AND a.v = b.u
       WHERE a.u < a.v
-    ),
+    )"""
+
+
+def _mutual_knn_edges(raw: DataFrame) -> DataFrame:
+    """Undirected mutual-top-K edge set (u < v) from verified (u, v, c)
+    similarity edges. The raw verify join and the top-K frame each feed
+    TWO consumers (both union branches / both sides of the mutual join):
+    without the pins the expensive LSH-candidate cosine verify ran 4x
+    and the top-K window shuffle 2x per query (r7 review). The returned
+    edge list is an eager localCheckpoint; intermediates are released
+    before return.
+    """
+    raw = raw.cache()
+    direct = raw.unionAll(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
+    top = (
+        direct.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= Q168_K)
+        .select("u", "v")
+        .cache()
+    )
+    rev = top.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    edges = (
+        top.join(rev, ["u", "v"])  # mutual-kNN: both directions kept it
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    top.unpersist()
+    raw.unpersist()
+    return edges
+
+
+@register(
+    "q168_triangle_count",
+    oracle=f"""
+    WITH {_mutual_knn_edges_sql()},
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM edges e1
@@ -135,33 +175,14 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings")
     n = base.count()  # footer-only job on the raw scan
     emb = base.repartition(spark.sparkContext.defaultParallelism)
-    raw = _scaled_raw_edges(emb, n)
-    direct = raw.unionAll(
-        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-    )
-    wk = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
-    top = (
-        direct.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= Q168_K)
-        .select("u", "v")
-    )
-    rev = top.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    edges = (
-        top.join(rev, ["u", "v"])  # mutual-kNN: both directions kept it
-        .filter(F.col("u") < F.col("v"))
-        # the edge list feeds two self-joins — materialize it once instead
-        # of recomputing the cosine join for each side
-        .localCheckpoint(eager=True)
-    )
+    edges = _mutual_knn_edges(_scaled_raw_edges(emb, n))
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # one evaluation of the triangle joins: exploding {a,b,c} per row
+    # replaces the 3-branch unionAll that re-ran the join chain per branch
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
@@ -178,31 +199,17 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the wedge join is the SAME bounded fan-out as q168 (the
 # kNN degree cap bounds every node's neighborhood at K), edge generation
 # is the corpus-scaled LSH-blocked verify shared with q168/q42, the
-# degree table is node-sized and broadcast, and existing edges are
-# removed with an anti-join. No all-pairs anywhere.
+# node-sized degree table joins on the wedge's existing z shuffle (NOT a
+# driver broadcast — node-sized means corpus-sized, which outgrows any
+# broadcast budget), and existing edges are removed with an anti-join.
+# No all-pairs anywhere.
 # --------------------------------------------------------------------------
-
-
-def _q180_edges_sql() -> str:
-    return f"""
-    {_scaled_raw_sql()},
-    dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
-    top AS (
-      SELECT u, v FROM (
-        SELECT u, v, row_number() OVER (PARTITION BY u
-                                        ORDER BY c DESC, v) AS rn
-        FROM dir) WHERE rn <= {Q168_K}
-    ),
-    edges AS (
-      SELECT a.u, a.v FROM top a JOIN top b ON a.u = b.v AND a.v = b.u
-      WHERE a.u < a.v
-    )"""
 
 
 @register(
     "q180_link_prediction",
     oracle=f"""
-    WITH {_q180_edges_sql()},
+    WITH {_mutual_knn_edges_sql()},
     und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
     deg AS (SELECT u AS z, count(*) AS d FROM und GROUP BY 1),
     wedge AS (
@@ -229,22 +236,7 @@ def q180_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings")
     n = base.count()  # footer-only job on the raw scan
     emb = base.repartition(spark.sparkContext.defaultParallelism)
-    raw = _scaled_raw_edges(emb, n)
-    direct = raw.unionAll(
-        raw.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-    )
-    wk = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("v"))
-    top = (
-        direct.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= Q168_K)
-        .select("u", "v")
-    )
-    rev = top.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    edges = (
-        top.join(rev, ["u", "v"])
-        .filter(F.col("u") < F.col("v"))
-        .localCheckpoint(eager=True)
-    )
+    edges = _mutual_knn_edges(_scaled_raw_edges(emb, n))
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -257,8 +249,12 @@ def q180_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["x", "y"],
         "left_anti",
     )
+    # plain shuffle join on z — deg is NODE-sized (one row per graph
+    # node), so a forced driver broadcast dies at exactly the corpus
+    # scale this module targets; the wedge already shuffles on z, making
+    # the co-partitioned join free (r7 review)
     scored = (
-        open_wedge.join(F.broadcast(deg.filter(F.col("d") > 1)), "z")
+        open_wedge.join(deg.filter(F.col("d") > 1), "z")
         .groupBy("x", "y")
         .agg(
             F.count("*").alias("common_neighbors"),

@@ -36,9 +36,13 @@ from .registry import register
 )
 def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    raw = F.get_json_object("props", "$.k")
+    k = raw.cast("bigint")
     return events.groupBy("event_type").agg(
-        F.count(k).alias("n_with_k"),
+        # count the RAW extraction, matching the oracle's
+        # count(json_extract_string(...)): a non-numeric k value is
+        # "present" for n_with_k even though its bigint cast is NULL
+        F.count(raw).alias("n_with_k"),
         F.sum(k).cast("bigint").alias("sum_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )

@@ -96,6 +96,10 @@ def q178_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ttr >= Q159_TTR_MIN)
         & (n_stop >= Q159_STOP_MIN)
     )
+    # ONE corpus scan for every scalar statistic (the gate sum rides the
+    # same aggregate as the base stats — it was a second full scan), and
+    # the entropy's total comes from a window over the |sources|-sized
+    # grouped frame, not a third scan of documents (r7 review)
     base = docs.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
@@ -106,21 +110,21 @@ def q178_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(text_fingerprint(F.col("text")))
         .cast("bigint")
         .alias("n_unique_fp"),
+        F.sum(passes.cast("int")).cast("bigint").alias("n_quality_pass"),
     )
-    gate = docs.agg(
-        F.sum(passes.cast("int")).cast("bigint").alias("n_quality_pass")
-    )
-    n_total = docs.agg(F.count("*").alias("nt"))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     mix = (
         docs.groupBy("source")
         .agg(F.count("*").alias("ns"))
-        .crossJoin(F.broadcast(n_total))
-        .select((F.col("ns") * F.lit(1.0) / F.col("nt")).alias("p"))
+        .select(
+            (F.col("ns") * F.lit(1.0) / F.sum("ns").over(wall)).alias("p")
+        )
         .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("source_entropy"))
     )
     return (
-        base.crossJoin(gate)
-        .crossJoin(mix)
+        base.crossJoin(mix)
         .select(
             "n_docs",
             "n_sources",
@@ -201,74 +205,79 @@ def q179_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     docs = load(spark, sf_dir, "documents")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("constraint_name"),
-            F.col("n").cast("bigint").alias("n_violations"),
+    # ONE aggregate pass per table, unpivoted to constraint rows — the
+    # previous one-agg-per-check form rescanned events 4x and lineitem
+    # 2x for checks that fold into the same scan (r7 review). The oracle
+    # keeps the per-check scalar-subquery form (its CSE makes that free);
+    # values are identical.
+    def unpivot(agg: DataFrame, names_cols: list[tuple[str, str]]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', {c}" for n, c in names_cols)
+        return agg.select(
+            F.expr(
+                f"stack({len(names_cols)}, {pairs})"
+                " AS (constraint_name, n)"
+            )
+        ).select(
+            "constraint_name", F.col("n").cast("bigint").alias("n_violations")
         )
 
-    checks = [
-        one(
-            "events.event_id.unique",
-            ev.agg((F.count("*") - F.countDistinct("event_id")).alias("n")),
+    ev_checks = unpivot(
+        ev.agg(
+            (F.count("*") - F.countDistinct("event_id")).alias("uniq"),
+            F.sum(F.col("user_id").isNull().cast("int")).alias("nn"),
+            F.sum(
+                (
+                    ~F.col("event_type").isin(
+                        "click", "view", "signup", "purchase", "error"
+                    )
+                ).cast("int")
+            ).alias("acc"),
+            F.sum(
+                (
+                    (F.col("ts") < F.lit(Q179_TS_LO).cast("timestamp"))
+                    | (F.col("ts") >= F.lit(Q179_TS_HI).cast("timestamp"))
+                ).cast("int")
+            ).alias("rng"),
         ),
-        one(
-            "events.user_id.not_null",
-            ev.agg(
-                F.sum(F.col("user_id").isNull().cast("int")).alias("n")
+        [
+            ("events.event_id.unique", "uniq"),
+            ("events.user_id.not_null", "nn"),
+            ("events.event_type.accepted_values", "acc"),
+            ("events.ts.range", "rng"),
+        ],
+    )
+    fk_orders = unpivot(
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ).agg(F.count("*").alias("fk")),
+        [("orders.o_custkey.fk_customer", "fk")],
+    )
+    # one lineitem pass: the FK check rides a left join against the
+    # unique o_orderkey side (same shuffle as the anti-join) so the
+    # quantity check shares the scan
+    li_checks = unpivot(
+        lineitem.select("l_orderkey", "l_quantity")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.lit(1).alias("__hit"),
             ),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.sum(F.col("__hit").isNull().cast("int")).alias("fk"),
+            F.sum((F.col("l_quantity") <= 0).cast("int")).alias("pos"),
         ),
-        one(
-            "events.event_type.accepted_values",
-            ev.agg(
-                F.sum(
-                    (
-                        ~F.col("event_type").isin(
-                            "click", "view", "signup", "purchase", "error"
-                        )
-                    ).cast("int")
-                ).alias("n")
-            ),
-        ),
-        one(
-            "events.ts.range",
-            ev.agg(
-                F.sum(
-                    (
-                        (F.col("ts") < F.lit(Q179_TS_LO).cast("timestamp"))
-                        | (F.col("ts") >= F.lit(Q179_TS_HI).cast("timestamp"))
-                    ).cast("int")
-                ).alias("n")
-            ),
-        ),
-        one(
-            "orders.o_custkey.fk_customer",
-            orders.join(
-                F.broadcast(customer),
-                orders.o_custkey == customer.c_custkey,
-                "left_anti",
-            ).agg(F.count("*").alias("n")),
-        ),
-        one(
-            "lineitem.l_orderkey.fk_orders",
-            lineitem.join(
-                orders,
-                lineitem.l_orderkey == orders.o_orderkey,
-                "left_anti",
-            ).agg(F.count("*").alias("n")),
-        ),
-        one(
-            "lineitem.l_quantity.positive",
-            lineitem.agg(
-                F.sum((F.col("l_quantity") <= 0).cast("int")).alias("n")
-            ),
-        ),
-        one(
-            "documents.doc_id.unique",
-            docs.agg((F.count("*") - F.countDistinct("doc_id")).alias("n")),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+        [
+            ("lineitem.l_orderkey.fk_orders", "fk"),
+            ("lineitem.l_quantity.positive", "pos"),
+        ],
+    )
+    doc_checks = unpivot(
+        docs.agg((F.count("*") - F.countDistinct("doc_id")).alias("uniq")),
+        [("documents.doc_id.unique", "uniq")],
+    )
+    return ev_checks.unionAll(fk_orders).unionAll(li_checks).unionAll(doc_checks)

@@ -60,3 +60,42 @@ def test_mp4_vs_bag_router(spark):
         "b/cam.mp4": "job_queue",
         "c/notes.txt": "reject",
     }
+
+
+def test_ros_time_pack_integer_exact_edges(spark):
+    """ros_time_pack must agree with the q20 oracle's integer arithmetic
+    ((epoch_us % 1e6) * 1000 << 32 | epoch_us // 1e6) at the edge the
+    float path got wrong: far-future micros where double rounding could
+    shift sec by 1 before the truncating cast. Pre-epoch stamps are OUT
+    of the contract's domain on both engines (DuckDB refuses to
+    left-shift the negative nsec with an Out of Range error — loud, not
+    divergent), so the parity sweep covers epoch..int64-ns-max."""
+    import datetime as dt
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.functions.timeutil import (
+        ros_time_pack,
+    )
+
+    stamps = [
+        dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+        dt.datetime(1970, 1, 1, 0, 0, 0, 999999),       # max nsec field
+        dt.datetime(2024, 1, 30, 23, 57, 12, 194062),   # fixture-like
+        dt.datetime(2262, 4, 11, 23, 47, 16, 854775),   # near int64-ns max
+    ]
+    df = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+    got = [
+        r["p"]
+        for r in df.select(ros_time_pack(F.col("ts")).alias("p")).collect()
+    ]
+    want = [
+        duckdb.sql(
+            f"SELECT ((epoch_us(TIMESTAMP '{t}') % 1000000) * 1000 << 32)"
+            f" | (epoch_us(TIMESTAMP '{t}') // 1000000)"
+        ).fetchone()[0]
+        for t in stamps
+    ]
+    assert got == want
