@@ -52,18 +52,30 @@ def train_quantizer(
 _CODEGEN_MAX_B = 32
 
 
+def _sq_dist_expr(vec_col: str, centroid: list[float]):
+    """Codegen squared-L2 fold to one literal centroid — THE distance
+    expression for the small-B path, shared by bucket assignment and
+    probe ordering so the two can never drift (r7 review)."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(
+        F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     """Codegen argmin over squared L2 to each centroid (no model object on
-    the executors — centroids inline as literals). Small-B path only."""
-    dists = []
-    for c in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        diff = F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
-        dists.append(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
-    best = F.array_position(
-        F.array(*dists), F.array_min(F.array(*dists))
-    ) - 1
-    return best.cast("int")
+    the executors — centroids inline as literals). Small-B path only.
+    array_min over (distance, index) structs builds the O(B*d) literal
+    array ONCE (the previous array_position(arr, array_min(arr)) form
+    instantiated it twice, doubling the plan size the _CODEGEN_MAX_B cap
+    bounds); struct comparison tie-breaks to the lower bucket id, same
+    as array_position's first-match."""
+    structs = [
+        F.struct(_sq_dist_expr(vec_col, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*structs))["i"].cast("int")
 
 
 def _centroid_broadcast(df: DataFrame, centroids: list[list[float]]):
@@ -129,12 +141,12 @@ def ivf_topk_batch(
     ~nprobe/B of |queries| x |corpus|.
     """
     if len(centroids) <= _CODEGEN_MAX_B:
-        dists = []
-        for b, c in enumerate(centroids):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            diff = F.zip_with(F.col(qvec_col), arr, lambda x, y: (x.cast("double") - y) ** 2)
-            d = F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-            dists.append(F.struct(d.alias("d"), F.lit(b).alias("bucket")))
+        dists = [
+            F.struct(
+                _sq_dist_expr(qvec_col, c).alias("d"), F.lit(b).alias("bucket")
+            )
+            for b, c in enumerate(centroids)
+        ]
         probe_buckets = F.transform(
             F.slice(F.array_sort(F.array(*dists)), 1, nprobe), lambda s: s["bucket"]
         )
@@ -228,8 +240,14 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k by cosine scanning only the nprobe nearest buckets."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort([float(np.sum((np.asarray(c) - q) ** 2)) for c in centroids])
+    q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    # same expanded-form distance and STABLE tie order as the batch
+    # path's probe_udf — the default introsort could probe a different
+    # bucket set on exactly-equal centroid distances (duplicate
+    # centroids from k > distinct points), breaking batch/single
+    # equivalence (r7 review)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(_sq_dists(q, cents)[0], kind="stable")
     probe = [int(b) for b in order[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(F.col(vec_col), qcol)

@@ -109,6 +109,28 @@ def _prefix_key(vec: Column, band: int, nbits: int, dim: int) -> Column:
     return key
 
 
+def _dim_guarded(vec: Column, dim: int, keyed: Column) -> Column:
+    """Fail LOUDLY on an embedding whose length != the plane width.
+
+    Without the guard a mismatch is silent and catastrophic: zip_with
+    pads the shorter side with nulls, x*null poisons the dot fold to
+    NULL, every sign bit reads 0 and ALL rows collide in band_key 0 —
+    the quadratic blowup this module exists to prevent — while the
+    DuckDB oracle's list_sum SKIPS nulls and computes real keys (silent
+    parity failure). One size() compare per vector, negligible next to
+    the plane dots.
+    """
+    return F.when(F.size(vec) == dim, keyed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_blocking: embedding length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != plane dim {dim}"),
+            )
+        )
+    )
+
+
 def cell_key_col(
     vec: Column, nbits: int, dim: int = DIM
 ) -> Column:
@@ -116,7 +138,7 @@ def cell_key_col(
     COLUMN — for callers that want the cell as a zero-shuffle projection
     on an existing frame (cf. q109) instead of the (id, cell) frame
     :func:`cell_keys` returns."""
-    return _prefix_key(vec, 0, nbits, dim)
+    return _dim_guarded(vec, dim, _prefix_key(vec, 0, nbits, dim))
 
 
 def band_keys(
@@ -132,8 +154,15 @@ def band_keys(
     shuffles O(N * n_bands) small rows. All bands come from ONE
     projection + posexplode (a per-band select union would scan the
     source n_bands times)."""
-    keys = F.array(
-        *[_prefix_key(F.col(vec_col), b, nbits, dim) for b in range(n_bands)]
+    keys = _dim_guarded(
+        F.col(vec_col),
+        dim,
+        F.array(
+            *[
+                _prefix_key(F.col(vec_col), b, nbits, dim)
+                for b in range(n_bands)
+            ]
+        ),
     )
     return emb.select(
         F.col(id_col), F.posexplode(keys).alias("band", "band_key")
@@ -262,14 +291,32 @@ def band_keys_sql(
     {cte_prefix}_bands AS ({band_rows})"""
 
 
-def candidate_pairs_sql(id_col: str = "vec_id") -> str:
-    """CTE body for ``lsh_cand(id_a, id_b)`` (requires ``lsh_bands``)."""
+def candidate_pairs_sql(id_col: str = "vec_id", cte_prefix: str = "lsh") -> str:
+    """CTE body for ``lsh_cand(id_a, id_b)``: self-join over
+    ``<prefix>_bands`` with the id_a < id_b orientation. ``cte_prefix``
+    mirrors :func:`band_keys_sql` so prefixed band tables can use the
+    canonical join instead of hand-rolling it."""
     return f"""
     lsh_cand AS (
         SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-        FROM lsh_bands a JOIN lsh_bands b
+        FROM {cte_prefix}_bands a JOIN {cte_prefix}_bands b
           ON a.band = b.band AND a.band_key = b.band_key
         WHERE a.{id_col} < b.{id_col}
+    )"""
+
+
+def cross_candidate_pairs_sql(
+    left_prefix: str, right_prefix: str, id_col: str = "vec_id"
+) -> str:
+    """CTE body for ``cand(id_a, id_b)``: candidates across TWO band
+    tables (a query batch probed against a stored index, the q200 shape)
+    — every (left id, right id) colliding in any band, no orientation
+    filter (the tables are disjoint by construction)."""
+    return f"""
+    cand AS (
+        SELECT DISTINCT q.{id_col} AS id_a, i.{id_col} AS id_b
+        FROM {left_prefix}_bands q JOIN {right_prefix}_bands i
+          ON q.band = i.band AND q.band_key = i.band_key
     )"""
 
 

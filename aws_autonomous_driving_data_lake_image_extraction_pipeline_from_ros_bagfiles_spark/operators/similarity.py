@@ -33,7 +33,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN) for a zero-norm operand: 0/0 is NaN in the JVM and
+    Spark orders NaN ABOVE every double, so one all-zeros embedding would
+    rank first in every desc-ordered top-k, silently displacing a real
+    neighbor. DuckDB's 0/0 is already NULL, so the guard also keeps
+    oracle parity on degenerate vectors (desc ordering puts NULLS LAST
+    on both engines)."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0.0, dot(a, b) / den)
 
 
 def cosine_topk(

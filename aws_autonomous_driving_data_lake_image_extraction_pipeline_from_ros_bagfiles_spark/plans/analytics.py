@@ -962,11 +962,7 @@ def _q200_oracle() -> str:
     {L.nbits_param_sql("corpus")},
     {L.band_keys_sql("corpus", cte_prefix="ix")},
     {L.band_keys_sql("newb", cte_prefix="qr")},
-    cand AS (
-        SELECT DISTINCT q.vec_id AS id_a, i.vec_id AS id_b
-        FROM qr_bands q JOIN ix_bands i
-          ON q.band = i.band AND q.band_key = i.band_key
-    )
+    {L.cross_candidate_pairs_sql("qr", "ix")}
     SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.id_a

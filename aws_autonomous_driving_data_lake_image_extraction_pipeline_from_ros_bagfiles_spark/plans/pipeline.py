@@ -98,9 +98,6 @@ def q33_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("q56_select_anonymize")
 def q56_select_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.images import blur_regions, decode_frames
     from ..sources.topic_views import image_view as iv
 
@@ -270,7 +267,10 @@ def q35_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
 
         os.makedirs(f"{work}/in")
-        os.symlink(src, f"{work}/in/events.parquet")
+        # abspath: a relative SF dir would resolve against the symlink's
+        # OWN directory under /tmp and dangle (stream ingests nothing,
+        # read_upsert_state then raises)
+        os.symlink(os.path.abspath(src), f"{work}/in/events.parquet")
         max_upsert_stream(
             spark,
             f"{work}/in",

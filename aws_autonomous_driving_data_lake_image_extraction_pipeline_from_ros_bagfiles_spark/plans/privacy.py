@@ -1,11 +1,20 @@
 """Privacy-preserving release (q167): differentially-private counts via
 the Laplace mechanism with DETERMINISTIC hash-seeded noise.
 
-Publishing per-(event_type, day) activity counts from a user-event table
-is the canonical DP use case (each user contributes to a handful of
-cells; the released table must not reveal any individual's presence).
-The mechanism is textbook Laplace with sensitivity 1: noise ~ Lap(1/eps)
-added to every cell, negatives clamped to 0.
+Publishing per-(event_type, day) activity counts from a user-event
+table is the canonical DP use case. The mechanism is textbook Laplace
+with sensitivity 1: noise ~ Lap(1/eps) added to every cell, negatives
+clamped to 0.
+
+Guarantee granularity — EVENT-level DP, not user-level: sensitivity 1
+means neighboring datasets differ by ONE EVENT row. A user contributing
+m events to a cell moves it by m, which Lap(1/eps) does not mask;
+user-level DP requires bounding each user's contribution first (clamp
+events-per-user-per-cell to c and cells-per-user to g, then calibrate
+noise to sensitivity c*g — the standard contribution-bounding
+preprocessing, one extra per-user rank window before the cell rollup).
+The released table here protects single events, the common granularity
+for activity telemetry.
 
 Determinism (what makes this oracle-checkable): the uniform draw is not
 an RNG but an md5 hash of the cell key + a fixed release salt — u =
@@ -65,12 +74,20 @@ def q167_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.col("ts").cast("date").cast("string").alias("day")
     ).agg(F.count("*").alias("true_count"))
+    # null-PROPAGATING concat (F.concat, not concat_ws): the oracle's ||
+    # nullifies the whole hash input when a key is NULL, so a NULL
+    # event_type must yield NULL noise on the Spark side too — concat_ws
+    # would silently skip the null and hash "day|salt" into real noise,
+    # a guaranteed hash-gate mismatch on the first fixture with null keys
     u = (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        "|", "event_type", "day", F.lit(Q167_SALT)
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("day"),
+                        F.lit("|" + Q167_SALT),
                     )
                 ),
                 1,

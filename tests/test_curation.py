@@ -37,12 +37,19 @@ def test_semdedup_keeps_lowest_centroid_similarity(spark, monkeypatch, tmp_path)
     # Cluster of three: two near-identical vectors near the centroid and
     # one diverse outlier. SemDeDup must drop exactly one of the twins —
     # the one with HIGHER centroid similarity — and keep the outlier.
+    # Vectors live in the operators' real 64-dim plane space (zero-padded
+    # — the dim guard now rejects short toys loudly) and are chosen so
+    # all three share LSH cell bit 0 (plane(0,0) has c0=-1, c1=+1:
+    # every vector needs x1 < x0).
     import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.curation as C
 
+    def pad(v):
+        return v + [0.0] * (64 - len(v))
+
     twins_plus_outlier = [
-        (1, 0, [1.0, 0.02]),
-        (2, 0, [1.0, 0.0]),
-        (3, 0, [-0.2, 1.0]),
+        (1, 0, pad([1.0, -0.02])),
+        (2, 0, pad([1.0, 0.0])),
+        (3, 0, pad([0.2, -1.0])),
     ]
     emb = spark.createDataFrame(
         twins_plus_outlier, "vec_id long, label int, embedding array<float>"
@@ -57,7 +64,7 @@ def test_semdedup_keeps_lowest_centroid_similarity(spark, monkeypatch, tmp_path)
         for r in C.q109_semantic_dedup(spark, "ignored").collect()
     }
     # twins have cosine ~0.9998 >= tau; vec 1 sits closer to the centroid
-    # (its +y lean points toward the outlier's pull) so vec 1 is dropped
+    # (its -y lean points toward the outlier's pull) so vec 1 is dropped
     assert set(kept) == {2, 3}
     assert kept[3] < kept[2] < 1.0
 

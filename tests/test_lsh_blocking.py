@@ -140,3 +140,26 @@ def test_cell_keys_single_assignment(spark):
     assert cells.select("vec_id").distinct().count() == emb.count()
     nc = cells.select("cell").distinct().count()
     assert 1 <= nc <= 8  # 3 bits -> at most 8 cells
+
+
+def test_band_keys_raises_on_dim_mismatch(spark):
+    """A vector whose length != the plane width must fail LOUDLY: before
+    the guard, zip_with null-padded the plane, the dot fold went NULL,
+    every bit read 0 and ALL rows collided in band_key 0 — a silent
+    quadratic blowup plus oracle divergence (DuckDB's list_sum skips the
+    null products and computes real keys)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.lsh_blocking import (
+        band_keys,
+        cell_key_col,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 128)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length 128 != plane dim 64"):
+        band_keys(bad, nbits=4).collect()
+    with pytest.raises(Exception, match="embedding length 128 != plane dim 64"):
+        bad.select(cell_key_col(F.col("embedding"), 4)).collect()
