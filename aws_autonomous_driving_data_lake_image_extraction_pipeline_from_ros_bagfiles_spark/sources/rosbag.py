@@ -97,8 +97,47 @@ def _iter_records(buf: bytes, pos: int = 0) -> Iterator[tuple[dict[str, bytes], 
 
 
 def _ros_key(t: int) -> int:
-    """Monotone ordering key for packed ros times ((nsec<<32)|sec)."""
+    """Monotone ordering key for packed ros times.
+
+    The packed form is ``(nsec << 32) | sec`` (bagstream.py:222), whose
+    integer order is dominated by nanoseconds — comparing raw packed
+    values is WRONG. This swaps the halves so sec is the high word.
+    (rosbag_split re-exports this as its public ``ros_key``.)
+    """
     return ((t & 0xFFFFFFFF) << 32) | (t >> 32)
+
+
+def _connection_entry(header: dict[str, bytes], data: bytes) -> tuple[int, dict[str, str]]:
+    """op-7 record -> (conn id, {topic, type}) — THE connection parse,
+    shared by the sequential decoder and rosbag_split's layout scan so
+    the registry semantics cannot drift."""
+    conn_id = struct.unpack("<I", header["conn"])[0]
+    conn_fields = _parse_fields(data)
+    return conn_id, {
+        "topic": header.get("topic", conn_fields.get("topic", b"")).decode("iso-8859-1"),
+        "type": conn_fields.get("type", b"").decode("iso-8859-1"),
+    }
+
+
+def _message_row(bag_name: str, conn: dict[str, str], ros_time: int, msg: dict) -> dict:
+    """Decoded message -> BAG_RECORD_SCHEMA row dict — shared by the
+    sequential decoder and rosbag_split's chunk decoder (one source of
+    truth for the output shape)."""
+    return {
+        "bag": bag_name,
+        "topic": conn["topic"],
+        "msg_type": conn["type"],
+        "ros_time": ros_time,
+        "seq": msg.get("seq"),
+        "frame_id": msg.get("frame_id"),
+        "payload_json": json.dumps(msg.get("payload", {}), sort_keys=True)
+        if msg.get("payload") is not None
+        else None,
+        "img_encoding": msg.get("img_encoding"),
+        "img_width": msg.get("img_width"),
+        "img_height": msg.get("img_height"),
+        "img_data": msg.get("img_data"),
+    }
 
 
 def decode_bag_bytes(
@@ -137,12 +176,8 @@ def decode_bag_bytes(
         for header, data in records:
             op = header["op"][0]
             if op == OP_CONNECTION:
-                conn_id = struct.unpack("<I", header["conn"])[0]
-                conn_fields = _parse_fields(data)
-                connections[conn_id] = {
-                    "topic": header.get("topic", conn_fields.get("topic", b"")).decode("iso-8859-1"),
-                    "type": conn_fields.get("type", b"").decode("iso-8859-1"),
-                }
+                conn_id, entry = _connection_entry(header, data)
+                connections[conn_id] = entry
             elif op == OP_MESSAGE:
                 conn_id = struct.unpack("<I", header["conn"])[0]
                 ros_time = struct.unpack("<Q", header["time"])[0]
@@ -151,22 +186,9 @@ def decode_bag_bytes(
                     continue
                 if lo is not None and not (lo <= _ros_key(ros_time) <= hi):
                     continue
-                msg = decode_message(conn["type"], data)
-                yield {
-                    "bag": bag_name,
-                    "topic": conn["topic"],
-                    "msg_type": conn["type"],
-                    "ros_time": ros_time,
-                    "seq": msg.get("seq"),
-                    "frame_id": msg.get("frame_id"),
-                    "payload_json": json.dumps(msg.get("payload", {}), sort_keys=True)
-                    if msg.get("payload") is not None
-                    else None,
-                    "img_encoding": msg.get("img_encoding"),
-                    "img_width": msg.get("img_width"),
-                    "img_height": msg.get("img_height"),
-                    "img_data": msg.get("img_data"),
-                }
+                yield _message_row(
+                    bag_name, conn, ros_time, decode_message(conn["type"], data)
+                )
             elif op == OP_CHUNK:
                 compression = header.get("compression", b"none").decode("iso-8859-1")
                 inner = bz2.decompress(data) if compression == "bz2" else data
@@ -176,9 +198,12 @@ def decode_bag_bytes(
 
     try:
         yield from handle(_iter_records(blob, len(BAG_MAGIC)))
-    except (struct.error, IndexError, KeyError, OSError) as e:
+    except (struct.error, IndexError, KeyError, OSError, ValueError) as e:
         # struct/index: truncated or garbage framing; KeyError: missing
-        # mandatory header field; OSError: bz2 decompress failure
+        # mandatory header field; OSError: garbage fed to bz2; ValueError:
+        # truncated bz2 stream ("data ended before end-of-stream marker")
+        # and '='-less header fields — all must carry the bag name, or a
+        # thousand-bag ingest fails with an unattributable bare error
         raise ValueError(f"corrupt bag record stream in {bag_name}: {e}") from e
 
 
@@ -189,10 +214,9 @@ def _decode_partition(
 ):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for bag_path, blob in zip(pdf["path"], pdf["content"]):
                 try:
-                    # materialize per bag BEFORE extending so a bag that
+                    # materialize per bag BEFORE yielding so a bag that
                     # corrupts mid-stream contributes nothing (all-or-
                     # nothing per file, no partial topic tables)
                     decoded = list(
@@ -205,8 +229,11 @@ def _decode_partition(
                     # in the same batch still decode (Spark's PERMISSIVE
                     # json-mode philosophy applied to binary ingest)
                 else:
-                    rows.extend(decoded)
-            yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+                    # one Arrow batch PER BAG, not per input batch: peak
+                    # memory is one bag's rows, not every bag in the
+                    # partition stacked into a single list (r7 review)
+                    if decoded:
+                        yield pd.DataFrame(decoded, columns=_RECORD_COLUMNS)
 
     return run
 

@@ -51,12 +51,19 @@ from .rosbag import (
     OP_CONNECTION,
     OP_MESSAGE,
     _RECORD_COLUMNS,
+    _connection_entry,
+    _message_row,
     _parse_fields,
     _iter_records,
+    _ros_key,
 )
 from .ros_messages import decode_message
 
 OP_CHUNK_INFO = 6
+
+# public re-export: the packed-ros-time ordering key (docs on the
+# canonical definition in rosbag.py — one implementation, not a copy)
+ros_key = _ros_key
 
 
 @dataclass
@@ -83,22 +90,15 @@ class BagLayout:
     chunk_infos: dict[int, ChunkInfo]  # keyed by chunk record offset
 
 
-def ros_key(t: int) -> int:
-    """Monotone ordering key for packed ros times.
-
-    The packed form is ``(nsec << 32) | sec`` (bagstream.py:222), whose
-    integer order is dominated by nanoseconds — comparing raw packed
-    values is WRONG. This swaps the halves so sec is the high word.
-    """
-    return ((t & 0xFFFFFFFF) << 32) | (t >> 32)
-
-
 def scan_bag_layout(path: str) -> BagLayout:
     """Header-only pass: connection registry + chunk extents + chunk infos.
 
     Requires top-level connection records (the standard bag layout writes
     them in the index region after the chunks); raises if none are found
-    so callers can fall back to the sequential decoder.
+    so callers can fall back to the sequential decoder. Malformed framing
+    raises ValueError naming the path (same contract as the sequential
+    decoder — this scan runs driver-side over EVERY bag in the plan, so
+    an unattributed struct.error would abort planning undebuggably).
     """
     connections: dict[int, dict[str, str]] = {}
     chunks: list[ChunkExtent] = []
@@ -106,48 +106,53 @@ def scan_bag_layout(path: str) -> BagLayout:
     with open(path, "rb") as f:
         magic = f.read(len(BAG_MAGIC))
         if magic != BAG_MAGIC:
-            raise ValueError(f"unsupported bag version: {magic[:40]!r} (only 2.0)")
-        while True:
-            record_offset = f.tell()
-            raw = f.read(4)
-            if len(raw) < 4:
-                break
-            (hlen,) = struct.unpack("<I", raw)
-            header = _parse_fields(f.read(hlen))
-            (dlen,) = struct.unpack("<I", f.read(4))
-            op = header["op"][0]
-            if op == OP_CONNECTION:
-                conn_id = struct.unpack("<I", header["conn"])[0]
-                conn_fields = _parse_fields(f.read(dlen))
-                connections[conn_id] = {
-                    "topic": header.get("topic", conn_fields.get("topic", b"")).decode("iso-8859-1"),
-                    "type": conn_fields.get("type", b"").decode("iso-8859-1"),
-                }
-            elif op == OP_CHUNK:
-                compression = header.get("compression", b"none").decode("iso-8859-1")
-                chunks.append(ChunkExtent(path, record_offset, f.tell(), dlen, compression))
-                f.seek(dlen, 1)
-            elif op == OP_CHUNK_INFO:
-                pos = struct.unpack("<Q", header["chunk_pos"])[0]
-                data = f.read(dlen)
-                counts: dict[int, int] = {}
-                for off in range(0, len(data) - 7, 8):
-                    cid, n = struct.unpack_from("<II", data, off)
-                    counts[cid] = n
-                infos[pos] = ChunkInfo(
-                    pos,
-                    struct.unpack("<Q", header["start_time"])[0],
-                    struct.unpack("<Q", header["end_time"])[0],
-                    counts,
-                )
-            else:
-                f.seek(dlen, 1)
+            raise ValueError(
+                f"{path}: unsupported bag version: {magic[:40]!r} (only 2.0)"
+            )
+        try:
+            _scan_records(f, connections, chunks, infos, path)
+        except (struct.error, IndexError, KeyError, ValueError) as e:
+            raise ValueError(f"corrupt bag layout in {path}: {e}") from e
     if not connections:
         raise ValueError(
             f"{path}: no top-level connection records — bag is not split-readable; "
             "use sources.rosbag.read_bags (sequential) instead"
         )
     return BagLayout(connections, chunks, infos)
+
+
+def _scan_records(f, connections, chunks, infos, path: str) -> None:
+    while True:
+        record_offset = f.tell()
+        raw = f.read(4)
+        if len(raw) < 4:
+            break
+        (hlen,) = struct.unpack("<I", raw)
+        header = _parse_fields(f.read(hlen))
+        (dlen,) = struct.unpack("<I", f.read(4))
+        op = header["op"][0]
+        if op == OP_CONNECTION:
+            conn_id, entry = _connection_entry(header, f.read(dlen))
+            connections[conn_id] = entry
+        elif op == OP_CHUNK:
+            compression = header.get("compression", b"none").decode("iso-8859-1")
+            chunks.append(ChunkExtent(path, record_offset, f.tell(), dlen, compression))
+            f.seek(dlen, 1)
+        elif op == OP_CHUNK_INFO:
+            pos = struct.unpack("<Q", header["chunk_pos"])[0]
+            data = f.read(dlen)
+            counts: dict[int, int] = {}
+            for off in range(0, len(data) - 7, 8):
+                cid, n = struct.unpack_from("<II", data, off)
+                counts[cid] = n
+            infos[pos] = ChunkInfo(
+                pos,
+                struct.unpack("<Q", header["start_time"])[0],
+                struct.unpack("<Q", header["end_time"])[0],
+                counts,
+            )
+        else:
+            f.seek(dlen, 1)
 
 
 def plan_bag_splits(
@@ -228,22 +233,7 @@ def _decode_chunk(
         ros_time = struct.unpack("<Q", header["time"])[0]
         if lo is not None and not (lo <= ros_key(ros_time) <= hi):
             continue
-        msg = decode_message(conn["type"], payload)
-        yield {
-            "bag": path,
-            "topic": conn["topic"],
-            "msg_type": conn["type"],
-            "ros_time": ros_time,
-            "seq": msg.get("seq"),
-            "frame_id": msg.get("frame_id"),
-            "payload_json": json.dumps(msg.get("payload", {}), sort_keys=True)
-            if msg.get("payload") is not None
-            else None,
-            "img_encoding": msg.get("img_encoding"),
-            "img_width": msg.get("img_width"),
-            "img_height": msg.get("img_height"),
-            "img_data": msg.get("img_data"),
-        }
+        yield _message_row(path, conn, ros_time, decode_message(conn["type"], payload))
 
 
 def read_bags_split(

@@ -28,17 +28,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _sanitize(group: str) -> str:
+    """Topic/group -> filesystem-safe file stem (bagstream.py's key style)."""
+    return group.strip("/").replace("/", "_")
+
+
+def _check_sanitize_collisions(df: DataFrame, col: str) -> None:
+    """Fail LOUDLY if two distinct groups sanitize to the same output
+    stem ('/cam/front' and '/cam_front' both -> 'cam_front'): concurrent
+    executor tasks would otherwise overwrite each other's files with no
+    error. One tiny distinct-collect per sink call (|topics| rows)."""
+    groups = [r[0] for r in df.select(col).distinct().collect()]
+    seen: dict[str, str] = {}
+    for g in groups:
+        s = _sanitize(str(g))
+        if s in seen and seen[s] != g:
+            raise ValueError(
+                f"sink name collision: groups {seen[s]!r} and {g!r} both"
+                f" sanitize to {s!r} — outputs would silently overwrite"
+            )
+        seen[s] = g
+
+
 def write_topic_tables(records: DataFrame, root: str, fmt: str = "parquet") -> None:
     """K1: one logical table per topic via partitioned write. CSV is
     supported for reference parity; parquet is the real layout."""
-    writer = records.write.mode("overwrite").partitionBy("topic")
     if fmt == "csv":
         # CSV cannot carry binary image payloads — mirror the reference,
         # which routes images to the PNG sink instead of the topic CSV
-        writer = records.drop("img_data").write.mode("overwrite").partitionBy("topic")
-        writer.option("header", True).csv(root)
+        (
+            records.drop("img_data")
+            .write.mode("overwrite")
+            .partitionBy("topic")
+            .option("header", True)
+            .csv(root)
+        )
+    elif fmt == "parquet":
+        records.write.mode("overwrite").partitionBy("topic").parquet(root)
     else:
-        writer.parquet(root)
+        # no silent fallthrough: an unknown fmt must not quietly write
+        # parquet a downstream CSV reader then chokes on
+        raise ValueError(f"unsupported fmt {fmt!r}: expected 'csv' or 'parquet'")
 
 
 def write_frames(frames: DataFrame, root: str) -> None:
@@ -54,6 +84,8 @@ def write_png_files(decoded: DataFrame, root: str, name_col: str = "img_file") -
     (at scale each task PUTs to the object store exactly like the
     reference's upload queue, K4). Returns the number of files written."""
 
+    _check_sanitize_collisions(decoded, "topic")
+
     def write_batches(batches):
         import os
 
@@ -66,7 +98,17 @@ def write_png_files(decoded: DataFrame, root: str, name_col: str = "img_file") -
             for topic, name, pix, w, h in zip(
                 pdf["topic"], pdf[name_col], pdf["pixels"], pdf["img_width"], pdf["img_height"]
             ):
-                d = os.path.join(root, topic.strip("/").replace("/", "_"))
+                # input contract: decode_frames output (RGB-normalized,
+                # exactly w*h*3). A raw img_data buffer fed here would be
+                # SILENTLY truncated by the encoder (rgba -> scrambled
+                # RGB) or crash it on mono — fail with a named frame
+                if len(pix) != int(w) * int(h) * 3:
+                    raise ValueError(
+                        f"frame {name!r} ({topic}): buffer {len(pix)} bytes"
+                        f" != {w}x{h}x3 — write_png_files consumes"
+                        " decode_frames output, not raw img_data"
+                    )
+                d = os.path.join(root, _sanitize(topic))
                 os.makedirs(d, exist_ok=True)
                 with open(os.path.join(d, name), "wb") as f:
                     f.write(encode_png(bytes(pix), int(w), int(h), 3))
@@ -109,6 +151,8 @@ def render_avi_videos(
     from one directory listing); groups are independent, so rendering
     scales group-wide with no shuffle beyond the groupBy."""
 
+    _check_sanitize_collisions(frames, group_col)
+
     def render(pdf):
         import os
 
@@ -118,8 +162,25 @@ def render_avi_videos(
         from ..functions.avi import encode_avi
 
         pdf = pdf.sort_values(order_col)
-        w = int(pdf["img_width"].iloc[0])
-        h = int(pdf["img_height"].iloc[0])
+        group = str(pdf[group_col].iloc[0])
+        # an AVI has ONE frame size: a group mixing resolutions (camera
+        # reconfigured mid-recording) or carrying non-RGB buffers cannot
+        # render — fail naming the group instead of a bare reshape error
+        # that kills the whole job anonymously
+        dims = {(int(w), int(h)) for w, h in zip(pdf["img_width"], pdf["img_height"])}
+        if len(dims) != 1:
+            raise ValueError(
+                f"group {group!r}: mixed frame sizes {sorted(dims)} cannot"
+                " pack into one AVI — split the group or normalize upstream"
+            )
+        ((w, h),) = dims
+        bad = [len(p) for p in pdf["pixels"] if len(p) != w * h * 3]
+        if bad:
+            raise ValueError(
+                f"group {group!r}: {len(bad)} frame buffers != {w}x{h}x3"
+                " (e.g. {0} bytes) — render_avi_videos consumes"
+                " decode_frames output, not raw img_data".format(bad[0])
+            )
         stack = np.stack(
             [
                 np.frombuffer(bytes(p), dtype=np.uint8).reshape(h, w, 3)
@@ -127,9 +188,8 @@ def render_avi_videos(
             ]
         )
         data = encode_avi(stack, fps=fps)
-        group = str(pdf[group_col].iloc[0])
         os.makedirs(root, exist_ok=True)
-        path = os.path.join(root, group.strip("/").replace("/", "_") + ".avi")
+        path = os.path.join(root, _sanitize(group) + ".avi")
         with open(path, "wb") as f:
             f.write(data)
         return pd.DataFrame(

@@ -154,3 +154,22 @@ def test_sequential_pushdown_matches_filter(spark):
         assert len(pushed) == 3
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_scan_layout_names_corrupt_bag(tmp_path):
+    """A truncated/garbage bag must fail layout planning with a ValueError
+    naming the path — the scan runs driver-side over every bag in the
+    plan, and a bare struct.error names nothing (r7 review)."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag import (
+        BAG_MAGIC,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag_split import (
+        scan_bag_layout,
+    )
+
+    bad = tmp_path / "trunc.bag"
+    bad.write_bytes(BAG_MAGIC + b"\x10\x00\x00\x00\x02")  # header cut short
+    with pytest.raises(ValueError, match="corrupt bag layout in .*trunc.bag"):
+        scan_bag_layout(str(bad))

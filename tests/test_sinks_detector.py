@@ -103,3 +103,25 @@ def test_topic_csv_sink_drops_binary(spark):
         assert back.filter(F.col("topic") == "/odom").count() == 4
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sink_sanitize_collision_raises(spark, tmp_path):
+    """Two topics sanitizing to one file stem ('/cam/front' vs '/cam_front')
+    must fail loudly — concurrent tasks would otherwise overwrite each
+    other's output with no error (r7 review)."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.sinks import (
+        write_png_files,
+    )
+
+    rows = [
+        ("/cam/front", "a.png", b"\x00" * 3, 1, 1),
+        ("/cam_front", "b.png", b"\x00" * 3, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, img_file string, pixels binary, img_width int, img_height int",
+    )
+    with pytest.raises(ValueError, match="sink name collision"):
+        write_png_files(df, str(tmp_path))
