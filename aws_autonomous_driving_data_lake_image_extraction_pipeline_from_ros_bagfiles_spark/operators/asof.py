@@ -25,9 +25,17 @@ medicine. Right rows sort before left rows at an equal timestamp (tag 0
 < 1), so an exactly-simultaneous right row IS matched (<= semantics),
 mirroring the exact-key join it generalizes.
 
-Determinism: among right rows tied on (key, ts), the winner is the one
-with the greatest payload struct (field order = ts, then *value_cols* in
-the order given) — callers list a unique column (an id) first.
+Determinism: among right rows tied on (key, ts) the winner is fixed by
+the payload struct order (field order = ts, then *value_cols* in the
+order given; callers list a unique column — an id — first): BACKWARD
+takes the GREATEST struct (last under asc), FORWARD the SMALLEST (last
+under desc). Oracles must mirror the per-direction rule.
+
+Right rows with a NULL ``ts_col`` are dropped before the union: a NULL
+timestamp cannot be "at or before" anything, but under asc ordering it
+would sort FIRST and become a phantom match for left rows that have no
+real predecessor (visible whenever ``tolerance`` is None, since the
+tolerance null-out is what masked it otherwise).
 """
 
 from __future__ import annotations
@@ -56,6 +64,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
+    right = right.filter(F.col(ts_col).isNotNull())  # see module docstring
     rstruct = F.struct(
         F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
     )

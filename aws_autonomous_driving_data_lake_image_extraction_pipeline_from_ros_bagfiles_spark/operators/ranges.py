@@ -43,6 +43,12 @@ def interval_point_join(
     explicit. Output carries every column of both inputs (caller keeps
     the names disjoint), minus the internal bin.
     """
+    if bin_size <= 0:
+        # DIV by 0 yields NULL -> sequence(NULL, NULL) -> explode drops
+        # every interval: the join would return EMPTY with no error (a
+        # dynamically-derived bin size rounding to 0 is the realistic way
+        # in). Loud guard instead (r7 review).
+        raise ValueError(f"bin_size must be positive, got {bin_size}")
     ivl = intervals.withColumn(
         "__bin",
         F.explode(

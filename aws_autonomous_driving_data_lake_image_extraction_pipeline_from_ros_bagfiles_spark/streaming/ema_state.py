@@ -1,12 +1,21 @@
 """Stateful streaming EMA: per-key ValueState-style fold across
 micro-batches.
 
-Per key (user), state holds ``(ema, n_events)``; every micro-batch folds
-its rows into the recurrence ``ema = alpha * x + (1 - alpha) * ema`` in
-(ts, event_id) order and emits the running result. Because state carries
-the exact float across batches and rows are folded in the same total
-order, the multi-batch streaming result is BIT-IDENTICAL to a
-single-pass fold — which is what lets the batch oracle check it.
+Per key (user), state holds ``(ema, n_events, last (ts, event_id))``;
+every micro-batch folds its rows into the recurrence
+``ema = alpha * x + (1 - alpha) * ema`` in (ts, event_id) order and
+emits the running result. Because state carries the exact float across
+batches and rows are folded in the same total order, the multi-batch
+streaming result is BIT-IDENTICAL to a single-pass fold — which is what
+lets the batch oracle check it.
+
+That total order is a CONTRACT ON THE LANDING DIR (files must arrive in
+(ts, event_id) order — the per-batch sort cannot reorder across batch
+boundaries), and the fold ENFORCES it: state remembers the last folded
+(ts, event_id) and a batch whose earliest row regresses fails loudly
+instead of silently folding out of order and diverging from the oracle
+(r7 review). Out-of-order landings need the watermarked-aggregation
+path (windows.py) or a re-sort upstream, not this order-sensitive fold.
 
 API note: Spark 4's ``transformWithStateInPandas`` (the arbitrary-state
 successor API) is ENV-BLOCKED in this container — its worker imports
@@ -30,7 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, ema double"
-STATE_SCHEMA = "ema double, n bigint"
+STATE_SCHEMA = "ema double, n bigint, last_us bigint, last_eid bigint"
 
 
 def _make_fold(alpha: float):
@@ -40,14 +49,31 @@ def _make_fold(alpha: float):
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         if state.exists:
-            ema, n = state.get
+            ema, n, last_us, last_eid = state.get
         else:
-            ema, n = None, 0
+            ema, n, last_us, last_eid = None, 0, None, None
+        first_us = int(pdf["ts"].iloc[0].value // 1000)
+        first_eid = int(pdf["event_id"].iloc[0])
+        if last_us is not None and (first_us, first_eid) <= (last_us, last_eid):
+            raise ValueError(
+                f"ema_stream: key {key[0]} received a batch starting at"
+                f" (ts_us={first_us}, event_id={first_eid}) at or before the"
+                f" last folded row (ts_us={last_us}, event_id={last_eid}) —"
+                " the landing dir violated the in-order contract; the fold"
+                " would silently diverge from the single-pass oracle"
+            )
         for x in pdf["value"]:
             x = float(x)
             ema = x if ema is None else alpha * x + (1.0 - alpha) * ema
             n += 1
-        state.update((ema, n))
+        state.update(
+            (
+                ema,
+                n,
+                int(pdf["ts"].iloc[-1].value // 1000),
+                int(pdf["event_id"].iloc[-1]),
+            )
+        )
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema": [ema]})
 
     return fold

@@ -33,7 +33,9 @@ def stream_stream_click_view_join(
     delay: str = "40 days",
 ) -> None:
     """availableNow drain: join every click with ALL of the same user's
-    views in (click.ts - tolerance, click.ts], append matches to
+    views in [click.ts - tolerance, click.ts] (both bounds INCLUSIVE —
+    the join predicate is >=, matching the q66/q88 batch oracles), append
+    matches to
     ``out_dir``. Two independent readStream handles over the same landing
     directory (a supported self-join); both sides carry watermarks so the
     join state is evictable."""

@@ -46,20 +46,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _sources(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Union of live partials and all compact generations, normalized to
-    (key..., partial_max, batch_id). Overlap between a crashed compact's
-    inputs and its output is harmless under max-merge."""
+def _list_partials(state_dir: str) -> list[str]:
+    pdir = os.path.join(state_dir, "partials")
+    if not os.path.isdir(pdir):
+        return []
+    return sorted(e for e in os.listdir(pdir) if e.startswith("batch_id="))
+
+
+def _list_gens(state_dir: str) -> list[int]:
+    cdir = os.path.join(state_dir, "compacted")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(int(e[2:]) for e in os.listdir(cdir) if e.startswith("v="))
+
+
+def _sources_for(
+    spark: SparkSession, state_dir: str, partials: list[str], gens: list[int]
+) -> DataFrame | None:
+    """Union of EXACTLY the named partial partitions and compact
+    generations, normalized to (key..., partial_max, batch_id). Reading
+    a fixed snapshot (not whole directories) is what makes compaction
+    safe against concurrent writers — see compact_upsert_state. Overlap
+    between a crashed compact's inputs and its output is harmless under
+    max-merge."""
     parts = []
     pdir, cdir = os.path.join(state_dir, "partials"), os.path.join(state_dir, "compacted")
-    if os.path.isdir(pdir) and any(e.startswith("batch_id=") for e in os.listdir(pdir)):
-        # partition-dir inference types batch_id as int; normalize to bigint
+    if partials:
+        # basePath keeps batch_id as a partition column; inference types
+        # it int, normalize to bigint
         parts.append(
-            spark.read.parquet(pdir).withColumn("batch_id", F.col("batch_id").cast("bigint"))
+            spark.read.option("basePath", pdir)
+            .parquet(*[os.path.join(pdir, e) for e in partials])
+            .withColumn("batch_id", F.col("batch_id").cast("bigint"))
         )
-    if os.path.isdir(cdir) and any(e.startswith("v=") for e in os.listdir(cdir)):
+    if gens:
+        # leaf-dir reads carry no v partition column; rows already hold
+        # (key..., partial_max, last_batch)
         parts.append(
-            spark.read.parquet(cdir).drop("v").withColumnRenamed("last_batch", "batch_id")
+            spark.read.parquet(*[os.path.join(cdir, f"v={g}") for g in gens])
+            .withColumnRenamed("last_batch", "batch_id")
         )
     if not parts:
         return None
@@ -67,6 +92,26 @@ def _sources(spark: SparkSession, state_dir: str) -> DataFrame | None:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _sources(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    return _sources_for(
+        spark, state_dir, _list_partials(state_dir), _list_gens(state_dir)
+    )
+
+
+def _last_raising_batch():
+    """``last_batch`` = the FIRST batch to reach the key's current max:
+    among max-value rows, the SMALLEST batch_id. A later batch
+    re-delivering an EQUAL value did not raise the max and must not
+    advance the CDC cursor (the DynamoDB conditional ``s.v > t.v`` would
+    not fire, hence no change event) — r7 review; the previous
+    (value, batch_id) tie-break reported unchanged keys as changed.
+    Associative under re-merge (argmax by (value, -batch)), so compacted
+    generations stay consistent with partial replays."""
+    return F.max_by(
+        "batch_id", F.struct(F.col("partial_max"), (-F.col("batch_id")).alias("nb"))
+    ).alias("last_batch")
 
 
 def max_upsert_stream(
@@ -77,11 +122,39 @@ def max_upsert_stream(
     checkpoint_dir: str,
     key_cols: list[str],
     value_col: str,
+    allow_checkpoint_change: bool = False,
 ) -> None:
     """Run an availableNow streaming pass: per micro-batch, write the
     batch's per-key max partials under its own ``batch_id=`` partition
     (overwrite -> replay-idempotent); checkpointed so a restart resumes
-    at the unprocessed remainder."""
+    at the unprocessed remainder.
+
+    The replay-safety argument holds only for ONE checkpoint lineage: a
+    fresh checkpoint restarts batch ids at 0, and dynamic partition
+    overwrite would then silently replace the old lineage's
+    batch_id=0..N partials with UNRELATED data (r7 review — the classic
+    lost-checkpoint ops event). A marker file pins the state dir to its
+    checkpoint; a mismatch with live state refuses loudly unless the
+    caller passes ``allow_checkpoint_change=True`` — the documented
+    escape for the one safe case: redelivering the SAME source payload
+    (at-least-once duplicate delivery, a no-op under max-merge).
+    """
+    marker = os.path.join(state_dir, "_stream_checkpoint.txt")
+    cp = os.path.abspath(checkpoint_dir)
+    if os.path.exists(marker) and not allow_checkpoint_change:
+        prior = open(marker).read().strip()
+        if prior != cp and (_list_partials(state_dir) or _list_gens(state_dir)):
+            raise ValueError(
+                f"state_dir {state_dir} holds state written under checkpoint"
+                f" {prior}; a different checkpoint ({cp}) would restart"
+                " batch ids at 0 and silently overwrite those partials —"
+                " compact and clear the state, reuse the original"
+                " checkpoint, or pass allow_checkpoint_change=True if this"
+                " is a same-payload redelivery"
+            )
+    os.makedirs(state_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(cp)
     stream = spark.readStream.schema(schema).parquet(source_path)
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -130,7 +203,7 @@ def read_upsert_changes(
         raise FileNotFoundError(f"no upsert state under {state_dir}")
     w_key = src.groupBy(*key_cols).agg(
         F.max("partial_max").alias(value_alias),
-        F.max_by("batch_id", F.struct("partial_max", "batch_id")).alias("last_batch"),
+        _last_raising_batch(),
     )
     return w_key.filter(F.col("last_batch") > since_batch)
 
@@ -144,28 +217,26 @@ def compact_upsert_state(spark: SparkSession, state_dir: str, key_cols: list[str
     Returns the new generation number."""
     import shutil
 
-    src = _sources(spark, state_dir)
+    # SNAPSHOT the input set FIRST, then read and later delete exactly
+    # that set: listing the deletions after the read (the previous order)
+    # let a partial batch land in between — present in `included`, absent
+    # from the compaction input, deleted uncompacted = silent data loss
+    # (r7 review).
+    included = _list_partials(state_dir)
+    gens = _list_gens(state_dir)
+    src = _sources_for(spark, state_dir, included, gens)
     if src is None:
         raise FileNotFoundError(f"no upsert state under {state_dir}")
     cdir = os.path.join(state_dir, "compacted")
-    gens = (
-        [int(e[2:]) for e in os.listdir(cdir) if e.startswith("v=")]
-        if os.path.isdir(cdir)
-        else []
-    )
-    new_gen = (max(gens) + 1) if gens else 0
     pdir = os.path.join(state_dir, "partials")
-    included = (
-        [e for e in os.listdir(pdir) if e.startswith("batch_id=")]
-        if os.path.isdir(pdir)
-        else []
-    )
+    new_gen = (max(gens) + 1) if gens else 0
     compacted = src.groupBy(*key_cols).agg(
         F.max("partial_max").alias("partial_max"),
-        F.max_by("batch_id", F.struct("partial_max", "batch_id")).alias("last_batch"),
+        _last_raising_batch(),
     )
     compacted.write.mode("overwrite").parquet(os.path.join(cdir, f"v={new_gen}"))
-    # inputs are now redundant; delete AFTER the generation is durable
+    # inputs are now redundant; delete AFTER the generation is durable,
+    # and ONLY the snapshotted inputs
     for e in included:
         shutil.rmtree(os.path.join(pdir, e), ignore_errors=True)
     for g in gens:

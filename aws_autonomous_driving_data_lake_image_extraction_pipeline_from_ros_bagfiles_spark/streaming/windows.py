@@ -51,7 +51,16 @@ def watermarked_window_counts(
 ) -> None:
     """availableNow pass: watermarked tumbling-window counts, finalized
     windows appended to ``out_dir`` as parquet (the streaming parquet sink
-    only supports append mode, which is exactly the emit-once contract)."""
+    only supports append mode, which is exactly the emit-once contract).
+
+    ``hour_start`` renders via date_format, i.e. in the SESSION timezone:
+    deterministic here because session.py pins
+    ``spark.sql.session.timeZone=UTC`` for every engine session. A
+    deployment that re-drains the same checkpoint from a cluster with a
+    different session zone would emit differently-labeled (and, across a
+    DST fold, ambiguous) window rows — pin UTC on any consumer cluster,
+    as the engine does.
+    """
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

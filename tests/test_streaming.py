@@ -39,9 +39,16 @@ def test_stream_equals_batch_and_duplicates_are_noops(spark):
 
         # duplicate delivery: re-run with a FRESH checkpoint (forces
         # reprocessing of the same files) -> state gains rows but the
-        # compacted result is unchanged
+        # compacted result is unchanged. A checkpoint change against live
+        # state must be refused by DEFAULT (batch-id collision with
+        # UNRELATED data would silently overwrite partials) and requires
+        # the explicit same-payload opt-in.
         args["checkpoint_dir"] = f"{work}/ckpt2"
-        max_upsert_stream(**args)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="different checkpoint"):
+            max_upsert_stream(**args)
+        max_upsert_stream(**args, allow_checkpoint_change=True)
         second = {r.k: r.mx for r in read_upsert_state(spark, f"{work}/state", ["k"], "mx").collect()}
         assert second == batch
     finally:
@@ -237,3 +244,36 @@ def test_q156_state_carries_across_batches_exactly(spark, tmp_path):
         e_ema, e_n = expect[uid]
         assert n == e_n
         assert ema == e_ema  # bit-identical, not approx
+
+
+def test_cdc_equal_value_redelivery_does_not_advance_cursor(spark, tmp_path):
+    """last_batch must be the FIRST batch to reach the key's max: a later
+    batch re-delivering an EQUAL value did not raise it (the DynamoDB
+    conditional s.v > t.v would not fire) and must not re-surface the key
+    through read_upsert_changes (r7 review)."""
+    import os
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.upsert import (
+        compact_upsert_state,
+        read_upsert_changes,
+    )
+
+    state = str(tmp_path / "state")
+    pdir = os.path.join(state, "partials")
+    # batch 2 raises k to 10.0; batch 5 re-delivers 10.0; batch 6 raises j
+    for bid, rows in ((2, [("k", 10.0)]), (5, [("k", 10.0)]), (6, [("j", 3.0)])):
+        spark.createDataFrame(rows, "k string, partial_max double").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(pdir, f"batch_id={bid}"))
+    changed = {
+        r["k"]: r["last_batch"]
+        for r in read_upsert_changes(spark, state, ["k"], "mx", since_batch=3).collect()
+    }
+    assert changed == {"j": 6}, changed  # k's max was set at batch 2, not 5
+    # compaction bakes the same raise-only cursor into the generation
+    compact_upsert_state(spark, state, ["k"])
+    changed2 = {
+        r["k"]: r["last_batch"]
+        for r in read_upsert_changes(spark, state, ["k"], "mx", since_batch=3).collect()
+    }
+    assert changed2 == {"j": 6}, changed2
