@@ -98,7 +98,13 @@ def audio_features(
     decoded: DataFrame, frame_len: int = 1024
 ) -> DataFrame:
     """Frame-level RMS energy + zero-crossing rate over fixed windows.
-    One output row per (clip, frame); all math vectorized numpy."""
+    One output row per (clip, frame); all math vectorized numpy.
+
+    A clip shorter than ``frame_len`` yields ZERO rows (the tail below a
+    full window is dropped, same as the last partial frame of any clip)
+    — a curation pass that must classify every clip should left-join the
+    features back to the clip table, not inner-join, or short clips
+    silently vanish from the verdict."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,9 +145,17 @@ def resample_nearest(decoded: DataFrame, target_rate: int) -> DataFrame:
                 if ch > 1:
                     samples = samples.reshape(-1, ch)
                 n = samples.shape[0]
-                m = max(1, round(n * target_rate / rate))
-                idx = np.minimum((np.arange(m) * rate // target_rate), n - 1).astype(int)
-                res = samples[idx]
+                if n == 0:
+                    # empty data chunk (valid WAV): emit an empty clip —
+                    # the old max(1, m) path indexed samples[-1] on a
+                    # 0-row array and crashed the stage (r7 review)
+                    m, res = 0, samples
+                else:
+                    m = max(1, round(n * target_rate / rate))
+                    idx = np.minimum(
+                        (np.arange(m) * rate // target_rate), n - 1
+                    ).astype(int)
+                    res = samples[idx]
                 rows["clip_id"].append(cid)
                 rows["sample_rate"].append(target_rate)
                 rows["n_channels"].append(ch)

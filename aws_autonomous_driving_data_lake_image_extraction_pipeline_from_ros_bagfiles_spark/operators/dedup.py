@@ -63,8 +63,11 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token-array column.
+def grams_from_tokens(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams from a token-array column — the one
+    gram builder (``shingles_from_tokens`` distincts it for dedup;
+    text.ngrams_all_from_tokens re-exports it for repetition analysis,
+    which needs multiplicity).
 
     PERF CONTRACT: pass a materialized array ATTRIBUTE (a column produced
     by an earlier projection), never an inline ``split(...)`` expression.
@@ -83,7 +86,13 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (dedup's set semantics) — see
+    :func:`grams_from_tokens` for the builder and its perf contract."""
+    return F.array_distinct(grams_from_tokens(toks, n))
 
 
 def shingles(text: Column, n: int = 3) -> Column:

@@ -62,8 +62,18 @@ def explode_labels(
     df: DataFrame, labels_col: str = "labels", key_cols: tuple[str, ...] = ("ts_key", "camera")
 ) -> DataFrame:
     """Long form: one row per (frame, label), empty-instance labels kept —
-    the P5 filter (process-queue-sync.py:71-74) applies only to counts."""
-    return df.select(*key_cols, F.explode(labels_col).alias("l")).select(
+    the P5 filter (process-queue-sync.py:71-74) applies only to counts.
+
+    explode_OUTER: a frame whose detector returned an empty label array
+    keeps one all-NULL-label row, so it still reaches the wide table
+    (all-NULL maxes, zero counts) — the reference wrote a DynamoDB item
+    per PROCESSED image, detections or not, and "frames with ped_count
+    = 0" must include them. Plain explode silently dropped such frames
+    (r7 review; the always-nonempty stub hid it). The explicit-values
+    pivot in detections_wide ignores the NULL label, so downstream
+    schemas are unchanged.
+    """
+    return df.select(*key_cols, F.explode_outer(labels_col).alias("l")).select(
         *key_cols,
         F.col("l.name").alias("label"),
         F.col("l.confidence").alias("confidence"),

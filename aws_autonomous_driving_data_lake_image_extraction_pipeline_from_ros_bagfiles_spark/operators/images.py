@@ -85,13 +85,28 @@ def _box_blur(arr: np.ndarray, radius: int) -> np.ndarray:
 
 
 def blur_pixels(buf: bytes, w: int, h: int, boxes: list[tuple[int, int, int, int]], radius: int = 7) -> bytes:
-    """Blur (x1,y1,x2,y2) pixel regions — the anonymize_PII core (F20)."""
+    """Blur (x1,y1,x2,y2) pixel regions — the anonymize_PII core (F20).
+
+    Cost is proportional to the BOX area, not the frame: each region is
+    blurred from a radius-padded crop (the separable box blur only needs
+    radius pixels of context). The first cut blurred the full frame per
+    row and threw most of it away — at corpus scale the majority of
+    frames carry zero or small PII boxes (r7 review).
+    """
+    if not boxes:
+        return buf if isinstance(buf, bytes) else bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
-    blurred = _box_blur(arr, radius)
     for x1, y1, x2, y2 in boxes:
         x1, y1 = max(0, x1), max(0, y1)
         x2, y2 = min(w, x2), min(h, y2)
-        arr[y1:y2, x1:x2] = blurred[y1:y2, x1:x2]
+        if x2 <= x1 or y2 <= y1:
+            continue
+        # pad the crop so the box's blur sees the same neighborhood it
+        # would inside a whole-frame pass
+        px1, py1 = max(0, x1 - radius), max(0, y1 - radius)
+        px2, py2 = min(w, x2 + radius), min(h, y2 + radius)
+        crop_blur = _box_blur(arr[py1:py2, px1:px2], radius)
+        arr[y1:y2, x1:x2] = crop_blur[y1 - py1 : y2 - py1, x1 - px1 : x2 - px1]
     return arr.tobytes()
 
 
@@ -190,9 +205,17 @@ def dhash_pixels(buf: bytes, w: int, h: int, grid: int = 8) -> int:
     bits = 0
     cells = np.empty((grid, grid + 1))
     for yy in range(grid):
-        r0, r1 = (yy * h) // grid, ((yy + 1) * h) // grid
+        r0 = min((yy * h) // grid, h - 1)
+        # clamp to a non-empty slice: for h < grid (w < grid+1) the floor
+        # boundaries coincide and an empty .mean() is NaN — every
+        # comparison then reads False and ALL small images collapse to
+        # hash 0, merging distinct images as "duplicates" (r7 review).
+        # Clamped cells re-read rows/cols for tiny images, which is the
+        # right degradation for a perceptual hash.
+        r1 = max(r0 + 1, ((yy + 1) * h) // grid)
         for xx in range(grid + 1):
-            c0, c1 = (xx * w) // (grid + 1), ((xx + 1) * w) // (grid + 1)
+            c0 = min((xx * w) // (grid + 1), w - 1)
+            c1 = max(c0 + 1, ((xx + 1) * w) // (grid + 1))
             cells[yy, xx] = gray[r0:r1, c0:c1].mean()
     for yy in range(grid):
         for xx in range(grid):

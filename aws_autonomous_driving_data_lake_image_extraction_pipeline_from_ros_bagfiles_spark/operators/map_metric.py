@@ -37,28 +37,14 @@ functions/bbox.py:bbox_corners):
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MATCH_SCHEMA = (
     "image_id bigint, class_id int, det_id bigint, conf double, tp int"
 )
-
-
-def iou(
-    ax1: Column, ay1: Column, ax2: Column, ay2: Column,
-    bx1: Column, by1: Column, bx2: Column, by2: Column,
-) -> Column:
-    """Codegen IoU of two corner boxes (0.0 when disjoint)."""
-    iw = F.greatest(F.least(ax2, bx2) - F.greatest(ax1, bx1), F.lit(0.0))
-    ih = F.greatest(F.least(ay2, by2) - F.greatest(ay1, by1), F.lit(0.0))
-    inter = iw * ih
-    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
 def _greedy_match_pdf(

@@ -76,19 +76,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def ngrams_all_from_tokens(toks: Column, n: int) -> Column:
     """Non-distinct word n-grams from a token-array column (repetition
     analysis needs multiplicity, unlike dedup's distinct shingle sets).
-
-    PERF CONTRACT (same as dedup.shingles_from_tokens): pass a
-    materialized array attribute, not an inline split(...) — Catalyst
-    inlines expression arguments into every element_at reference, making
-    the gram build O(len^2) per document.
+    Delegates to dedup.grams_from_tokens — ONE gram builder in the repo;
+    its perf contract (materialized array attribute, never an inline
+    split(...)) applies here verbatim.
     """
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+    from .dedup import grams_from_tokens
+
+    return grams_from_tokens(toks, n)
 
 
 def ngrams_all(text: Column, n: int) -> Column:
