@@ -52,9 +52,17 @@ def encode_avi(frames: np.ndarray, fps: int = 5) -> bytes:
     ``fps`` defaults to the reference's ``-framerate 5`` (main.py:52).
     """
     frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4:
+        raise ValueError(
+            f"frame stack must be (n, h, w, 3) uint8, got shape {frames.shape}"
+        )
     n, h, w, c = frames.shape
     if c != 3:
         raise ValueError(f"RGB frames required, got {c} channels")
+    if n == 0:
+        raise ValueError("empty frame stack: an AVI needs at least one frame")
+    if int(fps) <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
     stride = _row_stride(w)
     frame_size = stride * h
 
@@ -113,14 +121,19 @@ def _walk_chunks(data: bytes, start: int, end: int):
 
 def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes -> ``((n, h, w, 3) RGB uint8, fps)``. Uncompressed
-    'DIB '/BI_RGB 24-bit streams only (what :func:`encode_avi` emits)."""
+    BI_RGB 24-bit DIB streams only; the strf BITMAPINFOHEADER is read so
+    a TOP-DOWN DIB (negative biHeight — a common real-world variant)
+    decodes right-side-up instead of silently mirrored, and any other
+    bit depth fails with a named error rather than an anonymous reshape
+    crash (r7 review)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI")
     w = h = n = rate = scale = None
+    bit_count, top_down, in_vids = None, False, False
     frames_raw: list[bytes] = []
 
     def walk_list(start: int, end: int) -> None:
-        nonlocal w, h, n, rate, scale
+        nonlocal w, h, n, rate, scale, bit_count, top_down, in_vids
         for tag, body, size in _walk_chunks(data, start, end):
             if tag == b"LIST":
                 walk_list(body + 4, body + size)
@@ -128,20 +141,37 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 vals = struct.unpack_from("<IIIIIIIIII", data, body)
                 n = vals[4]
                 w, h = vals[8], vals[9]
-            elif tag == b"strh" and data[body : body + 4] == b"vids":
-                # payload offset 20 = fccType+fccHandler+dwFlags+wPriority
-                # +wLanguage+dwInitialFrames -> (dwScale, dwRate, ...)
-                scale, rate = struct.unpack_from("<II", data, body + 20)
+            elif tag == b"strh":
+                in_vids = data[body : body + 4] == b"vids"
+                if in_vids:
+                    # payload offset 20 = fccType+fccHandler+dwFlags+
+                    # wPriority+wLanguage+dwInitialFrames -> (dwScale,
+                    # dwRate, ...)
+                    scale, rate = struct.unpack_from("<II", data, body + 20)
+            elif tag == b"strf" and in_vids:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight (SIGNED:
+                # negative = top-down rows), biPlanes, biBitCount
+                _, _, bi_h, _, bit_count = struct.unpack_from(
+                    "<IiiHH", data, body
+                )
+                top_down = bi_h < 0
             elif tag == b"00db":
                 frames_raw.append(data[body : body + size])
 
     walk_list(12, 8 + struct.unpack_from("<I", data, 4)[0])
     if w is None or not frames_raw:
         raise ValueError("no uncompressed video stream found")
+    if bit_count is not None and bit_count != 24:
+        raise ValueError(
+            f"unsupported DIB bit depth {bit_count}: only BI_RGB 24-bit"
+            " streams decode here"
+        )
     stride = _row_stride(w)
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+        img = rows[:, : w * 3].reshape(h, w, 3)
+        # bottom-up (the DIB default) needs the row flip; top-down doesn't
+        out[i] = (img if top_down else img[::-1])[:, :, ::-1]
     fps = int(round(rate / scale)) if rate and scale else 0
     return out, fps

@@ -81,9 +81,16 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 3, level:
         raise ValueError(f"channels must be one of {sorted(_COLOR_TYPE)}, got {channels}")
     stride = width * channels
     arr = np.frombuffer(pixels, dtype=np.uint8)
-    if arr.size < height * stride:
-        raise ValueError(f"buffer holds {arr.size} bytes; need {height * stride}")
-    arr = arr[: height * stride].reshape(height, stride)
+    if arr.size != height * stride:
+        # EXACT size required: a short buffer cannot fill the image, and
+        # a long one (an rgba buffer fed to a channels=3 call) would be
+        # silently truncated into a decodable but channel-scrambled PNG
+        # (r7 review)
+        raise ValueError(
+            f"buffer holds {arr.size} bytes; need exactly {height * stride}"
+            f" for {width}x{height}x{channels}"
+        )
+    arr = arr.reshape(height, stride)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0)
     idat = zlib.compress(_filter_scanlines(arr, channels), level)
     return (
@@ -137,11 +144,17 @@ def decode_png(data: bytes) -> tuple[bytes, int, int, int]:
     pos, width = 8, None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            # truncated mid-chunk-header: keep the module's ValueError
+            # contract instead of leaking a bare struct.error (r7 review)
+            raise ValueError(f"truncated PNG: chunk header cut at byte {pos}")
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError(f"truncated PNG: IHDR holds {len(payload)} bytes")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )

@@ -54,6 +54,15 @@ def unpack_records(buf: bytes) -> list[tuple[int, bytes]]:
         cflag, length = lrec >> 29, lrec & ((1 << 29) - 1)
         if cflag != 0:
             raise ValueError("multi-part records not produced by this writer")
+        if pos + 8 + length > len(buf):
+            # a crashed writer / partial copy: slicing would silently
+            # return a SHORT payload — truncated training records with no
+            # error (r7 review; the named-corruption contract of the bag
+            # decoder applies to every byte format here)
+            raise ValueError(
+                f"truncated RecordIO stream: record at offset {pos} declares"
+                f" {length} bytes but only {len(buf) - pos - 8} remain"
+            )
         out.append((pos, buf[pos + 8 : pos + 8 + length]))
         pos += 8 + length + (-length % 4)
     return out
@@ -73,10 +82,19 @@ def pack_ir(labels, rec_id: int, payload: bytes) -> bytes:
 def unpack_ir(data: bytes) -> tuple[list[float], int, bytes]:
     """-> (label_vector, id, payload); a scalar label comes back as a
     one-element vector for a uniform return shape."""
+    if len(data) < _IR_HEADER.size:
+        raise ValueError(
+            f"truncated IRHeader: {len(data)} bytes < {_IR_HEADER.size}"
+        )
     flag, label, rec_id, _id2 = _IR_HEADER.unpack_from(data, 0)
     body = data[_IR_HEADER.size :]
     if flag == 0:
         return [label], rec_id, body
+    if len(body) < 4 * flag:
+        raise ValueError(
+            f"truncated IR label vector: flag declares {flag} floats but"
+            f" {len(body)} payload bytes remain"
+        )
     vec = np.frombuffer(body[: 4 * flag], dtype=np.float32)
     return [float(x) for x in vec], rec_id, body[4 * flag :]
 
@@ -102,9 +120,22 @@ def read_indexed(rec: bytes, idx: str) -> dict[int, bytes]:
     for line in idx.splitlines():
         key_s, off_s = line.split("\t")
         off = int(off_s)
+        if off < 0 or off + 8 > len(rec):
+            raise ValueError(
+                f"index key {key_s}: offset {off} outside the record stream"
+            )
         magic, lrec = struct.unpack_from("<II", rec, off)
         if magic != MAGIC:
             raise ValueError(f"index key {key_s}: offset {off} is not a record")
         length = lrec & ((1 << 29) - 1)
-        out[int(key_s)] = rec[off + 8 : off + 8 + length]
+        if off + 8 + length > len(rec):
+            raise ValueError(
+                f"index key {key_s}: record at offset {off} is truncated"
+            )
+        key = int(key_s)
+        if key in out:
+            # write_indexed happily writes duplicate keys; a dict read
+            # would silently keep only the last record (r7 review)
+            raise ValueError(f"duplicate index key {key}")
+        out[key] = rec[off + 8 : off + 8 + length]
     return out

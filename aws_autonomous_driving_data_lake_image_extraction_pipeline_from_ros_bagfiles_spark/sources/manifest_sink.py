@@ -30,6 +30,7 @@ manifest read needs to see the rename).
 
 from __future__ import annotations
 
+import base64
 import glob
 import json
 import os
@@ -41,6 +42,17 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     WriterCommitMessage,
 )
+
+
+def _json_cell(v):
+    """json.dumps fallback for non-JSON cell types. Binary columns MUST
+    become base64 (what Spark's JSON reader decodes BinaryType from) —
+    the previous blanket default=str wrote bytearray repr strings, which
+    read_committed then returned as garbage with no error on either side
+    (r7 review). Everything else (timestamps, decimals) keeps str()."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return str(v)
 
 
 class _FileCommit(WriterCommitMessage):
@@ -62,7 +74,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(path, "w") as f:
             for row in iterator:
-                f.write(json.dumps(dict(zip(self._cols, row)), default=str) + "\n")
+                f.write(json.dumps(dict(zip(self._cols, row)), default=_json_cell) + "\n")
                 n += 1
         return _FileCommit(path, n)
 

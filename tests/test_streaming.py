@@ -277,3 +277,29 @@ def test_cdc_equal_value_redelivery_does_not_advance_cursor(spark, tmp_path):
         for r in read_upsert_changes(spark, state, ["k"], "mx", since_batch=3).collect()
     }
     assert changed2 == {"j": 6}, changed2
+
+
+def test_manifest_sink_binary_roundtrip(spark, tmp_path):
+    """Binary columns must survive the manifest sink byte-exact: the old
+    default=str serializer wrote bytearray REPR strings, which a
+    BinaryType read returned as garbage with no error (r7 review). Spark's
+    JSON reader decodes BinaryType from base64 — the writer now emits it."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.manifest_sink import (
+        ManifestStreamWriter,
+        read_committed,
+    )
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("payload", BinaryType())]
+    )
+    w = ManifestStreamWriter({"path": str(tmp_path)}, schema)
+    blob = bytes(range(256))
+    m = w.write(iter([(1, bytearray(blob)), (2, b"\x89PNG\r\n\x1a\n")]))
+    w.commit([m], batchId=0)
+    got = {
+        r["k"]: bytes(r["payload"])
+        for r in read_committed(spark, str(tmp_path), "k long, payload binary").collect()
+    }
+    assert got == {1: blob, 2: b"\x89PNG\r\n\x1a\n"}
