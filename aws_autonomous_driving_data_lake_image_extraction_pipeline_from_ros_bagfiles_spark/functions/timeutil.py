@@ -36,11 +36,20 @@ def ros_time_pack(ts: Column) -> Column:
     ``//`` pre-epoch as well.
     """
     epoch_us = F.unix_micros(ts)
+    # Pre-epoch stamps are out of domain (ROS time is unsigned sec/nsec):
+    # a negative remainder would pack a negative nsec field that Spark's
+    # shiftleft silently accepts while DuckDB's negative shift errors
+    # loudly (r8 review). Fail the SAME way on both engines.
+    guard = F.assert_true(
+        epoch_us >= F.lit(0),
+        F.lit("ros_time_pack: pre-epoch timestamp is outside the ROS time domain"),
+    )
     rem = epoch_us % F.lit(1_000_000)  # sign-of-dividend, as DuckDB's %
     sec = (
         (epoch_us - rem).cast("decimal(20,0)") / F.lit(1_000_000)
     ).cast("bigint")
-    return F.shiftleft(rem * F.lit(1000), 32).bitwiseOR(sec)
+    packed = F.shiftleft(rem * F.lit(1000), 32).bitwiseOR(sec)
+    return F.when(guard.isNull(), packed)  # guard is always NULL when it passes
 
 
 def ros_time_unpack_ts(packed: Column) -> Column:

@@ -95,7 +95,11 @@ def blur_pixels(buf: bytes, w: int, h: int, boxes: list[tuple[int, int, int, int
     """
     if not boxes:
         return buf if isinstance(buf, bytes) else bytes(buf)
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
+    # Blur every crop from the PRISTINE frame (a zero-copy view of buf),
+    # writing into a separate output copy: overlapping / adjacent boxes
+    # must sample original pixels, matching the whole-frame-blur contract.
+    src = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    arr = src.copy()
     for x1, y1, x2, y2 in boxes:
         x1, y1 = max(0, x1), max(0, y1)
         x2, y2 = min(w, x2), min(h, y2)
@@ -105,7 +109,7 @@ def blur_pixels(buf: bytes, w: int, h: int, boxes: list[tuple[int, int, int, int
         # would inside a whole-frame pass
         px1, py1 = max(0, x1 - radius), max(0, y1 - radius)
         px2, py2 = min(w, x2 + radius), min(h, y2 + radius)
-        crop_blur = _box_blur(arr[py1:py2, px1:px2], radius)
+        crop_blur = _box_blur(src[py1:py2, px1:px2], radius)
         arr[y1:y2, x1:x2] = crop_blur[y1 - py1 : y2 - py1, x1 - px1 : x2 - px1]
     return arr.tobytes()
 

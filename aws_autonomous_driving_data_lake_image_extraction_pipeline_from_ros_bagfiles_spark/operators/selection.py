@@ -37,17 +37,20 @@ def exact_kth_smallest(
     """
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
-    empty = spark.createDataFrame([], f"{col} double")
+    # Degenerate paths must carry the SAME schema as the main path (the
+    # source column's type), not a hard-coded double.
+    out_schema = vals.select(F.col("v").alias(col)).schema
+    empty = spark.createDataFrame([], out_schema)
     if k < 1:
         return empty
     st = vals.agg(
         F.count("*").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
     ).first()
-    if st["n"] is None or k > st["n"]:
+    if k > st["n"]:  # count(*) is 0 on empty input, never NULL
         return empty
+    if st["mn"] == st["mx"]:  # all-equal: the k-th smallest IS that value
+        return spark.createDataFrame([(st["mn"],)], out_schema)
     mn, mx = float(st["mn"]), float(st["mx"])
-    if mn == mx:
-        return spark.createDataFrame([(mn,)], f"{col} double")
     width = (mx - mn) / buckets
     bkt = F.least(
         F.floor((F.col("v") - mn) / width).cast("int"), F.lit(buckets - 1)

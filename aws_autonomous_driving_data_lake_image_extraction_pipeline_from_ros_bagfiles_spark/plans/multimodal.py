@@ -165,11 +165,20 @@ def q106_video_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.video import sample_frames
     from ..sources.sinks import render_avi_videos
 
-    frames = sample_frames(_videos(spark), every_n=1)
+    videos = _videos(spark)
+    frames = sample_frames(videos, every_n=1)
     work = tempfile.mkdtemp(prefix="avi_render_")
     try:
         out = render_avi_videos(
-            frames, work, fps=12, group_col="video_id", order_col="frame_idx"
+            frames,
+            work,
+            fps=12,
+            group_col="video_id",
+            order_col="frame_idx",
+            # collision check on the raw pre-decode table — the frame
+            # lineage is a mapInPandas decode that would otherwise run
+            # twice (r8 review)
+            groups_src=videos,
         )
         return materialize(out)
     finally:

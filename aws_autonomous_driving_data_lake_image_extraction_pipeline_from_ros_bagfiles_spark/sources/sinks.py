@@ -33,12 +33,22 @@ def _sanitize(group: str) -> str:
     return group.strip("/").replace("/", "_")
 
 
-def _check_sanitize_collisions(df: DataFrame, col: str) -> None:
+def _check_sanitize_collisions(
+    df: DataFrame, col: str, groups_src: DataFrame | None = None
+) -> None:
     """Fail LOUDLY if two distinct groups sanitize to the same output
     stem ('/cam/front' and '/cam_front' both -> 'cam_front'): concurrent
     executor tasks would otherwise overwrite each other's files with no
-    error. One tiny distinct-collect per sink call (|topics| rows)."""
-    groups = [r[0] for r in df.select(col).distinct().collect()]
+    error. One tiny distinct-collect per sink call (|topics| rows).
+
+    The distinct scans ``df`` — if that lineage contains a Python decode
+    (mapInPandas), column pruning cannot skip it and the decode runs
+    TWICE per sink call (r8 review). Pass ``groups_src`` (any cheap
+    upstream frame carrying the same ``col`` universe, e.g. the raw
+    pre-decode table) to run the check there instead, or persist the
+    decoded frame before invoking the sink."""
+    src = df if groups_src is None else groups_src
+    groups = [r[0] for r in src.select(col).distinct().collect()]
     seen: dict[str, str] = {}
     for g in groups:
         s = _sanitize(str(g))
@@ -77,14 +87,19 @@ def write_frames(frames: DataFrame, root: str) -> None:
     frames.write.mode("overwrite").partitionBy("topic").parquet(root)
 
 
-def write_png_files(decoded: DataFrame, root: str, name_col: str = "img_file") -> int:
+def write_png_files(
+    decoded: DataFrame,
+    root: str,
+    name_col: str = "img_file",
+    groups_src: DataFrame | None = None,
+) -> int:
     """K2 reference-parity sink: encode each decoded frame to a real PNG
     and write ``<root>/<topic-sanitized>/<img_file>`` from the executors —
     the distributed analog of bagstream.py:246-266's per-frame cv2.imwrite
     (at scale each task PUTs to the object store exactly like the
     reference's upload queue, K4). Returns the number of files written."""
 
-    _check_sanitize_collisions(decoded, "topic")
+    _check_sanitize_collisions(decoded, "topic", groups_src)
 
     def write_batches(batches):
         import os
@@ -136,6 +151,7 @@ def render_avi_videos(
     fps: int = 5,
     group_col: str = "topic",
     order_col: str = "frame_idx",
+    groups_src: DataFrame | None = None,
 ) -> DataFrame:
     """K3 (reference main.py:47-66, one video per camera directory):
     group frames by ``group_col``, order by ``order_col`` within the
@@ -151,7 +167,7 @@ def render_avi_videos(
     from one directory listing); groups are independent, so rendering
     scales group-wide with no shuffle beyond the groupBy."""
 
-    _check_sanitize_collisions(frames, group_col)
+    _check_sanitize_collisions(frames, group_col, groups_src)
 
     def render(pdf):
         import os

@@ -141,16 +141,30 @@ def max_upsert_stream(
     """
     marker = os.path.join(state_dir, "_stream_checkpoint.txt")
     cp = os.path.abspath(checkpoint_dir)
-    if os.path.exists(marker) and not allow_checkpoint_change:
-        prior = open(marker).read().strip()
-        if prior != cp and (_list_partials(state_dir) or _list_gens(state_dir)):
+    if not allow_checkpoint_change:
+        if os.path.exists(marker):
+            prior = open(marker).read().strip()
+            if prior != cp and (_list_partials(state_dir) or _list_gens(state_dir)):
+                raise ValueError(
+                    f"state_dir {state_dir} holds state written under checkpoint"
+                    f" {prior}; a different checkpoint ({cp}) would restart"
+                    " batch ids at 0 and silently overwrite those partials —"
+                    " compact and clear the state, reuse the original"
+                    " checkpoint, or pass allow_checkpoint_change=True if this"
+                    " is a same-payload redelivery"
+                )
+        elif _list_partials(state_dir) or _list_gens(state_dir):
+            # Pre-marker state dir (upgraded layout) with live partials but
+            # no recorded lineage: adopting ANY checkpoint here risks the
+            # exact batch_id=0..N overwrite the marker exists to prevent
+            # (r8 review — the guard previously only fired when the marker
+            # file already existed).
             raise ValueError(
-                f"state_dir {state_dir} holds state written under checkpoint"
-                f" {prior}; a different checkpoint ({cp}) would restart"
-                " batch ids at 0 and silently overwrite those partials —"
-                " compact and clear the state, reuse the original"
-                " checkpoint, or pass allow_checkpoint_change=True if this"
-                " is a same-payload redelivery"
+                f"state_dir {state_dir} holds live state but no checkpoint"
+                " marker (pre-upgrade layout); cannot verify the checkpoint"
+                f" lineage for {cp} — compact and clear the state first, or"
+                " pass allow_checkpoint_change=True to adopt this checkpoint"
+                " as the state's lineage"
             )
     os.makedirs(state_dir, exist_ok=True)
     with open(marker, "w") as fh:

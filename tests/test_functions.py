@@ -99,3 +99,15 @@ def test_ros_time_pack_integer_exact_edges(spark):
         for t in stamps
     ]
     assert got == want
+
+    # Out-of-domain parity (r8): a pre-epoch stamp must fail LOUDLY on
+    # Spark too (assert_true guard), matching DuckDB's Out of Range on
+    # the negative shift — not silently pack a negative nsec field.
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    pre = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 59, 59, 500000),)], "ts timestamp"
+    )
+    with pytest.raises(SparkRuntimeException, match="pre-epoch"):
+        pre.select(ros_time_pack(F.col("ts")).alias("p")).collect()
