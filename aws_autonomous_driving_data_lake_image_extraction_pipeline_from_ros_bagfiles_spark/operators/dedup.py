@@ -384,6 +384,15 @@ def _jaccard_on_pairs(
     return _attach_jaccard(inter, sizes)
 
 
+def jaccard_on_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Public form of ``_jaccard_on_pairs`` for plan modules that build
+    their own candidate generators (q99's prefix filter): exact Jaccard
+    verify over a given (id_a, id_b) candidate frame."""
+    return _jaccard_on_pairs(pairs, docs, text_col, id_col)
+
+
 def shingles_long(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -300,7 +300,13 @@ def _minhash_capped_oracle() -> str:
         WHERE a.doc_id < b.doc_id
     ),""",
     )
-    assert out != base, "cap splice failed: cand CTE text drifted from _minhash_oracle"
+    if out == base:
+        # explicit raise, not assert (stripped under `python -O` — the
+        # ADVICE-r5 rule at minhash_pair_ctes): a silent splice no-op
+        # would hand q68 the UNCAPPED q24 oracle
+        raise ValueError(
+            "cap splice failed: cand CTE text drifted from _minhash_oracle"
+        )
     return out
 
 
@@ -1497,7 +1503,7 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     src = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = D._cached(D.shingles_long(src))
+    sh = D.cache_pinned(D.shingles_long(src))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("f", "shingle")
@@ -1520,7 +1526,7 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = D._jaccard_on_pairs(cand, src, "text", "doc_id").filter(
+    pairs = D.jaccard_on_pairs(cand, src, "text", "doc_id").filter(
         F.col("jaccard") >= Q99_T
     )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1698,12 +1704,12 @@ def q204_threshold_tuned_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket-frequency scan plus both sides of the candidate
     # self-join — uncached, the 16-signature minhash pipeline would
     # re-execute per reference (released below via release_caches)
-    sig = D._cached(D.minhash_table(src))
+    sig = D.cache_pinned(D.minhash_table(src))
     _b, _r, cap, _frac, bands = D.lsh_band_plan_adaptive(sig, Q204_THRESHOLD)
     pairs = D.minhash_lsh_pairs(
         docs,
         threshold=Q204_THRESHOLD,
-        bands=D._cached(bands),
+        bands=D.cache_pinned(bands),
         max_bucket_size=cap,
     )
     out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -51,26 +51,33 @@ def _audio_clips(spark: SparkSession) -> DataFrame:
 def q63_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.audio import audio_features, decode_audio
 
-    decoded = decode_audio(_audio_clips(spark))
-    feats = audio_features(decoded, frame_len=1024)
-    meta = decoded.select("clip_id", "sample_rate", "duration_s")
-    summary = feats.groupBy("clip_id").agg(
-        F.count("*").alias("n_frames"),
-        F.round(F.avg("rms"), 3).alias("avg_rms"),
-        F.round(F.avg("zcr"), 4).alias("avg_zcr"),
-    )
-    return (
-        meta.join(summary, "clip_id")
-        .select(
-            "clip_id",
-            F.col("sample_rate").cast("bigint").alias("sample_rate"),
-            "duration_s",
-            "n_frames",
-            "avg_rms",
-            "avg_zcr",
+    # persist the decoded frame: it feeds BOTH the feature pass and the
+    # per-clip meta side of the join, and an unpersisted mapInPandas
+    # decode lineage would run the WAV parse twice (r8 review)
+    decoded = decode_audio(_audio_clips(spark)).persist()
+    try:
+        feats = audio_features(decoded, frame_len=1024)
+        meta = decoded.select("clip_id", "sample_rate", "duration_s")
+        summary = feats.groupBy("clip_id").agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("rms"), 3).alias("avg_rms"),
+            F.round(F.avg("zcr"), 4).alias("avg_zcr"),
         )
-        .orderBy("clip_id")
-    )
+        out = (
+            meta.join(summary, "clip_id")
+            .select(
+                "clip_id",
+                F.col("sample_rate").cast("bigint").alias("sample_rate"),
+                "duration_s",
+                "n_frames",
+                "avg_rms",
+                "avg_zcr",
+            )
+            .orderBy("clip_id")
+        )
+        return materialize(out)
+    finally:
+        decoded.unpersist()
 
 
 def _videos(spark: SparkSession) -> DataFrame:

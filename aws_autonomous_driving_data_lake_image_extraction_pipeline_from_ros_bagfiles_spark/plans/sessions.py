@@ -168,6 +168,7 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time
 
     from ..streaming.ema_state import ema_stream
     from ..streaming.staging import stage_single_parquet
@@ -181,11 +182,18 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         # land two batch files split at a TIME boundary — batches must
         # arrive in fold order (the EMA recurrence is order-sensitive);
-        # two files => two micro-batches
+        # two files => two micro-batches. Pin mtimes explicitly: the file
+        # source orders by modification time at ms granularity, and two
+        # fast local writes can land in the SAME millisecond, letting b1
+        # drain first and trip the in-order guard (r8 review — every
+        # other multi-batch site already pins mtime).
+        now = int(time.time())
         for i, cond in enumerate(
             [F.to_date("ts") < "2023-01-16", F.to_date("ts") >= "2023-01-16"]
         ):
-            stage_single_parquet(events.filter(cond), f"{src}/b{i}.parquet")
+            stage_single_parquet(
+                events.filter(cond), f"{src}/b{i}.parquet", mtime=now - 60 + i * 10
+            )
         ema_stream(
             spark,
             src,
@@ -196,8 +204,6 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.read.parquet(f"{work}/out")
         # latest emission per key = the cumulative answer (n monotonic)
-        from pyspark.sql import Window
-
         w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
         final = (
             out.withColumn("rk", F.row_number().over(w))
