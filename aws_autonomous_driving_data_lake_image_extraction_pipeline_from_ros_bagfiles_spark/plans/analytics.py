@@ -550,6 +550,7 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.ann_ivf import (
+        append_vectors,
         assign_buckets,
         ivf_topk_batch,
         load_ivf_index,
@@ -564,18 +565,14 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         cents = train_quantizer(base, Q103_B)
         save_ivf_index(assign_buckets(base, cents), cents, f"{work}/ix")
-        loaded, stored_cents = load_ivf_index(spark, f"{work}/ix")
-        # incremental append: assign with the STORED centroids, land only
-        # the delta rows into the partitioned layout
-        (
-            assign_buckets(delta, stored_cents)
-            .select("vec_id", "embedding", "bucket")
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(f"{work}/ix/corpus")
-        )
-        grown, _ = load_ivf_index(spark, f"{work}/ix")
+        # incremental append: ONE cached assign+probe+append plan against
+        # the STORED centroids (ann_ivf.append_vectors) — the drift probe
+        # must admit this delta (same distribution as the training base),
+        # proving the no-retrain fast path executed, not just plumbed
+        info = append_vectors(spark, f"{work}/ix", delta)
+        if not info["appended"]:
+            raise AssertionError(f"in-distribution delta refused: {info}")
+        grown, stored_cents = load_ivf_index(spark, f"{work}/ix")
 
         queries = emb.filter(F.col("vec_id").isin(Q103_QUERIES)).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

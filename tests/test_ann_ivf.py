@@ -161,6 +161,7 @@ def test_incremental_append_exactness(spark, tmp_path):
     from pyspark.sql import Window
 
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        append_vectors,
         ivf_topk_batch,
         load_ivf_index,
         save_ivf_index,
@@ -178,16 +179,10 @@ def test_incremental_append_exactness(spark, tmp_path):
 
     cents = train_quantizer(base, B)
     save_ivf_index(assign_buckets(base, cents), cents, str(tmp_path / "ix"))
-    _, stored_cents = load_ivf_index(spark, str(tmp_path / "ix"))
-    (
-        assign_buckets(delta, stored_cents)
-        .select("vec_id", "embedding", "bucket")
-        .repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(str(tmp_path / "ix" / "corpus"))
-    )
-    grown, _ = load_ivf_index(spark, str(tmp_path / "ix"))
+    # the SHIPPED append path (assign+probe+append, one cached plan)
+    info = append_vectors(spark, str(tmp_path / "ix"), delta)
+    assert info["appended"] and not info["retrain"]
+    grown, stored_cents = load_ivf_index(spark, str(tmp_path / "ix"))
     assert grown.count() == emb.count()  # nothing lost, nothing duplicated
 
     queries = emb.filter(F.col("vec_id").isin(qids)).select(
@@ -216,3 +211,43 @@ def test_incremental_append_exactness(spark, tmp_path):
     plan = serving._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_append_drift_gate(spark, tmp_path):
+    """append_vectors' drift probe: an in-distribution batch is admitted
+    near ratio 1 and folds the stats forward; a distribution-shifted
+    batch (vectors scaled far outside the trained cloud) is REFUSED with
+    retrain=True and must leave corpus and stats untouched."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        append_vectors,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = train_quantizer(base, 8)
+    save_ivf_index(assign_buckets(base, cents), cents, str(tmp_path / "ix"))
+    st0 = spark.read.parquet(str(tmp_path / "ix" / "stats")).first()
+    assert st0["n"] == base.count() and st0["mean_sq_dist"] > 0
+
+    ok = append_vectors(spark, str(tmp_path / "ix"), delta)
+    assert ok["appended"] and ok["drift_ratio"] < 4.0
+    st1 = spark.read.parquet(str(tmp_path / "ix" / "stats")).first()
+    assert st1["n"] == emb.count()  # stats folded forward
+
+    # scale vectors 25x: squared distance to the trained centroids blows
+    # up ~625x -> the probe must refuse and schedule a retrain
+    shifted = delta.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 25.0).alias("embedding"),
+    )
+    bad = append_vectors(spark, str(tmp_path / "ix"), shifted)
+    assert not bad["appended"] and bad["retrain"] and bad["drift_ratio"] > 4.0
+    grown, _ = load_ivf_index(spark, str(tmp_path / "ix"))
+    assert grown.count() == emb.count()  # refused batch left no rows
+    st2 = spark.read.parquet(str(tmp_path / "ix" / "stats")).first()
+    assert st2["n"] == st1["n"]  # and no stats update
