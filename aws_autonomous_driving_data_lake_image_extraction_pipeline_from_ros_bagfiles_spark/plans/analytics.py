@@ -877,29 +877,108 @@ def q151_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-block pair join stays LINEAR in corpus size — the k ∝ N regime
 # SemDeDup specifies, and the answer to the fixed-block growth the
 # sf1.0 audit measured on the label-blocked tier (BENCH_NOTES round-4
-# final). Rows-only by declared design: KMeans centroids are not
-# expressible in the oracle (q55 precedent); the pair-correctness and
-# recall floor are pinned in tests/test_reporting.py.
+# final).
 #
-# Output: per-bucket near-dup summary (pairs found, max cosine) plus the
-# global pair count — the compact audit a dedup run logs.
+# HASH-GATED since r8 (VERDICT r7 #6 — previously the registry's one
+# rows-only-by-design query): the quantizer is now
+# ann_ivf.deterministic_lloyd — seedless md5-smallest init + exact Lloyd
+# rounds whose distances and means are integer-quantized, so the trained
+# centroids are bit-identical on any engine and the oracle replays the
+# ENTIRE pipeline (B = greatest(8, N//64) from count, init pick, both
+# unrolled Lloyd rounds with empty-bucket keep-prev, final assignment,
+# in-bucket pair join, rollup). MLlib KMeans remains the trainer where
+# replay isn't needed (q55/q70/q103); the recall-vs-brute-force floor
+# stays pinned in tests/test_reporting.py.
+#
+# Output: per-bucket near-dup summary (pairs found, max cosine) — the
+# compact audit a dedup run logs.
 # --------------------------------------------------------------------------
 Q184_TAU = 0.3
 Q184_TARGET_BLOCK = 64
+Q184_ITERS = 2
 
 
-@register("q184_semantic_dedup_ivf")
+def _q184_lloyd_ctes() -> str:
+    """Oracle twin of ann_ivf.deterministic_lloyd: WITH-body CTEs ending
+    in ``af(vec_id, e, bucket)`` — the final exact-Lloyd assignment."""
+    from ..operators.ann_ivf import _QUANT_C, _QUANT_D
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({e}, {c}), p -> "
+            f"CAST(floor((p[1]-p[2])*(p[1]-p[2]) * {float(_QUANT_D)}) AS BIGINT)))"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, e, bucket FROM (
+            SELECT s.vec_id, s.e, i.bucket,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {dist("s.e", "i.c")}, i.bucket) AS rn
+            FROM sv s CROSS JOIN {cents} i)
+        WHERE rn = 1)"""
+
+    ctes = [
+        f"nb AS (SELECT greatest(8, count(*) // {Q184_TARGET_BLOCK}) AS b FROM embeddings)",
+        """sv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                     md5(CAST(vec_id AS VARCHAR)) AS k FROM embeddings)""",
+        """c0 AS (SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS bucket, e AS c
+              FROM sv QUALIFY row_number() OVER (ORDER BY k, vec_id) <= (SELECT b FROM nb))""",
+    ]
+    for t in range(1, Q184_ITERS + 1):
+        ctes.append(assign(f"a{t}", f"c{t-1}"))
+        ctes.append(
+            f"""comp{t} AS (
+            SELECT bucket, u.i AS i,
+                   CAST(sum(CAST(floor(u.x * {float(_QUANT_C)}) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / {float(_QUANT_C)} AS c
+            FROM (SELECT bucket,
+                         unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
+                  FROM a{t})
+            GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"cl{t} AS (SELECT bucket, list(c ORDER BY i) AS c FROM comp{t} GROUP BY 1)"
+        )
+        ctes.append(
+            f"""c{t} AS (SELECT p.bucket, coalesce(u.c, p.c) AS c
+            FROM c{t-1} p LEFT JOIN cl{t} u USING (bucket))"""
+        )
+    ctes.append(assign("af", f"c{Q184_ITERS}"))
+    return ",\n    ".join(ctes)
+
+
+def _q184_oracle() -> str:
+    return f"""
+    WITH {_q184_lloyd_ctes()},
+    sides AS (SELECT vec_id, e, bucket,
+                     sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+              FROM af),
+    pr AS (
+        SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                   / (a.nm * b.nm) AS cos
+        FROM sides a JOIN sides b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(cos), 6) AS max_cosine
+    FROM pr WHERE cos >= {Q184_TAU}
+    GROUP BY 1
+    """
+
+
+@register("q184_semantic_dedup_ivf", oracle=_q184_oracle())
 def q184_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann_ivf import assign_buckets, train_quantizer
+    from ..operators.ann_ivf import assign_buckets_exact, deterministic_lloyd
     from ..operators.similarity import dot, norm
 
-    emb = load(spark, sf_dir, "embeddings").repartition(
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
         spark.sparkContext.defaultParallelism
     )
     n = emb.count()
     n_buckets = max(8, n // Q184_TARGET_BLOCK)
-    centroids = train_quantizer(emb, n_buckets=n_buckets)
-    bucketed = assign_buckets(emb, centroids).select(
+    cents = deterministic_lloyd(emb, n_buckets, iters=Q184_ITERS)
+    bucketed = assign_buckets_exact(emb, cents).select(
         "vec_id", "bucket", "embedding", norm(F.col("embedding")).alias("nm")
     )
     a = bucketed.select(

@@ -17,12 +17,22 @@ longer on the size-limited stdout channel.
 Each query executes its full plan to completion; results are drained with
 count() on a cached-free plan (no collect of wide rows so driver transfer
 doesn't pollute the measurement).
+
+``--repeat N`` (default 1) runs every query N times and reports the
+per-query MEDIAN: the shared host's co-tenant noise swings individual
+queries 3-8x between rounds (VERDICT r7 #3 — fixed-size q63 has measured
+1.7 s vs 13.8 s on different days), and a median-of-3 snapshot is what
+lets a cross-round diff treat >1.5x moves as real. Repeats run
+back-to-back per query (not whole-suite sweeps) so each query's samples
+share cache/JIT state and differ only by host noise.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,6 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="samples per query; the reported time is the median")
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -62,12 +76,17 @@ def main() -> None:
     queries["q01_events_daily"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        times[name] = round(statistics.median(runs), 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows) {runs}", file=sys.stderr)
 
     import re
 
@@ -80,7 +99,10 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "layout_sec": layout_sec,
+        "repeat": max(1, args.repeat),
     }
+    if args.repeat > 1:
+        detail["samples"] = samples
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -97,6 +119,7 @@ def main() -> None:
         "sf": sf,
         "layout_sec": layout_sec,
         "n_queries": len(times),
+        "repeat": max(1, args.repeat),
         "detail_file": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary))

@@ -28,3 +28,29 @@ def test_canon_cell_floats_and_null():
     assert canon_cell(2.0) == "2"  # integral floats normalize (bigint vs double)
     assert canon_cell(2.5) == canon_cell(2.5000000000001)  # 9-dp rounding
     assert canon_cell(True) == "1"
+
+
+def test_plan_audit_bnlj_whitelist_enforced():
+    """An injected bnlj row (not whitelisted / wrong count), a cartesian,
+    a row-Python node, or a builder error must each produce a violation;
+    the exact whitelisted shape must not (VERDICT r7 #5)."""
+    from tools.plan_audit import BNLJ_WHITELIST, check_violations
+
+    clean = {"bnlj": 0, "cart": 0, "row_py": 0}
+    ok_name = "q26_cosine_topk"
+    ok = dict(clean, bnlj=BNLJ_WHITELIST[ok_name])
+    assert check_violations([(ok_name, ok), ("q_new", dict(clean))], []) == []
+
+    injected = [
+        ("q_new_bnlj", dict(clean, bnlj=2)),          # new bnlj query
+        (ok_name, dict(clean, bnlj=BNLJ_WHITELIST[ok_name] + 2)),  # grew
+        ("q_cart", dict(clean, cart=1)),
+        ("q_rowpy", dict(clean, row_py=1)),
+    ]
+    v = check_violations(injected, [("q_broken", "KeyError('x')")])
+    assert len(v) == 5
+    assert any("q_new_bnlj" in s and "bnlj" in s for s in v)
+    assert any(ok_name in s for s in v)
+    assert any("CartesianProduct" in s for s in v)
+    assert any("BatchEvalPython" in s for s in v)
+    assert any("builder error" in s for s in v)

@@ -600,3 +600,31 @@ def test_q189_empty_replicates_keep_base_row(spark, tmp_path):
     r = rows[0]
     assert r["point"] is None and r["ci_lo"] is None and r["ci_hi"] is None
     assert r["n_replicates"] == 32
+
+
+def test_default_banding_never_floods(spark):
+    """The VERDICT-r7 #4 invariant pin: the adaptive planner's decision
+    rule, applied to the DEFAULT 4x4 plan the fixed cluster consumers
+    (q54/q157/q172/q197/q203) run on, chooses that plan — its over-cap
+    bucket-mass fraction sits under FLOOD_FRAC on the documents corpus
+    (0.0 measured at sf0.001-sf10). Also re-derives the contrast: at
+    sf0.001 both plans are healthy, but 4-row keys carry strictly less
+    over-cap mass than 2-row keys at EVERY probed SF (the 8x2 flood at
+    sf10 is the adaptive fallback's reason to exist)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sig = D.minhash_table(docs.select("doc_id", "text")).cache()
+    try:
+        frac44 = D.band_flood_frac(
+            D.bands_from_sig(sig, D.BANDS, D.ROWS_PER_BAND), D.DEFAULT_BUCKET_CAP
+        )
+        assert frac44 <= D.FLOOD_FRAC, frac44  # probe keeps the default plan
+        frac82 = D.band_flood_frac(
+            D.bands_from_sig(sig, 8, 2), D.compensated_cap(8)
+        )
+        assert frac44 <= frac82  # longer keys never flood more
+    finally:
+        sig.unpersist()

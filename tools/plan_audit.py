@@ -32,9 +32,79 @@ sys.path.insert(0, "/root/repo")
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
+# Enforced whitelist (VERDICT r7 #5): every BroadcastNestedLoopJoin in the
+# registry must appear here with its EXACT formatted-plan count. Each entry
+# was audited as a one-row-broadcast scalar shape (crossJoin(F.broadcast(
+# <one-row aggregate or query vector>)) — Spark compiles that to BNLJ by
+# construction and the broadcast side is O(1), so it is scale-safe). A new
+# bnlj row, or a changed count on an existing one, FAILS the audit (exit 1)
+# until a human verifies the new join's small side really is bounded and
+# updates this table. CartesianProduct and BatchEvalPython have no
+# whitelist: any occurrence fails.
+BNLJ_WHITELIST = {
+    "q117_retrieve_rerank": 2,
+    "q119_bigram_lm": 2,
+    "q126_histogram_quantiles": 4,
+    "q128_inbatch_negatives": 4,
+    "q129_skew_report": 2,
+    "q131_source_kl": 2,
+    "q139_equidepth_binning": 6,
+    "q140_level_shift": 2,
+    "q142_transition_matrix": 2,
+    "q147_kmv_daily_merge": 4,
+    "q149_keyness": 2,
+    "q151_ann_recall_eval": 2,
+    "q152_length_histogram": 2,
+    "q162_hard_negatives": 2,
+    "q170_pq_adc_retrieval": 8,
+    "q173_token_budget": 6,
+    "q175_pmi_cooccurrence": 2,
+    "q176_neyman_allocation": 2,
+    "q177_backfill_plan": 2,
+    "q178_dataset_card": 2,
+    "q181_affinity_lift": 2,
+    "q186_kaplan_meier": 2,
+    "q188_conformal_interval": 4,
+    "q189_poisson_bootstrap": 8,
+    "q190_cuped": 2,
+    "q191_quantile_effects": 2,
+    "q193_weighted_median": 2,
+    "q195_ndcg_eval": 6,
+    "q196_rfm_segments": 2,
+    "q219_tpch_q22": 2,
+    "q221_tpch_q11": 2,
+    "q26_cosine_topk": 2,
+    "q78_quantized_retrieval": 4,
+    "q80_bm25": 2,
+    "q81_tfidf_terms": 2,
+    "q83_unigram_logprob": 2,
+    "q86_gapfill_locf": 2,
+}
+
 
 def count(pat: str, s: str) -> int:
     return len(re.findall(pat, s))
+
+
+def check_violations(rows, errors) -> list[str]:
+    """Enforcement rules (VERDICT r7 #5): any cart/row_py, or a bnlj row
+    not matching its whitelist count exactly — new nested-loop joins over
+    two big sides must not land silently. Builder errors also fail (an
+    unbuildable query is an unaudited query)."""
+    violations = []
+    for n, a in rows:
+        if a["cart"]:
+            violations.append(f"{n}: CartesianProduct x{a['cart']}")
+        if a["row_py"]:
+            violations.append(f"{n}: BatchEvalPython x{a['row_py']}")
+        if a["bnlj"] != BNLJ_WHITELIST.get(n, 0):
+            violations.append(
+                f"{n}: bnlj {a['bnlj']} != whitelisted"
+                f" {BNLJ_WHITELIST.get(n, 0)} — verify the small side is a"
+                " bounded scalar broadcast, then update BNLJ_WHITELIST"
+            )
+    violations.extend(f"{n}: builder error {e}" for n, e in errors)
+    return violations
 
 
 def audit_one(name, fn, spark, sf_dir):
@@ -99,12 +169,23 @@ def main() -> None:
     print(f"## Flagged ({len(flag)})")
     for n, a in flag:
         kinds = [k for k in ("row_py", "cart", "bnlj") if a[k]]
-        print(f"- {n}: {', '.join(kinds)}")
+        wl = " (bnlj whitelisted)" if (
+            kinds == ["bnlj"] and a["bnlj"] == BNLJ_WHITELIST.get(n)
+        ) else ""
+        print(f"- {n}: {', '.join(kinds)}{wl}")
     if errors:
         print()
         print("## Builder errors")
         for n, e in errors:
             print(f"- {n}: {e}")
+
+    violations = check_violations(rows, errors)
+    if violations:
+        print()
+        print(f"## VIOLATIONS ({len(violations)}) — audit FAILED")
+        for v in violations:
+            print(f"- {v}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
