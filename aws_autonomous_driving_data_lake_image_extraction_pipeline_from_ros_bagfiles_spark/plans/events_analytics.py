@@ -270,6 +270,12 @@ def q88_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             events.schema,
             out_dir=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
+            # bounded single-file micro-batch: state stores sized to the
+            # batch, not the session width (r8 — both join sides keep
+            # state per partition, so this halves the commit bill twice)
+            shuffle_partitions=max(
+                8, spark.sparkContext.defaultParallelism // 4
+            ),
         )
         out = spark.read.parquet(f"{work}/out")
         return materialize(out)

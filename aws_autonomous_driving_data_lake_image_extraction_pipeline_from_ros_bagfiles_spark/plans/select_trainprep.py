@@ -369,6 +369,13 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint_dir=f"{work}/ckpt",
                 delay="4 hours",
                 window="1 hour",
+                # size state stores to the 1-file micro-batch, not the
+                # session width (same value on BOTH drains — the
+                # checkpoint pins its state partition count; r8, the q65
+                # job-count collapse applied to this query)
+                shuffle_partitions=max(
+                    8, spark.sparkContext.defaultParallelism // 4
+                ),
             )
 
         land(0, "a", batch_a)

@@ -10,8 +10,13 @@ shared implementation.
 
 This is NOT the production write path: real deployments land files via
 their upstream writer (Kinesis/Firehose, a fleet uploader — reference
-service/app/main.py's S3 drop pattern); coalesce(1) exists only to make
-a one-file fixture batch.
+service/app/main.py's S3 drop pattern); the single-partition write exists
+only to make a one-file fixture batch. It is ``repartition(1)``, NOT
+``coalesce(1)``: coalescing a parallelized LOCAL relation (createDataFrame
+fixtures like q61's watermark-probe row) stalls the lone task ~5 s per
+write in local mode (r8 measurement, scheduler-side and size-independent),
+while the one-row shuffle costs ~0.3 s and is equivalent for
+parquet-derived frames.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ def stage_single_parquet(df: DataFrame, dest: str, mtime: int | None = None) -> 
     consumer orders micro-batches by arrival time. Returns ``dest``.
     """
     stage = f"{dest}.stage"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    df.repartition(1).write.mode("overwrite").parquet(stage)
     shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dest)
     shutil.rmtree(stage, ignore_errors=True)
     if mtime is not None:

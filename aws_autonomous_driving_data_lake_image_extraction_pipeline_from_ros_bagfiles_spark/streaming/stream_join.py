@@ -31,6 +31,7 @@ def stream_stream_click_view_join(
     checkpoint_dir: str,
     tolerance: str = "1 hour",
     delay: str = "40 days",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """availableNow drain: join every click with ALL of the same user's
     views in [click.ts - tolerance, click.ts] (both bounds INCLUSIVE —
@@ -38,7 +39,17 @@ def stream_stream_click_view_join(
     matches to
     ``out_dir``. Two independent readStream handles over the same landing
     directory (a supported self-join); both sides carry watermarks so the
-    join state is evictable."""
+    join state is evictable.
+
+    ``shuffle_partitions`` (scoped, restored after — the q65 knob) sizes
+    the join's state-store partition count to the bounded micro-batch;
+    both sides of a stream-stream join keep state PER partition, so the
+    per-batch commit bill is 2x partition count. Same checkpoint-pinning
+    caveat as windows.watermarked_window_counts."""
+    sp_key = "spark.sql.shuffle.partitions"
+    prior_sp = spark.conf.get(sp_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(sp_key, str(shuffle_partitions))
     clicks = (
         spark.readStream.schema(schema)
         .parquet(source_dir)
@@ -72,11 +83,14 @@ def stream_stream_click_view_join(
         "view_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(sp_key, prior_sp)

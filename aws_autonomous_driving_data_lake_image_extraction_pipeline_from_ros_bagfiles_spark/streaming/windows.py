@@ -48,10 +48,20 @@ def watermarked_window_counts(
     key_col: str = "event_type",
     ts_col: str = "ts",
     max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """availableNow pass: watermarked tumbling-window counts, finalized
     windows appended to ``out_dir`` as parquet (the streaming parquet sink
     only supports append mode, which is exactly the emit-once contract).
+
+    ``shuffle_partitions`` (scoped to this drain, restored after — the
+    q65/dedup_ingest knob) sizes the stateful aggregation's state-store
+    partition count to the BOUNDED micro-batch instead of the session
+    width: every micro-batch commits one state-store delta PER partition,
+    so session-width stores are pure per-batch commit overhead on a
+    1-file trigger. IMPORTANT: a checkpoint pins its state partition
+    count at first commit — pass the same value for every drain of one
+    checkpoint (the engine's run-per-arrival callers do).
 
     ``hour_start`` renders via date_format, i.e. in the SESSION timezone:
     deterministic here because session.py pins
@@ -61,30 +71,37 @@ def watermarked_window_counts(
     DST fold, ambiguous) window rows — pin UTC on any consumer cluster,
     as the engine does.
     """
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-    agg = (
-        stream.withWatermark(ts_col, delay)
-        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-            key_col,
-            "n_events",
+    sp_key = "spark.sql.shuffle.partitions"
+    prior_sp = spark.conf.get(sp_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(sp_key, str(shuffle_partitions))
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
         )
-    )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        agg = (
+            stream.withWatermark(ts_col, delay)
+            .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                key_col,
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(sp_key, prior_sp)
 
 
 def dedup_within_watermark(
