@@ -50,12 +50,17 @@ def frame_gaps(frames: DataFrame, topic_col: str = "topic", idx_col: str = "fram
     """Indices whose predecessor is not idx-1 (A7: check_pngs.py:1976-1997).
 
     Returns (topic, frame_id, prev_id, gap_size) for every discontinuity.
+    The reference's counter starts at 0, so a topic whose indices START
+    above 0 (head truncation — frames 0..k lost before landing) is also a
+    gap: the topic's first row is checked against a virtual prev_id of -1
+    and reported with that sentinel (r8 review — the previous
+    ``prev_id IS NOT NULL`` filter silently passed head-truncated topics).
     """
     w = Window.partitionBy(topic_col).orderBy(idx_col)
-    prev = F.lag(idx_col).over(w)
+    prev = F.coalesce(F.lag(idx_col).over(w), F.lit(-1).cast("bigint"))
     return (
         frames.select(topic_col, idx_col, prev.alias("prev_id"))
-        .filter(F.col("prev_id").isNotNull() & (F.col(idx_col) - F.col("prev_id") != 1))
+        .filter(F.col(idx_col) - F.col("prev_id") != 1)
         .withColumn("gap_size", (F.col(idx_col) - F.col("prev_id") - 1).cast("bigint"))
     )
 

@@ -18,11 +18,10 @@ capacity) occupies its own bin — never silently truncated.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def pack_sequences(
@@ -40,9 +39,19 @@ def pack_sequences(
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
 
-    schema = (
-        f"{group_col} string, {id_col} bigint, {token_col} bigint, "
-        "bin bigint, pos bigint, bin_fill bigint"
+    # derive group/id field types from the input — the previous
+    # hard-coded "string"/"bigint" broke any caller with an int shard
+    # key or string doc id (r8 review); token_col is cast below, so its
+    # output type is always bigint
+    schema = StructType(
+        [
+            df.schema[group_col],
+            df.schema[id_col],
+            StructField(token_col, LongType()),
+            StructField("bin", LongType()),
+            StructField("pos", LongType()),
+            StructField("bin_fill", LongType()),
+        ]
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -47,15 +47,23 @@ def pagerank(
     ``checkpoint_dir=None`` truncates via localCheckpoint (executor
     storage — fast, not executor-loss-tolerant); pass a reliable dir
     (HDFS/S3A/local) to survive executor loss on long runs — see
-    operators/checkpointing.py.
+    operators/checkpointing.py. The reliable tier checkpoints EAGERLY:
+    ``DataFrame.checkpoint(eager=False)`` only marks the RDD, and
+    Spark's post-job sweep stops at the nearest marked ancestor, so a
+    lazy mark inside the loop would write nothing until the caller's
+    first action — zero executor-loss protection during the very
+    iterations the tier exists for (r8 review; components.py has always
+    been eager for this reason). The local tier stays lazy: blocks
+    materialize on first touch and dedup every later reference.
     """
-    edges = truncate_lineage(edges, checkpoint_dir, eager=False)
+    _eager = checkpoint_dir is not None
+    edges = truncate_lineage(edges, checkpoint_dir, eager=_eager)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionAll(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    nodes = truncate_lineage(nodes, checkpoint_dir, eager=False)
+    nodes = truncate_lineage(nodes, checkpoint_dir, eager=_eager)
     n = nodes.count()  # scalar: dimension of the rank vector, tiny result
     if n == 0:
         # an empty graph has no rank vector; returning an empty frame (not
@@ -65,7 +73,7 @@ def pagerank(
         edges.groupBy(F.col(src_col).alias("node"))
         .agg(F.count("*").alias("deg"))
     )
-    deg = truncate_lineage(deg, checkpoint_dir, eager=False)
+    deg = truncate_lineage(deg, checkpoint_dir, eager=_eager)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (
@@ -86,5 +94,5 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = truncate_lineage(ranks, checkpoint_dir, eager=False)
+        ranks = truncate_lineage(ranks, checkpoint_dir, eager=_eager)
     return ranks

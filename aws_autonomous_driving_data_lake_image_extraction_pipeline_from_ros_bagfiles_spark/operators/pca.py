@@ -60,6 +60,10 @@ def power_iteration(g_rows: list[tuple[int, int, float]], dim: int, iters: int) 
     """
     G = [[0.0] * dim for _ in range(dim)]
     for i, j, g in g_rows:
+        if g is None:
+            # a NULL gram entry means the upstream decimal sum overflowed
+            # or the input was empty — name it, don't TypeError mid-loop
+            raise ValueError(f"gram entry ({i},{j}) is NULL — degenerate input")
         G[i - 1][j - 1] = g
     v = [1.0 / float(dim) ** 0.5] * dim
     for _ in range(iters):
@@ -74,6 +78,14 @@ def power_iteration(g_rows: list[tuple[int, int, float]], dim: int, iters: int) 
         for x in w:
             nrm_acc += x * x
         nrm = nrm_acc**0.5
+        if nrm == 0.0:
+            # all-zero gram (empty table / all-zero vectors): there is no
+            # dominant eigenvector — fail with the cause, not a
+            # ZeroDivisionError deep in driver code (r8 review)
+            raise ValueError(
+                "gram matrix is all zeros (empty or all-zero embeddings);"
+                " power iteration has no dominant eigenvector"
+            )
         v = [x / nrm for x in w]
     return v
 

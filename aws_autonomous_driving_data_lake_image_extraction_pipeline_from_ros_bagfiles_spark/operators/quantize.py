@@ -27,7 +27,9 @@ def _as_double(vec: Column) -> Column:
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Adds qvec (array<bigint> in [-127,127]) and scale (double).
+    """Adds qvec (array<bigint> in [-127,127]) and scale (double);
+    every other input column passes through unchanged (r8 review — the
+    previous projection silently dropped caller metadata columns).
 
     A zero vector quantizes to all-zero codes with scale 0.
     """
@@ -38,12 +40,7 @@ def quantize_int8(
         mx > 0,
         F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        qvec.alias("qvec"),
-        scale.alias("scale"),
-    )
+    return df.withColumn("qvec", qvec).withColumn("scale", scale)
 
 
 def dequant_error(quantized: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -90,9 +87,21 @@ def quantized_topk(
     a product of exact ints with two doubles, so the shortlist — and
     hence the final ranking — is deterministic (ties break on id).
     Returns (id, ip, cos): the raw integer score and reranked cosine.
+
+    CONTRACT (same as similarity.cosine_topk): ``query`` must be ONE row
+    carrying the raw vector in a ``qe`` column. The crossJoin fan-out and
+    the global limit are single-query shapes — a multi-row query frame
+    would mispair codes with raw vectors and mix queries in one top-k;
+    fan multi-query workloads through ann_ivf.ivf_topk_batch instead.
     """
     from .similarity import cosine
 
+    if "qe" not in query.columns:
+        raise ValueError(
+            "quantized_topk: query frame must carry the raw query vector"
+            f" in a 'qe' column (got {query.columns}); it must also be a"
+            " single row — see docstring"
+        )
     normed = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
     qc = quantize_int8(normed, vec_col, id_col)
     qn = query.select(

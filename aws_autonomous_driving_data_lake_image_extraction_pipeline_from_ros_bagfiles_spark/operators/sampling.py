@@ -157,7 +157,20 @@ def mixture_sample(
     }
     unknown = set(totals) - set(budgets)
     if unknown:
-        raise ValueError(f"no budget for sources: {sorted(unknown)}")
+        # repr-sort: a NULL stratum (None) mixed with strings would make
+        # sorted() raise a bare TypeError instead of naming the sources
+        raise ValueError(
+            f"no budget for sources: {sorted(unknown, key=repr)}"
+        )
+    degenerate = {s for s, t in totals.items() if not t}  # 0 or all-NULL
+    if degenerate:
+        # budget/0 has no defined keep fraction; a silent keep-all or
+        # drop-all would both misreport the mixture — fail naming them
+        raise ValueError(
+            "zero/NULL token total for sources:"
+            f" {sorted(degenerate, key=repr)} — drop them upstream or fix"
+            " token_count_col"
+        )
     thresholds = {
         s: fraction_threshold(min(1.0, budgets[s] / totals[s])) for s in totals
     }

@@ -22,8 +22,6 @@ boundary points drop consistently on every engine/run.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,7 +52,14 @@ def dp_keep_mask(xy: np.ndarray, eps: float) -> np.ndarray:
         if length == 0.0:
             d = np.hypot(pts[:, 0] - xy[i, 0], pts[:, 1] - xy[i, 1])
         else:
-            d = np.abs(np.cross(seg, pts - xy[i])) / length
+            # scalar 2-D cross product: np.cross on 2-element vectors is
+            # deprecated (NumPy >= 1.25) and removed in 2.x (r8 review)
+            d = (
+                np.abs(
+                    seg[0] * (pts[:, 1] - xy[i, 1]) - seg[1] * (pts[:, 0] - xy[i, 0])
+                )
+                / length
+            )
         k = int(np.argmax(d))
         if d[k] > eps:
             mid = i + 1 + k
@@ -72,11 +77,20 @@ def simplify_trajectories(
     x_col: str = "x",
     y_col: str = "y",
 ) -> DataFrame:
-    """Per-track RDP: returns only the kept points (all input columns)."""
+    """Per-track RDP: returns only the kept points (all input columns).
+
+    The path order sorts by (order_col, x_col, y_col): a stable sort on
+    ``order_col`` alone is only stable with respect to the SHUFFLE
+    ARRIVAL order, so duplicate order values (same-timestamp GPS fixes)
+    could swap between runs and change which points RDP keeps (r8
+    review). With coordinates in the key, duplicate-order points have a
+    deterministic sequence regardless of arrival order; exact duplicate
+    rows are interchangeable, so the mask is stable too.
+    """
     cols = df.columns
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.sort_values([order_col, x_col, y_col], kind="mergesort")
         xy = pdf[[x_col, y_col]].to_numpy(dtype=np.float64)
         return pdf[dp_keep_mask(xy, eps)]
 

@@ -54,6 +54,20 @@ def test_gap_detection(spark):
     assert g.topic == "front" and g.frame_id == 5 and g.prev_id == 2 and g.gap_size == 2
 
 
+def test_gap_detection_head_truncation(spark):
+    """A topic whose indices start above 0 lost its head frames — the
+    reference counter starts at 0, so that IS a gap (r8 review): reported
+    against the virtual prev_id -1 sentinel."""
+    df = spark.createDataFrame(
+        [("front", i) for i in [5, 6, 7]] + [("rear", i) for i in [0, 1]],
+        "topic string, frame_id bigint",
+    )
+    gaps = frame_gaps(df).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g.topic == "front" and g.frame_id == 5 and g.prev_id == -1 and g.gap_size == 5
+
+
 def test_run_diff(spark):
     a = spark.createDataFrame([("f0.png",), ("f1.png",), ("f2.png",)], "img_file string")
     b = spark.createDataFrame([("f0.png",), ("f2.png",)], "img_file string")
