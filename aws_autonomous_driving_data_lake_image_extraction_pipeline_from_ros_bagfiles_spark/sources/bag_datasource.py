@@ -111,10 +111,17 @@ class BagStreamReader(DataSourceStreamReader):
     """Streaming half of ``format("rosbag")`` — the literal S1 shape:
     ``spark.readStream.format("rosbag")`` over a landing DIRECTORY of bag
     files (the reference's S3 drop zone, bag-queue-proc.py's unit of
-    work). The offset is the count of bag files in stable sorted order —
-    a landing zone is append-only, so the sorted prefix below a committed
-    offset never changes and replay after a crash re-plans exactly the
-    same files. Each micro-batch maps the NEW files through
+    work). The offset is the SET of file names seen (committed to Spark's
+    offset log as a sorted list): a batch reads exactly
+    ``end.files - start.files``, so a file that lands late but sorts
+    lexicographically EARLY is still picked up once, and deletions can
+    never shift other files into or out of a committed range. (The
+    previous count-based offset assumed sorted-prefix stability, which
+    "append-only" does not give — a late-landing early-sorting name
+    silently skipped itself and double-read its successor; r8 review.)
+    Offset size is O(#files); beyond ~1e5 landing files, compact to a
+    persisted seen-log keyed the same way — the set semantics is the
+    contract. Each micro-batch maps its new files through
     ``plan_bag_splits``: decode parallelism stays one task per chunk,
     identical to the batch reader.
     """
@@ -123,6 +130,14 @@ class BagStreamReader(DataSourceStreamReader):
         raw = options.get("path") or options.get("paths")
         if not raw:
             raise ValueError("rosbag stream requires a 'path' option (dir or glob)")
+        if options.get("timerange"):
+            # the batch reader honors this option; silently ignoring it
+            # here would stream out-of-range rows with no warning
+            raise ValueError(
+                "rosbag stream does not support 'timerange' (the packed"
+                " ros_time order is not time order across chunks); filter"
+                " the stream explicitly or use the batch reader"
+            )
         self._pattern = raw if any(ch in raw for ch in "*?[") else raw.rstrip("/") + "/*.bag"
         topics = options.get("topics")
         self._topics: list[str] | None = (
@@ -133,13 +148,13 @@ class BagStreamReader(DataSourceStreamReader):
         return sorted(glob.glob(self._pattern))
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._files())}
+        return {"files": self._files()}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        new_files = self._files()[start["n"] : end["n"]]
+        new_files = sorted(set(end["files"]) - set(start["files"]))
         if not new_files:
             return [InputPartition(None)]
         splits, _ = plan_bag_splits(new_files, self._topics, None)

@@ -69,14 +69,28 @@ class _Reader:
         self.pos += 8 * n
         return v
 
+    def _check_len(self, n: int) -> None:
+        # a u32 length prefix pointing past the buffer means a truncated
+        # or corrupt payload; Python slicing would silently return the
+        # short remainder, escaping both the named-ValueError corruption
+        # contract and permissive mode (r8 review) — raise HERE so the
+        # caller's except-wrapper attributes the bag and offset
+        if self.pos + n > len(self.buf):
+            raise ValueError(
+                f"length prefix {n} overruns payload"
+                f" ({len(self.buf) - self.pos} bytes remain at {self.pos})"
+            )
+
     def string(self) -> str:
         n = self.u32()
+        self._check_len(n)
         v = self.buf[self.pos : self.pos + n].decode("iso-8859-1")
         self.pos += n
         return v
 
     def raw(self) -> bytes:
         n = self.u32()
+        self._check_len(n)
         v = self.buf[self.pos : self.pos + n]
         self.pos += n
         return v

@@ -201,11 +201,17 @@ def build_indexed_bag(n_frames: int = 16, n_chunks: int = 4) -> bytes:
         + connection(1, "/odom", "nav_msgs/Odometry")
         + connection(2, "/status", "std_msgs/String")
     )
-    per_chunk = max(1, n_frames // n_chunks)
+    # ceil split so the LAST slice absorbs the remainder: a floor split
+    # silently dropped the trailing n_frames - n_chunks*per_chunk frames
+    # and, for n_chunks > n_frames, emitted empty chunks whose chunk-info
+    # carried an inverted time range (r8 review)
+    per_chunk = -(-n_frames // n_chunks) if n_frames else 1
     out = b"#ROSBAG V2.0\n" + bag_header()
     metas: list[tuple[int, int, int, dict[int, int]]] = []
     for c in range(n_chunks):
         lo, hi = c * per_chunk, min((c + 1) * per_chunk, n_frames)
+        if hi <= lo:
+            break  # fewer frames than chunks: stop, never write an empty chunk
         inner = conns if c == 0 else b""
         counts: dict[int, int] = {}
         for i in range(lo, hi):

@@ -35,16 +35,18 @@ from pyspark.sql.types import StructType
 
 from ..operators.dedup import (
     BANDS,
-    _cached,
-    _jaccard_on_pairs,
     bands_long,
+    cache_pinned,
+    jaccard_on_pairs,
     minhash_band_cols,
     minhash_bands,
     release_caches,
     text_fingerprint,
 )
 
-_INDEX_COLS = ["fp"] + [f"bk{b}" for b in range(BANDS)]
+# band-key index columns a persisted corpus carries (fp is attached
+# separately in tier 1) — the single source for the reuse checks below
+_BAND_COLS = [f"bk{b}" for b in range(BANDS)]
 
 
 def dedup_batch_against_corpus(
@@ -101,13 +103,13 @@ def dedup_batch_against_corpus(
 
     # exact-tier survivors are read by the hashing pass, the verify doc
     # set, and the final anti-join — cache once, released by batch_fn
-    batch = _cached(batch)
+    batch = cache_pinned(batch)
 
     # one hashing pass over the batch; tiers below reuse it
     hashed = batch.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    wide = _cached(minhash_band_cols(hashed))
+    wide = cache_pinned(minhash_band_cols(hashed))
     blong = bands_long(wide)
 
     # Verify keys parity-tag the sides: batch ids map to 2*id, corpus
@@ -135,8 +137,8 @@ def dedup_batch_against_corpus(
     verify_docs = batch.select((F.col("doc_id") * 2).alias("doc_id"), "text")
 
     if has_corpus:
-        if all(f"bk{b}" in corpus.columns for b in range(BANDS)):
-            rlong = bands_long(corpus.select("doc_id", *[f"bk{b}" for b in range(BANDS)]))
+        if all(c in corpus.columns for c in _BAND_COLS):
+            rlong = bands_long(corpus.select("doc_id", *_BAND_COLS))
         else:
             rlong = minhash_bands(
                 corpus.select("doc_id", "text").repartition(
@@ -162,8 +164,8 @@ def dedup_batch_against_corpus(
 
     # cand is read twice (verify pair set, doomed lookup); duplicates are
     # deduped once in the verify projection — no pre-distinct shuffle
-    cand = _cached(cand)
-    verified = _jaccard_on_pairs(
+    cand = cache_pinned(cand)
+    verified = jaccard_on_pairs(
         cand.select("id_a", "id_b").distinct(), verify_docs, "text", "doc_id"
     ).filter(F.col("jaccard") >= threshold)
     drops = (

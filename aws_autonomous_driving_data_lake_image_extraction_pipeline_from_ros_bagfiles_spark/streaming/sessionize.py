@@ -41,9 +41,8 @@ def sessionize_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataF
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1_000_000)
     new_session = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # derived from w — ONE ordering spec; a hand-copied twin could drift
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn(
         "session_id", (F.sum(new_session).over(running) - 1).cast("bigint")
     )
@@ -60,9 +59,12 @@ def _stream_fn(gap_sec: int):
         # must be concatenated and sorted as one sequence — sorting each
         # chunk independently assigns wrong session ids whenever a user's
         # events span chunks
-        chunks = [pdf for pdf in pdfs if len(pdf)]
+        # concat only the ts SERIES: the chunks carry every payload
+        # column, and concatenating whole frames just to extract one
+        # column doubles per-key copy cost in the state worker (r8)
+        chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
         all_ts = (
-            pd.concat(chunks)["ts"].sort_values() if chunks else pd.Series([], dtype="datetime64[ns]")
+            pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="datetime64[ns]")
         )
         for ts in all_ts:
             ts_us = int(ts.value // 1000)  # pandas ns -> us
@@ -147,11 +149,11 @@ try:  # pragma: no cover - availability gate, exercised via the factory below
                 last_ts_us, session_id = self._state.get()
             else:
                 last_ts_us, session_id = None, -1
-            # same multi-chunk discipline as _stream_fn: concatenate, then
-            # sort ONCE per key per micro-batch
-            chunks = [pdf for pdf in rows if len(pdf)]
+            # same multi-chunk discipline as _stream_fn: concatenate the
+            # ts series only, then sort ONCE per key per micro-batch
+            chunks = [pdf["ts"] for pdf in rows if len(pdf)]
             all_ts = (
-                pd.concat(chunks)["ts"].sort_values()
+                pd.concat(chunks).sort_values()
                 if chunks
                 else pd.Series([], dtype="datetime64[ns]")
             )

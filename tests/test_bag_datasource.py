@@ -125,3 +125,63 @@ def test_bag_stream_reader_incremental_offsets(spark, tmp_path):
     # no duplicates: every (topic, seq, ros_time) appears exactly... twice
     # (a.bag and b.bag are identical fixtures), so distinct count is n1
     assert out.select("topic", "seq", "ros_time").distinct().count() == n1
+
+
+def test_stream_late_landing_early_sorting_file(spark, tmp_path):
+    """Set-based offsets (r8 review): a file that lands LATE but sorts
+    lexicographically BEFORE an already-committed file must still be read
+    exactly once, and the committed file must not be re-read. The old
+    count-based offset skipped it and double-read its successor."""
+    import os
+
+    register_rosbag_source(spark)
+    src = tmp_path / "in"
+    os.makedirs(src)
+
+    def drain():
+        q = (
+            spark.readStream.format("rosbag")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "c.bag").write_bytes(build_indexed_bag(n_frames=4, n_chunks=2))
+    drain()
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    # lands late, sorts BEFORE c.bag
+    (src / "a.bag").write_bytes(build_indexed_bag(n_frames=4, n_chunks=2))
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2 * n1  # a.bag read once, c.bag not re-read
+    assert out.select("topic", "seq", "ros_time").distinct().count() == n1
+
+
+def test_stream_rejects_timerange(spark, tmp_path):
+    """The stream reader must refuse the batch-only 'timerange' option
+    loudly instead of silently streaming unfiltered rows (r8 review)."""
+    import os
+
+    import pytest
+
+    register_rosbag_source(spark)
+    src = tmp_path / "in"
+    os.makedirs(src)
+    (src / "a.bag").write_bytes(build_indexed_bag(n_frames=4, n_chunks=2))
+    q = (
+        spark.readStream.format("rosbag")
+        .option("path", str(src))
+        .option("timerange", "100:200")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+    )
+    with pytest.raises(Exception, match="timerange"):
+        sq = q.start()
+        sq.awaitTermination()

@@ -139,3 +139,36 @@ def test_corrupt_bag_strict_and_permissive(spark):
     assert {r.bag for r in rows} == {"m://good.bag"}
     with _pytest.raises(Exception):
         decode_bag_df(bags, permissive=False).collect()
+
+
+def test_truncated_payload_length_prefix_raises():
+    """A message payload whose u32 length prefix overruns the buffer is
+    corruption, not a short read: the reader must raise (r8 review — the
+    old slice silently returned the short remainder, escaping both the
+    named-error contract and permissive mode)."""
+    import struct
+
+    import pytest as _pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.ros_messages import (
+        decode_message,
+    )
+
+    # a String payload claiming 100 bytes with only 3 present
+    bad = struct.pack("<I", 100) + b"abc"
+    with _pytest.raises(ValueError, match="overruns payload"):
+        decode_message("std_msgs/String", bad)
+
+    # an Image whose img_data length field overruns: header + dims +
+    # encoding + flags parse fine, then raw() must raise
+    payload = (
+        struct.pack("<III", 7, 1600000000, 0)      # header seq/stamp
+        + struct.pack("<I", 0)                      # frame_id ""
+        + struct.pack("<II", 6, 8)                  # height, width
+        + struct.pack("<I", 4) + b"rgb8"            # encoding
+        + b"\x00" + struct.pack("<I", 24)           # bigendian, step
+        + struct.pack("<I", 999)                    # img_data length LIE
+        + b"\x01" * 10
+    )
+    with _pytest.raises(ValueError, match="overruns payload"):
+        decode_message("sensor_msgs/Image", payload)

@@ -173,3 +173,27 @@ def test_scan_layout_names_corrupt_bag(tmp_path):
     bad.write_bytes(BAG_MAGIC + b"\x10\x00\x00\x00\x02")  # header cut short
     with pytest.raises(ValueError, match="corrupt bag layout in .*trunc.bag"):
         scan_bag_layout(str(bad))
+
+
+def test_build_indexed_bag_nondivisible(tmp_path, spark):
+    """Ceil-split chunking (r8 review): n_frames not divisible by
+    n_chunks must not drop trailing frames, and n_chunks > n_frames must
+    not emit empty chunks with inverted time ranges."""
+    import aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag_fixtures as fx
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.sources.rosbag_split import (
+        plan_bag_splits,
+    )
+
+    p = tmp_path / "odd.bag"
+    p.write_bytes(fx.build_indexed_bag(n_frames=10, n_chunks=4))
+    splits, _ = plan_bag_splits([str(p)], None, None)
+    df = read_bags_split(spark, [str(p)])
+    # odometry (conn 1) lands in EVERY chunk: all 10 frames must appear
+    assert df.filter("topic = '/odom'").count() == 10
+
+    p2 = tmp_path / "tiny.bag"
+    p2.write_bytes(fx.build_indexed_bag(n_frames=3, n_chunks=4))
+    splits2, _ = plan_bag_splits([str(p2)], None, None)
+    assert 0 < len(splits2) <= 3  # no empty chunks planned
+    df2 = read_bags_split(spark, [str(p2)])
+    assert df2.filter("topic = '/odom'").count() == 3
