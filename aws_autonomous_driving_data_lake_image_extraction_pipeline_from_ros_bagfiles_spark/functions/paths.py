@@ -16,8 +16,16 @@ from pyspark.sql import functions as F
 
 
 def extension_rewrite(key: Column, old: str, new: str) -> Column:
-    """``key.replace("png","json")`` analog, anchored at end (F5)."""
-    return F.regexp_replace(key, f"\\.{old}$", f".{new}")
+    """``key.replace("png","json")`` analog, anchored at end (F5).
+
+    ``old`` is regex-escaped and ``new`` replacement-escaped: a dotted
+    extension like ``tar.gz`` would otherwise also match ``tarXgz``, and
+    a ``$``/``\\`` in the replacement would corrupt or throw (r8 review —
+    latent; current call sites pass plain literals)."""
+    import re as _re
+
+    escaped_new = new.replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(key, f"\\.{_re.escape(old)}$", f".{escaped_new}")
 
 
 def camera_from_dir(parent_dir: Column) -> Column:

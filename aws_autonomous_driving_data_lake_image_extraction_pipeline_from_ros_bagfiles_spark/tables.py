@@ -52,11 +52,28 @@ _BUCKETED: dict[tuple[str, str, str], str] = {}
 DEFAULT_BUCKET_SPECS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 
 
-def bucketed_table_name(sf_dir: str, name: str) -> str:
+def bucketed_table_name(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Catalog name for a bucketed materialization — unique per
+    (application, exact sf_dir, table).
+
+    The token carries an md5 of the RAW sf_dir: the readable ``\\W+``
+    squash alone let distinct dirs ('sf0.1' vs 'sf0_1') collide onto one
+    name, silently serving the wrong dataset (r8 review). The
+    applicationId suffix makes the name — and its managed warehouse
+    location — private to this session: the in-memory catalog never saw
+    other processes' tables anyway (cross-session reuse never existed),
+    and the previous reclaim of a name-colliding leftover directory
+    rmtree'd what could be ANOTHER LIVE PROCESS's bucketed data (r8
+    review). Crashed runs leave orphan dirs under their own app-scoped
+    names; bench.py's end-of-run spark-warehouse sweep reclaims them.
+    """
+    import hashlib
     import re
 
     token = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    return f"{name}_bkt_{token}"
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    return f"{name}_bkt_{token}_{digest}_{app}"
 
 
 def materialize_bucketed(
@@ -79,20 +96,17 @@ def materialize_bucketed(
     app = spark.sparkContext.applicationId
     out: dict[str, str] = {}
     for name, key in specs.items():
-        tbl = bucketed_table_name(sf_dir, name)
+        tbl = bucketed_table_name(spark, sf_dir, name)
         if not spark.catalog.tableExists(tbl):
-            # A fresh (in-memory) catalog + a leftover managed location from
-            # a crashed prior run makes saveAsTable fail with
-            # LOCATION_ALREADY_EXISTS; the orphan dir is not a table we can
-            # reuse (no catalog metadata), so reclaim it.
-            import shutil as _shutil
-
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            _shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+            # _read_source, not a raw parquet read: events needs its ts
+            # normalization BEFORE the bucketed write, or the persisted
+            # table would serve the raw physical type (bigint nanos /
+            # timestamp_ntz) to every later load() (r8 review). The
+            # app-scoped table name cannot pre-exist on disk, so no
+            # leftover-location reclaim is needed (see
+            # bucketed_table_name).
             (
-                spark.read.parquet(table_path(sf_dir, name))
+                _read_source(spark, sf_dir, name)
                 .write.mode("overwrite")
                 .bucketBy(buckets, key)
                 .sortBy(key)
@@ -132,6 +146,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bucketed = _BUCKETED.get((spark.sparkContext.applicationId, sf_dir, name))
     if bucketed is not None:
         return spark.table(bucketed)
+    return _read_source(spark, sf_dir, name)
+
+
+def _read_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table from its parquet source with per-table normalization —
+    shared by load() and materialize_bucketed() so a bucketed layout can
+    never persist a different schema than the plain path serves."""
     if name == "events":
         # events.parquet's `ts` physical type has varied across testdata
         # generations (TIMESTAMP(NANOS) stored as int64 vs plain micros

@@ -77,13 +77,22 @@ def main() -> None:
 
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(queries.items()):
         runs = []
-        for _ in range(max(1, args.repeat)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # abort the suite: without this, a single co-tenant OOM or
+            # plan regression at query k lost all k-1 timings, the JSON
+            # summary, and the cleanup (r8 review)
+            errors[name] = repr(e)[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         samples[name] = runs
         times[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows) {runs}", file=sys.stderr)
@@ -103,6 +112,8 @@ def main() -> None:
     }
     if args.repeat > 1:
         detail["samples"] = samples
+    if errors:
+        detail["errors"] = errors
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -119,6 +130,7 @@ def main() -> None:
         "sf": sf,
         "layout_sec": layout_sec,
         "n_queries": len(times),
+        "n_errors": len(errors),
         "repeat": max(1, args.repeat),
         "detail_file": "BENCH_DETAIL.json",
     }
@@ -128,6 +140,8 @@ def main() -> None:
 
     shutil.rmtree("spark-warehouse", ignore_errors=True)
     spark.stop()
+    if errors:
+        raise SystemExit(1)  # summary printed, artifacts written — but red
 
 
 if __name__ == "__main__":

@@ -54,3 +54,16 @@ def test_plan_audit_bnlj_whitelist_enforced():
     assert any("CartesianProduct" in s for s in v)
     assert any("BatchEvalPython" in s for s in v)
     assert any("builder error" in s for s in v)
+
+
+def test_canon_cell_inf_and_struct():
+    """r8 review: infinities must canonicalize (int(inf) raised
+    OverflowError mid-gate), and DuckDB's dict-valued structs must hash
+    like Spark's tuple-valued Rows, nested values canonicalized."""
+    assert canon_cell(float("inf")) == "Inf"
+    assert canon_cell(float("-inf")) == "-Inf"
+    import datetime
+
+    d = {"x1": 1.0, "ts": datetime.date(2024, 1, 2)}
+    t = (1.0, datetime.date(2024, 1, 2))
+    assert canon_cell(d) == canon_cell(t) == "[1,2024-01-02]"

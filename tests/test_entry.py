@@ -24,7 +24,9 @@ def test_registry_shape():
         "q52_bag_split_decode",
         "q55_ann_ivf",
         "q56_select_anonymize",
-        "q184_semantic_dedup_ivf",  # trained-IVF blocks, q55 precedent
+        # q184 left this set in r8: its quantizer is now the
+        # deterministic integer-quantized Lloyd (ann_ivf), fully
+        # replayed by a DuckDB oracle
     }
 
 

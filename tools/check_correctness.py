@@ -38,6 +38,8 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises OverflowError (r8 review)
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -45,6 +47,13 @@ def canon_cell(v) -> str:
         return str(int(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, dict):
+        # DuckDB returns struct columns as dicts while Spark Rows take
+        # the tuple branch: canonicalize to field-ORDERED values so a
+        # struct column can hash-match across engines, with nested
+        # floats/datetimes canonicalized too (r8 review). Field order is
+        # the declared struct order on both engines.
+        return "[" + ",".join(canon_cell(x) for x in v.values()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
@@ -75,6 +84,12 @@ def main() -> int:
     qs = se.queries()
     oracles = se.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not exit 0 having checked NOTHING (r8
+        # review — `check_correctness.py qX && commit` would green-light)
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
