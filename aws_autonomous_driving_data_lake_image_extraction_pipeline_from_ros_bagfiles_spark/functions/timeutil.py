@@ -39,9 +39,11 @@ def ros_time_pack(ts: Column) -> Column:
     # Pre-epoch stamps are out of domain (ROS time is unsigned sec/nsec):
     # a negative remainder would pack a negative nsec field that Spark's
     # shiftleft silently accepts while DuckDB's negative shift errors
-    # loudly (r8 review). Fail the SAME way on both engines.
+    # loudly (r8 review). Fail the SAME way on both engines. NULL stamps
+    # stay NULL-propagating (assert_true(NULL) would THROW, diverging
+    # from the oracle's NULL row — r8 round-diff review).
     guard = F.assert_true(
-        epoch_us >= F.lit(0),
+        epoch_us.isNull() | (epoch_us >= F.lit(0)),
         F.lit("ros_time_pack: pre-epoch timestamp is outside the ROS time domain"),
     )
     rem = epoch_us % F.lit(1_000_000)  # sign-of-dividend, as DuckDB's %

@@ -203,14 +203,20 @@ _QUANT_D = 1_000_000_000_000  # distance fixed point (1e-12 resolution)
 
 
 def int_sq_dist(vec_col, cent_col):
-    """Integer-quantized squared L2 between two array<double> columns —
-    exact (no float accumulation), hence engine-portable argmin."""
+    """Integer-quantized squared L2 between two array columns — exact
+    (no float accumulation), hence engine-portable argmin. Elements are
+    cast float->double BEFORE arithmetic (the repo's cross-engine float
+    rule): an array<float> source would otherwise square in float32 on
+    Spark while the oracle's embedding::DOUBLE[] squares in float64
+    (r8 round-diff review)."""
     terms = F.zip_with(
         vec_col,
         cent_col,
-        lambda x, y: F.floor((x - y) * (x - y) * F.lit(float(_QUANT_D))).cast(
-            "bigint"
-        ),
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(float(_QUANT_D))
+        ).cast("bigint"),
     )
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
@@ -259,7 +265,11 @@ def deterministic_lloyd(
 
     seed = (
         emb.select(
-            F.md5(F.col(id_col).cast("string")).alias("__k"), id_col, vec_col
+            F.md5(F.col(id_col).cast("string")).alias("__k"),
+            id_col,
+            # float sources cast up-front: centroids (and the means below)
+            # must be float64 to match the oracle's ::DOUBLE[] (r8)
+            F.col(vec_col).cast("array<double>").alias(vec_col),
         )
         .orderBy("__k", id_col)
         .limit(n_buckets)
@@ -271,7 +281,10 @@ def deterministic_lloyd(
     for _ in range(iters):
         assigned = assign_buckets_exact(emb, cents, vec_col, id_col)
         comp = (
-            assigned.select("bucket", F.posexplode(vec_col).alias("i", "x"))
+            assigned.select(
+                "bucket",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+            )
             .groupBy("bucket", "i")
             .agg(
                 F.sum(
@@ -376,19 +389,69 @@ def save_ivf_index(
     )
     spark = bucketed.sparkSession
     _write_centroid_table(spark, centroids, path)
-    st = bucketed.agg(
+    # stats from the JUST-WRITTEN corpus files, not the input frame: the
+    # input's assignment lineage (a pandas-UDF pass at large B) would
+    # otherwise execute a second time for this aggregate (r8 round-diff
+    # review) — the parquet re-read is the cheap side
+    written = spark.read.parquet(f"{path}/corpus")
+    st = written.agg(
         F.count("*").alias("n"),
-        F.avg(_min_sq_dist(bucketed, vec_col, centroids)).alias("mean_sq_dist"),
+        F.avg(_min_sq_dist(written, vec_col, centroids)).alias("mean_sq_dist"),
     ).first()
+    _write_stats(spark, path, int(st["n"]), float(st["mean_sq_dist"] or 0.0))
+
+
+def _write_stats(spark, path: str, n: int, mean_sq_dist: float) -> None:
+    """Stage-then-rename stats update: a crash during a plain overwrite
+    (delete-then-write) could leave ``<path>/stats`` EMPTY, bricking
+    every later append with an unnamed TypeError (r8 round-diff review).
+    With the rename, a crash leaves either the old stats intact or —
+    in the tiny window after the delete — no stats dir, which
+    :func:`read_ivf_stats` reports with the rebuild recipe."""
+    import os
+    import shutil
+
+    stage = f"{path}/stats.staging"
     (
-        spark.createDataFrame(
-            [(int(st["n"]), float(st["mean_sq_dist"] or 0.0))],
-            "n bigint, mean_sq_dist double",
-        )
+        spark.createDataFrame([(n, mean_sq_dist)], "n bigint, mean_sq_dist double")
         .repartition(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/stats")
+        .parquet(stage)
     )
+    final = f"{path}/stats"
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(stage, final)
+
+
+def read_ivf_stats(spark, path: str) -> tuple[int, float]:
+    """(n, mean_sq_dist) baseline, or a NAMED error with the recovery
+    recipe when the stats are missing/empty (pre-r8 index layout, or a
+    crash inside a stats update)."""
+    try:
+        st = spark.read.parquet(f"{path}/stats").first()
+    except Exception:
+        st = None
+    if st is None:
+        raise ValueError(
+            f"IVF index at {path} has no readable stats (pre-r8 layout or"
+            " an interrupted update) — rebuild with"
+            " rebuild_ivf_stats(spark, path), then retry the append"
+        )
+    return int(st["n"]), float(st["mean_sq_dist"])
+
+
+def rebuild_ivf_stats(spark, path: str) -> tuple[int, float]:
+    """Recompute the drift baseline from the stored corpus + centroids —
+    the recovery path for interrupted updates and pre-stats indexes.
+    One corpus aggregate; safe to run any time (idempotent)."""
+    corpus, cents = load_ivf_index(spark, path)
+    st = corpus.agg(
+        F.count("*").alias("n"),
+        F.avg(_min_sq_dist(corpus, "embedding", cents)).alias("mean_sq_dist"),
+    ).first()
+    n, mean = int(st["n"]), float(st["mean_sq_dist"] or 0.0)
+    _write_stats(spark, path, n, mean)
+    return n, mean
 
 
 def load_ivf_centroids(spark, path: str) -> list[list[float]]:
@@ -435,8 +498,7 @@ def append_vectors(
     baseline reflects the grown corpus.
     """
     cents = load_ivf_centroids(spark, path)
-    st = spark.read.parquet(f"{path}/stats").first()
-    base_n, base_mean = int(st["n"]), float(st["mean_sq_dist"])
+    base_n, base_mean = read_ivf_stats(spark, path)
     assigned = (
         assign_buckets(delta, cents, vec_col)
         .withColumn("__sq", _min_sq_dist(delta, vec_col, cents))
@@ -467,16 +529,13 @@ def append_vectors(
             .partitionBy("bucket")
             .parquet(f"{path}/corpus")
         )
+        # stats AFTER the corpus append (a crash between them leaves a
+        # stale-but-valid baseline — recoverable via rebuild_ivf_stats;
+        # the staged rename inside _write_stats keeps the file itself
+        # readable through any crash, r8 round-diff review)
         new_n = base_n + delta_n
         new_mean = (base_mean * base_n + delta_mean * delta_n) / new_n
-        (
-            spark.createDataFrame(
-                [(new_n, new_mean)], "n bigint, mean_sq_dist double"
-            )
-            .repartition(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats")
-        )
+        _write_stats(spark, path, new_n, new_mean)
         return {
             "appended": True, "retrain": False,
             "drift_ratio": drift, "n": delta_n,

@@ -30,9 +30,17 @@ def quantize_int8(
     """Adds qvec (array<bigint> in [-127,127]) and scale (double);
     every other input column passes through unchanged (r8 review — the
     previous projection silently dropped caller metadata columns).
+    Raises if the input already carries a qvec/scale column: withColumn
+    would silently OVERWRITE caller metadata of those names.
 
     A zero vector quantizes to all-zero codes with scale 0.
     """
+    taken = {"qvec", "scale"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"quantize_int8: input already has column(s) {sorted(taken)} —"
+            " rename them upstream; the quantizer writes qvec and scale"
+        )
     v = _as_double(F.col(vec_col))
     mx = F.array_max(F.transform(v, F.abs))
     scale = mx / F.lit(127.0)
@@ -102,7 +110,12 @@ def quantized_topk(
             f" in a 'qe' column (got {query.columns}); it must also be a"
             " single row — see docstring"
         )
-    normed = corpus.withColumn(vec_col, normalize(F.col(vec_col)))
+    # explicit projection: carrying arbitrary corpus metadata into the
+    # crossJoin would both widen the shuffle and let a corpus column
+    # named 'qe' shadow the query vector (r8 round-diff review)
+    normed = corpus.select(id_col, vec_col).withColumn(
+        vec_col, normalize(F.col(vec_col))
+    )
     qc = quantize_int8(normed, vec_col, id_col)
     qn = query.select(
         F.col(id_col), normalize(F.col("qe")).alias(vec_col), F.col("qe")

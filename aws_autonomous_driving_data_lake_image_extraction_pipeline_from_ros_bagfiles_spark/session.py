@@ -69,7 +69,30 @@ def get_spark(app_name: str = "ros-baglake-spark", *, shuffle_partitions: int | 
         # survive. Must be set at context start — it is read once by the
         # ContextCleaner constructor.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # Per-process warehouse under /tmp, swept at interpreter exit:
+        # bucketed-table names are app-scoped since r8 (tables.py), so a
+        # CWD-shared ./spark-warehouse would accumulate one orphan
+        # bucketed fact-table copy per checker/audit run with nothing but
+        # bench.py's sweep to reclaim it (r8 round-diff review). Only
+        # applied when this call launches the JVM; a crash leaves the
+        # dir for the OS /tmp policy instead of the repo tree.
+        .config("spark.sql.warehouse.dir", _process_warehouse_dir())
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
     return builder.getOrCreate()
+
+
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse_dir() -> str:
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark_graft_wh_")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR

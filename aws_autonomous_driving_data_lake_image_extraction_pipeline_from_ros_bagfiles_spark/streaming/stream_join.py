@@ -50,40 +50,42 @@ def stream_stream_click_view_join(
     prior_sp = spark.conf.get(sp_key)
     if shuffle_partitions is not None:
         spark.conf.set(sp_key, str(shuffle_partitions))
-    clicks = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+    try:  # the WHOLE construction: a plan-build error (bad schema /
+        # tolerance string) must not leak the reduced width into the
+        # session (r8 round-diff review)
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", delay)
         )
-        .withWatermark("c_ts", delay)
-    )
-    views = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ts"),
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", delay)
         )
-        .withWatermark("v_ts", delay)
-    )
-    joined = clicks.join(
-        views,
-        F.expr(
-            f"c_user = v_user AND v_ts <= c_ts "
-            f"AND v_ts >= c_ts - INTERVAL {tolerance}"
-        ),
-    ).select(
-        "click_id",
-        "view_id",
-        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
-    )
-    try:
+        joined = clicks.join(
+            views,
+            F.expr(
+                f"c_user = v_user AND v_ts <= c_ts "
+                f"AND v_ts >= c_ts - INTERVAL {tolerance}"
+            ),
+        ).select(
+            "click_id",
+            "view_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
         q = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)

@@ -111,3 +111,8 @@ def test_ros_time_pack_integer_exact_edges(spark):
     )
     with pytest.raises(SparkRuntimeException, match="pre-epoch"):
         pre.select(ros_time_pack(F.col("ts")).alias("p")).collect()
+
+    # NULL stamps stay NULL-propagating (not a guard failure) — matching
+    # the oracle's NULL row (r8 round-diff review)
+    nul = spark.createDataFrame([(None,)], "ts timestamp")
+    assert nul.select(ros_time_pack(F.col("ts")).alias("p")).first()["p"] is None
