@@ -221,6 +221,41 @@ def int_sq_dist(vec_col, cent_col):
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def _assert_quant_domain(emb: DataFrame, vec_col: str) -> float:
+    """Raise unless every |element| is small enough that int_sq_dist's
+    bigint sum cannot overflow. Spark's non-ANSI double->long cast
+    SATURATES silently while DuckDB promotes BIGINT sums to HUGEINT, so
+    an out-of-domain corpus would silently diverge the argmin (and any
+    hash gate built on it) instead of failing loudly (ADVICE r8). One
+    column-pruned aggregate; returns the observed max |x|.
+
+    Bound: with M = max|x|, a diff is at most 2M (centroids are means of
+    in-domain points, so they stay inside [-M, M]); each quantized term
+    is <= (2M)^2 * _QUANT_D and the sum over d elements must stay under
+    2^63-1."""
+    st = emb.select(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+        ).alias("mx"),
+        F.size(vec_col).alias("d"),
+    ).agg(F.max("mx").alias("mx"), F.max("d").alias("d")).first()
+    if st["d"] is None:  # empty corpus — nothing to overflow
+        return 0.0
+    mx, d = float(st["mx"] or 0.0), int(st["d"])
+    bound = ((2**63 - 1) / (max(d, 1) * float(_QUANT_D))) ** 0.5 / 2.0
+    if mx > bound:
+        raise ValueError(
+            f"deterministic_lloyd domain error: max|{vec_col}| = {mx:.4g}"
+            f" exceeds the int64-safe bound {bound:.4g} for d={d} at"
+            f" quantization {_QUANT_D:g} — rescale the embeddings (e.g."
+            " L2-normalize) before training, or the integer-quantized"
+            " distances would overflow and silently diverge across engines"
+        )
+    return mx
+
+
 def assign_buckets_exact(
     emb: DataFrame,
     cents: DataFrame,
@@ -250,19 +285,70 @@ def assign_buckets_exact(
     )
 
 
+def centroid_list(cents: DataFrame) -> list[list[float]]:
+    """(bucket, centroid) frame -> list ordered by bucket id, the form
+    :func:`assign_buckets`'s broadcast-matmul tier consumes (list index ==
+    bucket id — deterministic_lloyd's buckets are contiguous 0..B-1)."""
+    return [list(r.centroid) for r in cents.orderBy("bucket").collect()]
+
+
+def lloyd_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Tier switch for nearest-centroid assignment against a (bucket,
+    centroid) frame (VERDICT r8 #1).
+
+    ``exact=True`` — :func:`assign_buckets_exact`: integer-quantized
+    distances, bit-replayable by an external engine, O(N·B·d) codegen.
+    The oracle/gate tier.
+
+    ``exact=False`` — the production tier: collect the B centroids and
+    route through :func:`assign_buckets`'s broadcast-matmul path (one
+    (B, d) numpy broadcast, BLAS argmin per Arrow batch — O(1) plan size,
+    matmul throughput). Same tie-break (lower bucket id: np.argmin takes
+    the first minimum); float64 vs 1e-12-quantized distances can only
+    disagree on pairs closer than the quantization step —
+    tests/test_ann_ivf.py pins tier agreement on the test corpora. The
+    B-row collect is the standard IVF coarse-quantizer assumption (the
+    centroid table fits the driver; corpora beyond that need a
+    hierarchical quantizer, out of scope here)."""
+    if exact:
+        return assign_buckets_exact(emb, cents, vec_col, id_col)
+    return assign_buckets(
+        emb.select(id_col, vec_col), centroid_list(cents), vec_col
+    )
+
+
 def deterministic_lloyd(
     emb: DataFrame,
     n_buckets: int,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Seedless, engine-portable k-means: md5-smallest init, ``iters``
     exact Lloyd rounds (integer-quantized distances and means). Returns
     the (bucket, centroid array<double>) frame. An empty bucket keeps its
-    previous centroid (LEFT-join fold), so the bucket count is stable."""
+    previous centroid (LEFT-join fold), so the bucket count is stable.
+
+    ``exact=False`` keeps the SAME seedless init and integer-quantized
+    means but runs each round's assignment on :func:`lloyd_assign`'s
+    broadcast-matmul tier — the production path when bit-replay by an
+    external engine is not required (VERDICT r8 #1); if the two tiers'
+    argmins agree (pinned on testdata), the trained centroids are
+    bit-identical."""
     from pyspark.sql import Window
 
+    # one column-pruned aggregate guarding int_sq_dist's bigint domain —
+    # out-of-range corpora must fail loudly, not diverge (ADVICE r8);
+    # checked on BOTH tiers so tier choice never changes the domain
+    # contract
+    _assert_quant_domain(emb, vec_col)
     seed = (
         emb.select(
             F.md5(F.col(id_col).cast("string")).alias("__k"),
@@ -279,7 +365,7 @@ def deterministic_lloyd(
         "bucket", F.row_number().over(Window.orderBy("__k", id_col)) - 1
     ).select("bucket", F.col(vec_col).alias("centroid"))
     for _ in range(iters):
-        assigned = assign_buckets_exact(emb, cents, vec_col, id_col)
+        assigned = lloyd_assign(emb, cents, vec_col, id_col, exact=exact)
         comp = (
             assigned.select(
                 "bucket",
@@ -407,10 +493,16 @@ def _write_stats(spark, path: str, n: int, mean_sq_dist: float) -> None:
     every later append with an unnamed TypeError (r8 round-diff review).
     With the rename, a crash leaves either the old stats intact or —
     in the tiny window after the delete — no stats dir, which
-    :func:`read_ivf_stats` reports with the rebuild recipe."""
-    import os
-    import shutil
+    :func:`read_ivf_stats` reports with the rebuild recipe.
 
+    The delete+rename goes through the Hadoop FileSystem resolved from
+    the path itself (ADVICE r8: the previous driver-local
+    shutil/os.replace silently no-opped or raised on any non-local path
+    — hdfs://, s3a://, even file: URIs — while corpus/centroids went
+    through Spark's Hadoop writer). On HDFS/local the rename is atomic;
+    on S3A it is a copy (not atomic) — there the stats dir can be
+    mid-copy visible, which read_ivf_stats surfaces as the
+    rebuild-recipe error rather than wrong numbers."""
     stage = f"{path}/stats.staging"
     (
         spark.createDataFrame([(n, mean_sq_dist)], "n bigint, mean_sq_dist double")
@@ -418,9 +510,17 @@ def _write_stats(spark, path: str, n: int, mean_sq_dist: float) -> None:
         .write.mode("overwrite")
         .parquet(stage)
     )
-    final = f"{path}/stats"
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(stage, final)
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p_stage = jvm.org.apache.hadoop.fs.Path(stage)
+    p_final = jvm.org.apache.hadoop.fs.Path(f"{path}/stats")
+    fs = p_stage.getFileSystem(conf)
+    fs.delete(p_final, True)  # recursive; False (absent) return is fine
+    if not fs.rename(p_stage, p_final):
+        raise IOError(
+            f"IVF stats rename failed: {stage} -> {path}/stats — the old"
+            " stats were deleted; run rebuild_ivf_stats(spark, path)"
+        )
 
 
 def read_ivf_stats(spark, path: str) -> tuple[int, float]:
@@ -496,6 +596,13 @@ def append_vectors(
     feeding both the probe aggregate and the append write (two actions,
     one computation); stats are folded forward so the NEXT batch's
     baseline reflects the grown corpus.
+
+    SINGLE-WRITER assumption (ADVICE r8): the read-stats -> append ->
+    write-stats sequence is not synchronized — two concurrent appenders
+    would both fold from the same baseline and one batch's stats
+    contribution would be lost (the corpus rows themselves are safe;
+    only the drift baseline drifts). Serialize appends per index path,
+    or run rebuild_ivf_stats() after a concurrent episode.
     """
     cents = load_ivf_centroids(spark, path)
     base_n, base_mean = read_ivf_stats(spark, path)

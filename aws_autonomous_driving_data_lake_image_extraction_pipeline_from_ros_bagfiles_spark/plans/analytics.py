@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..tables import load
-from .registry import materialize, register
+from .registry import materialize, production_tier, register
 
 
 # --------------------------------------------------------------------------
@@ -955,9 +955,14 @@ def _q184_oracle() -> str:
                      sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
               FROM af),
     pr AS (
+        -- round BEFORE the tau filter, exactly like the Spark side's
+        -- round(sim,6) >= tau: filtering one side on the raw cosine
+        -- would drop pairs whose true cosine lands in
+        -- [tau - 5e-7, tau) on that side only — a data-dependent
+        -- boundary divergence (ADVICE r8)
         SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-               list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-                   / (a.nm * b.nm) AS cos
+               round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                   / (a.nm * b.nm), 6) AS cos
         FROM sides a JOIN sides b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -969,16 +974,24 @@ def _q184_oracle() -> str:
 
 @register("q184_semantic_dedup_ivf", oracle=_q184_oracle())
 def q184_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann_ivf import assign_buckets_exact, deterministic_lloyd
+    from ..operators.ann_ivf import deterministic_lloyd, lloyd_assign
     from ..operators.similarity import dot, norm
 
+    # Tier switch (VERDICT r8 #1): the oracle/gate default trains AND
+    # assigns on the bit-replayable exact tier (integer-quantized argmin,
+    # O(N·B·d) codegen — the cost of end-to-end hash-gating a trained
+    # quantizer); bench/production (SPARK_GRAFT_TIER=production) routes
+    # assignment through the broadcast-matmul tier with the SAME B, init
+    # and quantized means — tier agreement is pinned in
+    # tests/test_ann_ivf.py.
+    exact = not production_tier()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
         spark.sparkContext.defaultParallelism
     )
     n = emb.count()
     n_buckets = max(8, n // Q184_TARGET_BLOCK)
-    cents = deterministic_lloyd(emb, n_buckets, iters=Q184_ITERS)
-    bucketed = assign_buckets_exact(emb, cents).select(
+    cents = deterministic_lloyd(emb, n_buckets, iters=Q184_ITERS, exact=exact)
+    bucketed = lloyd_assign(emb, cents, exact=exact).select(
         "vec_id", "bucket", "embedding", norm(F.col("embedding")).alias("nm")
     )
     a = bucketed.select(

@@ -93,6 +93,39 @@ def _process_warehouse_dir() -> str:
         import shutil
         import tempfile
 
-        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark_graft_wh_")
+        # pid in the name so a sweeper (bench.py end-of-run) can tell a
+        # crashed run's orphan from a LIVE process's warehouse: clean
+        # exits reclaim via atexit; crashed runs leave
+        # spark_graft_wh_<dead pid>_* for sweep_stale_warehouses()
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix=f"spark_graft_wh_{os.getpid()}_")
         atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
     return _WAREHOUSE_DIR
+
+
+def sweep_stale_warehouses() -> list[str]:
+    """Remove per-process temp warehouses left by CRASHED runs (atexit
+    never fired): any spark_graft_wh_<pid>_* dir whose pid is no longer
+    alive. Pre-pid-tag orphans (plain spark_graft_wh_XXXX) are left for
+    OS tmp policy — their liveness cannot be checked. Returns the
+    removed paths (bench.py logs them)."""
+    import glob
+    import re
+    import shutil
+    import tempfile
+
+    removed = []
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_wh_*")):
+        m = re.match(r"spark_graft_wh_(\d+)_", os.path.basename(d))
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+        except PermissionError:
+            pass  # pid alive under another user — leave it
+    return removed

@@ -64,8 +64,11 @@ def bucketed_table_name(spark: SparkSession, sf_dir: str, name: str) -> str:
     other processes' tables anyway (cross-session reuse never existed),
     and the previous reclaim of a name-colliding leftover directory
     rmtree'd what could be ANOTHER LIVE PROCESS's bucketed data (r8
-    review). Crashed runs leave orphan dirs under their own app-scoped
-    names; bench.py's end-of-run spark-warehouse sweep reclaims them.
+    review). The warehouse itself is a per-process /tmp dir
+    (session.py), swept at interpreter exit; crashed runs leave the
+    whole pid-tagged dir behind, which
+    session.sweep_stale_warehouses() (run by bench.py end-of-run)
+    reclaims once the pid is dead (ADVICE r8).
     """
     import hashlib
     import re

@@ -39,6 +39,45 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Per-query measurement caveats, copied into BENCH_DETAIL.json so a
+# committed snapshot is self-describing (VERDICT r8 #3: q32's 0.04 s
+# warm median was mistaken for decode cost). Three classes:
+#   memoized  — the query shares a session-memoized fixture/stage, so
+#               repeat samples (and any run after the first consumer)
+#               are warm; the FIRST sample carries the real cost.
+#   shared    — the query consumes a stage computed once per session for
+#               a family (cluster family's pair-gen + connected
+#               components); whichever family member runs first pays it.
+#   tier      — the query ran its production tier (SPARK_GRAFT_TIER);
+#               the correctness gate replays the slower oracle tier.
+QUERY_ANNOTATIONS = {
+    "q32_bag_decode": "memoized: demo-bag decode cached per session; repeats are warm",
+    "q33_png_export": "memoized: shares q32's decoded demo bag",
+    "q184_semantic_dedup_ivf": "tier: production (broadcast-matmul assignment); gate replays exact Lloyd",
+    "q54_dedup_clusters": "shared: pair-gen+CC stage computed once per session for q54/q157/q203/q205",
+    "q157_cluster_representatives": "shared: reuses the q54-family pair-gen+CC stage",
+    "q203_cluster_aware_split": "shared: reuses the q54-family pair-gen+CC stage",
+    "q205_incremental_clusters": "shared: reuses the q54-family pair table (runs its own CC)",
+}
+
+# Monotone-noise guard (VERDICT r8 #3): a co-tenant load ramp can land
+# ALL repeat samples inside one noise window — three monotone-increasing
+# samples spanning >2x are indistinguishable from a real regression in
+# the committed median. Take up to EXTRA_SAMPLES more; the median over
+# 5 then needs 3 contaminated samples to lie.
+NOISE_SPREAD = 2.0
+EXTRA_SAMPLES = 2
+
+
+def monotone_noisy(runs: list[float]) -> bool:
+    return (
+        len(runs) >= 3
+        and all(a <= b for a, b in zip(runs, runs[1:]))
+        and min(runs) > 0
+        and max(runs) / min(runs) > NOISE_SPREAD
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=1,
@@ -47,6 +86,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Bench measures the PRODUCTION tier where a query ships both a
+    # bit-replayable gate plan and a faster equivalent (q184's
+    # broadcast-matmul assignment vs exact-Lloyd codegen, VERDICT r8 #1);
+    # the correctness gate runs without this env and keeps the replay
+    # tier. Affected queries are listed in QUERY_ANNOTATIONS.
+    os.environ.setdefault("SPARK_GRAFT_TIER", "production")
 
     import __spark_entry__ as se
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.session import (
@@ -86,6 +131,18 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(round(time.perf_counter() - t0, 3))
+            if args.repeat > 1 and monotone_noisy(runs):
+                # all samples rode one co-tenant load ramp — widen the
+                # sample set so the median can escape the noise window
+                print(
+                    f"# {name}: monotone spread {min(runs)}->{max(runs)},"
+                    f" taking {EXTRA_SAMPLES} extra samples",
+                    file=sys.stderr,
+                )
+                for _ in range(EXTRA_SAMPLES):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    runs.append(round(time.perf_counter() - t0, 3))
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # abort the suite: without this, a single co-tenant OOM or
             # plan regression at query k lost all k-1 timings, the JSON
@@ -109,6 +166,9 @@ def main() -> None:
         "sf": sf,
         "layout_sec": layout_sec,
         "repeat": max(1, args.repeat),
+        "annotations": {
+            q: note for q, note in QUERY_ANNOTATIONS.items() if q in times
+        },
     }
     if args.repeat > 1:
         detail["samples"] = samples
@@ -136,10 +196,16 @@ def main() -> None:
     }
     print(json.dumps(summary))
     drop_bucketed(spark, sf_dir)
-    import shutil
-
-    shutil.rmtree("spark-warehouse", ignore_errors=True)
     spark.stop()
+    # Reclaim temp warehouses orphaned by CRASHED runs (clean exits sweep
+    # their own via atexit — session.py's per-process dir, ADVICE r8);
+    # this process's own dir goes through its atexit hook.
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.session import (
+        sweep_stale_warehouses,
+    )
+
+    for d in sweep_stale_warehouses():
+        print(f"# swept stale warehouse {d}", file=sys.stderr)
     if errors:
         raise SystemExit(1)  # summary printed, artifacts written — but red
 
