@@ -323,6 +323,26 @@ def lloyd_assign(
     )
 
 
+def probe_buckets_exact(
+    cents: DataFrame, query: DataFrame, nprobe: int, qvec_col: str = "qvec"
+) -> DataFrame:
+    """The ``nprobe`` nearest centroid buckets to a ONE-ROW query frame
+    under :func:`int_sq_dist` (ties -> lower bucket id) — the
+    bit-replayable twin of :func:`ivf_topk`'s numpy probe ranking, used
+    where the probe set itself must be reproducible by an external
+    engine (q55's hash gate; numpy's pairwise-summed float distances are
+    the one non-sequential float fold in the serve path). B×1 rows: the
+    'join' is a broadcast of the single query row."""
+    d = int_sq_dist(F.col(qvec_col), F.col("centroid"))
+    return (
+        cents.crossJoin(F.broadcast(query.select(qvec_col)))
+        .select("bucket", d.alias("__d"))
+        .orderBy("__d", "bucket")
+        .limit(nprobe)
+        .select("bucket")
+    )
+
+
 def deterministic_lloyd(
     emb: DataFrame,
     n_buckets: int,

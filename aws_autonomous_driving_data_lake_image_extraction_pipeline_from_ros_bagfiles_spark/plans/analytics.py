@@ -898,16 +898,28 @@ Q184_TARGET_BLOCK = 64
 Q184_ITERS = 2
 
 
-def _q184_lloyd_ctes() -> str:
-    """Oracle twin of ann_ivf.deterministic_lloyd: WITH-body CTEs ending
-    in ``af(vec_id, e, bucket)`` — the final exact-Lloyd assignment."""
-    from ..operators.ann_ivf import _QUANT_C, _QUANT_D
+def lloyd_dist_sql(e: str, c: str) -> str:
+    """DuckDB twin of ann_ivf.int_sq_dist — the integer-quantized squared
+    L2 both engines agree on bit-for-bit (shared by the q184 replay and
+    q55's probe-bucket ranking so distance definitions cannot drift)."""
+    from ..operators.ann_ivf import _QUANT_D
 
-    def dist(e: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({e}, {c}), p -> "
-            f"CAST(floor((p[1]-p[2])*(p[1]-p[2]) * {float(_QUANT_D)}) AS BIGINT)))"
-        )
+    return (
+        f"list_sum(list_transform(list_zip({e}, {c}), p -> "
+        f"CAST(floor((p[1]-p[2])*(p[1]-p[2]) * {float(_QUANT_D)}) AS BIGINT)))"
+    )
+
+
+def lloyd_oracle_ctes(b_sql: str, iters: int) -> str:
+    """Oracle twin of ann_ivf.deterministic_lloyd over the embeddings
+    view: WITH-body CTEs ending in ``af(vec_id, e, bucket)`` (the final
+    exact-Lloyd assignment) with ``c{iters}(bucket, c)`` holding the
+    trained centroids. ``b_sql`` is the bucket-count expression evaluated
+    against embeddings (q184: greatest(8, count(*) // block); q55: a
+    literal)."""
+    from ..operators.ann_ivf import _QUANT_C
+
+    dist = lloyd_dist_sql
 
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (
@@ -919,13 +931,13 @@ def _q184_lloyd_ctes() -> str:
         WHERE rn = 1)"""
 
     ctes = [
-        f"nb AS (SELECT greatest(8, count(*) // {Q184_TARGET_BLOCK}) AS b FROM embeddings)",
+        f"nb AS (SELECT {b_sql} AS b FROM embeddings)",
         """sv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                      md5(CAST(vec_id AS VARCHAR)) AS k FROM embeddings)""",
         """c0 AS (SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS bucket, e AS c
               FROM sv QUALIFY row_number() OVER (ORDER BY k, vec_id) <= (SELECT b FROM nb))""",
     ]
-    for t in range(1, Q184_ITERS + 1):
+    for t in range(1, iters + 1):
         ctes.append(assign(f"a{t}", f"c{t-1}"))
         ctes.append(
             f"""comp{t} AS (
@@ -944,13 +956,13 @@ def _q184_lloyd_ctes() -> str:
             f"""c{t} AS (SELECT p.bucket, coalesce(u.c, p.c) AS c
             FROM c{t-1} p LEFT JOIN cl{t} u USING (bucket))"""
         )
-    ctes.append(assign("af", f"c{Q184_ITERS}"))
+    ctes.append(assign("af", f"c{iters}"))
     return ",\n    ".join(ctes)
 
 
 def _q184_oracle() -> str:
     return f"""
-    WITH {_q184_lloyd_ctes()},
+    WITH {lloyd_oracle_ctes(f"greatest(8, count(*) // {Q184_TARGET_BLOCK})", Q184_ITERS)},
     sides AS (SELECT vec_id, e, bucket,
                      sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
               FROM af),

@@ -137,22 +137,71 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q55 — trained-IVF ANN (rows-only: KMeans centroids are not expressible in
-# the oracle; exactness is instead tested via nprobe=B == brute force in
-# tests/test_ann_ivf.py). Top-5 neighbors of vec_id=0 probing 3 of 8
+# q55 — trained-IVF ANN, HASH-GATED since r9 (VERDICT r8 #4: was rows-only
+# on MLlib KMeans, whose centroids are float-order-dependent). The trainer
+# is now ann_ivf.deterministic_lloyd (q184's engine-portable quantizer:
+# seedless md5-smallest init, integer-quantized distances and means), the
+# probe ranking is probe_buckets_exact (same integer distance — numpy's
+# pairwise-summed floats are the one fold DuckDB can't replay), and the
+# in-bucket top-5 follows q26's convention (raw-cosine order: sequential
+# folds are bit-identical on both engines; ties -> vec_id). The oracle
+# replays training, probe choice, pruned scan and ranking end-to-end.
+# MLlib KMeans remains the production trainer elsewhere (q70/q103);
+# ivf_topk (numpy probe) agreement with this exact tier is pinned in
+# tests/test_ann_ivf.py. Top-5 neighbors of vec_id=0 probing 3 of 8
 # trained buckets — the production shape of q27's bucket pruning.
 # --------------------------------------------------------------------------
-@register("q55_ann_ivf")
-def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann_ivf import assign_buckets, ivf_topk, train_quantizer
+def _q55_oracle() -> str:
+    from .analytics import lloyd_dist_sql, lloyd_oracle_ctes
 
-    emb = load(spark, sf_dir, "embeddings")
-    centroids = train_quantizer(emb, n_buckets=8)
-    bucketed = assign_buckets(emb, centroids)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    corpus = bucketed.filter(F.col("vec_id") != 0)
-    out = ivf_topk(corpus, centroids, qvec, k=5, nprobe=3).select(
-        "vec_id", F.round("sim", 6).alias("cosine")
+    return f"""
+    WITH {lloyd_oracle_ctes("8", 2)},
+    q AS (SELECT e AS qe FROM sv WHERE vec_id = 0),
+    pb AS (
+        SELECT bucket FROM (
+            SELECT i.bucket,
+                   row_number() OVER (
+                       ORDER BY {lloyd_dist_sql("q.qe", "i.c")}, i.bucket
+                   ) AS rn
+            FROM c2 i CROSS JOIN q)
+        WHERE rn <= 3),
+    sims AS (
+        SELECT af.vec_id,
+               list_sum(list_transform(af.e, (x, i) -> x * q.qe[i]))
+               / (sqrt(list_sum(list_transform(af.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS sim
+        FROM af JOIN pb USING (bucket) CROSS JOIN q
+        WHERE af.vec_id <> 0)
+    SELECT vec_id, round(sim, 6) AS cosine
+    FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+    """
+
+
+@register("q55_ann_ivf", oracle=_q55_oracle())
+def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import (
+        assign_buckets_exact,
+        deterministic_lloyd,
+        probe_buckets_exact,
+    )
+    from ..operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = deterministic_lloyd(emb, 8, iters=2)
+    bucketed = assign_buckets_exact(emb, cents)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    pb = probe_buckets_exact(cents, q, nprobe=3)
+    cand = (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(pb), "bucket")  # pruned scan: ~nprobe/B of corpus
+        .crossJoin(F.broadcast(q))
+    )
+    sim = cosine(F.col("embedding"), F.col("qvec"))
+    out = (
+        cand.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("sim", 6).alias("cosine"))
     )
     return materialize(out)
 

@@ -301,3 +301,51 @@ def test_lloyd_domain_guard(spark):
 
     with pytest.raises(ValueError, match="int64-safe bound"):
         deterministic_lloyd(emb, 8, iters=1)
+
+
+def test_probe_exact_matches_numpy_probe(spark):
+    """q55's bit-replayable probe tier (int-quantized distances) must pick
+    the same nprobe buckets and the same top-k as the numpy/BLAS ivf_topk
+    serve path on the test corpus — the two tiers answer the same query."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        assign_buckets_exact,
+        centroid_list,
+        deterministic_lloyd,
+        ivf_topk,
+        probe_buckets_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = deterministic_lloyd(emb, 8, iters=2)
+    bucketed = assign_buckets_exact(emb, cents).cache()
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    pb = sorted(r.bucket for r in probe_buckets_exact(cents, q, nprobe=3).collect())
+
+    clist = centroid_list(cents)
+    import numpy as np
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        _sq_dists,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    order = np.argsort(
+        _sq_dists(np.asarray([qvec]), np.asarray(clist))[0], kind="stable"
+    )
+    assert pb == sorted(int(b) for b in order[:3])
+
+    corpus = bucketed.filter(F.col("vec_id") != 0)
+    topk = [
+        (r.vec_id, round(r.sim, 6))
+        for r in ivf_topk(corpus, clist, qvec, k=5, nprobe=3).collect()
+    ]
+    gated = [
+        (r.vec_id, r.cosine)
+        for r in __import__("__spark_entry__").queries()["q55_ann_ivf"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert topk == gated
+    bucketed.unpersist()

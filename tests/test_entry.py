@@ -22,11 +22,11 @@ def test_registry_shape():
         "q33_frame_table",
         "q36_random_split",
         "q52_bag_split_decode",
-        "q55_ann_ivf",
         "q56_select_anonymize",
-        # q184 left this set in r8: its quantizer is now the
+        # q184 left this set in r8, q55 in r9: both now train on the
         # deterministic integer-quantized Lloyd (ann_ivf), fully
-        # replayed by a DuckDB oracle
+        # replayed by a DuckDB oracle; only binary-decode (x3),
+        # randomSplit, and the pixel sink remain non-SQL-expressible
     }
 
 
