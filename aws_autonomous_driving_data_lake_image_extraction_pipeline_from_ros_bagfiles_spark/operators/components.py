@@ -85,7 +85,10 @@ def connected_components(
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    nodes = truncate_lineage(nodes, checkpoint_dir, eager=True)
+    # LAZY checkpoint: nodes is only consumed by the final join, so its
+    # materialization folds into that action instead of costing a
+    # dedicated up-front job (r9: the family is many-small-jobs bound)
+    nodes = truncate_lineage(nodes, checkpoint_dir, eager=False)
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -98,13 +101,27 @@ def connected_components(
     n_cur = cur.count()
     for _ in range(max_iter):
         rounds += 1
+        # ONE job per round (r9 — was 2-3: eager checkpoint, count, and
+        # an anti-join probe on count ties): the lazy checkpoint
+        # materializes inside the same action that computes the
+        # convergence stats, and the stats fold size + subset-test into
+        # one aggregate. Both sides are distinct sets, so
+        # (no row of new outside cur) + count-equal ⇒ equal.
         new = truncate_lineage(
-            _small_star(_large_star(cur)), checkpoint_dir, eager=True
+            _small_star(_large_star(cur)), checkpoint_dir, eager=False
         )
-        n_new = new.count()
-        # fixed point: identical edge set (both sides distinct, so
-        # count-equal + new ⊆ cur ⇒ equal)
-        if n_new == n_cur and new.join(cur, ["u", "v"], "left_anti").isEmpty():
+        st = (
+            new.join(
+                cur.withColumn("__old", F.lit(1)), ["u", "v"], "left"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("__old").isNull(), 1)).alias("fresh"),
+            )
+            .first()
+        )
+        n_new = st["n"]
+        if st["fresh"] == 0 and n_new == n_cur:
             converged = True
             cur = new
             break
@@ -124,21 +141,92 @@ def connected_components(
     )
 
 
-def assign_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+def attach_clusters(
+    docs: DataFrame, comp: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """``docs`` plus a ``cluster_id`` column: connected components over
-    ``pairs`` with singleton closure (a doc in no pair is its own
-    cluster). The Spark twin of llm_ops.closure_ctes()'s comp CTE plus
-    the documents LEFT JOIN — shared by q157 (survivor pick) and q203
-    (cluster-keyed split) so the two queries' cluster definitions cannot
-    drift. Input columns ride along.
-    """
-    comp = connected_components(pairs).select(
+    """``docs`` plus a ``cluster_id`` column from a precomputed
+    ``(node, cluster_id)`` components frame, with singleton closure (a
+    doc in no pair is its own cluster). The Spark twin of
+    llm_ops.closure_ctes()'s comp CTE plus the documents LEFT JOIN."""
+    c = comp.select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("__cid")
     )
     return (
-        docs.join(comp, id_col, "left")
+        docs.join(c, id_col, "left")
         .withColumn("cluster_id", F.coalesce("__cid", F.col(id_col)))
         .drop("__cid")
     )
+
+
+def assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`attach_clusters` over freshly-computed components — shared
+    by q157 (survivor pick) and q203 (cluster-keyed split) so the two
+    queries' cluster definitions cannot drift. Input columns ride along.
+    Queries in the q54 family use :func:`family_components` instead so
+    the CC stage is paid once per session."""
+    return attach_clusters(docs, connected_components(pairs), id_col)
+
+
+# --- Shared cluster-family stage (VERDICT r8 #2) ---------------------------
+#
+# q54/q157/q203/q205 all start from the SAME banded-minhash pair table
+# (threshold 0.2, stop-bucket capped) and three of them run the SAME
+# connected components over it. Computing that stage once per session and
+# serving the checkpointed result to every family member is exactly what a
+# production curation pipeline does (the pair table / cluster map is a
+# materialized intermediate, not a per-query recomputation). Keyed by
+# (applicationId, sf_dir, threshold, cap); a key change clears the cache
+# (one corpus in flight at a time — same policy as pipeline._DEMO_CACHE).
+# bench.py annotates the family as shared-stage so whichever member runs
+# first is known to carry the stage cost.
+_FAMILY_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _family_key(spark, sf_dir: str, threshold: float, cap: int, kind: str):
+    return (spark.sparkContext.applicationId, sf_dir, threshold, cap, kind)
+
+
+def family_pairs(
+    spark, sf_dir: str, threshold: float = 0.2, cap: int | None = None
+) -> DataFrame:
+    """Session-memoized verified near-dup pair table (id_a, id_b) over
+    ``documents`` — the q24-recipe banded generator, checkpointed so
+    every family member (and the CC stage) reads stored blocks."""
+    from ..tables import load
+    from . import dedup as DD
+
+    cap = DD.DEFAULT_BUCKET_CAP if cap is None else cap
+    key = _family_key(spark, sf_dir, threshold, cap, "pairs")
+    if key not in _FAMILY_CACHE:
+        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+            _FAMILY_CACHE.clear()
+        docs = load(spark, sf_dir, "documents")
+        pairs = (
+            DD.minhash_lsh_pairs(docs, threshold=threshold, max_bucket_size=cap)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        DD.release_caches()
+        _FAMILY_CACHE[key] = pairs
+    return _FAMILY_CACHE[key]
+
+
+def family_components(
+    spark, sf_dir: str, threshold: float = 0.2, cap: int | None = None
+) -> DataFrame:
+    """Session-memoized ``(node, cluster_id)`` components over
+    :func:`family_pairs` — q54's exact output, reused by q157/q203."""
+    from . import dedup as DD
+
+    cap = DD.DEFAULT_BUCKET_CAP if cap is None else cap
+    key = _family_key(spark, sf_dir, threshold, cap, "comp")
+    if key not in _FAMILY_CACHE:
+        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+            _FAMILY_CACHE.clear()
+        comp = connected_components(
+            family_pairs(spark, sf_dir, threshold, cap)
+        ).localCheckpoint(eager=True)
+        _FAMILY_CACHE[key] = comp
+    return _FAMILY_CACHE[key]

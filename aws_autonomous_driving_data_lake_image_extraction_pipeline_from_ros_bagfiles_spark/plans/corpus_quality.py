@@ -78,14 +78,14 @@ def _q157_oracle() -> str:
 
 @register("q157_cluster_representatives", oracle=_q157_oracle())
 def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
-    from ..operators.components import assign_clusters
+    # session-shared pair-gen + CC stage (VERDICT r8 #2) — the same
+    # components frame q54 emits, so the two cluster definitions cannot
+    # drift AND the stage is paid once per session
+    from ..operators.components import attach_clusters, family_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        docs, threshold=Q157_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
-    )
-    alldocs = assign_clusters(docs.select("doc_id", "n_chars"), pairs)
+    comp = family_components(spark, sf_dir, threshold=Q157_THRESHOLD)
+    alldocs = attach_clusters(docs.select("doc_id", "n_chars"), comp)
     w = Window.partitionBy("cluster_id")
     rk = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -96,11 +96,7 @@ def q157_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
         (F.row_number().over(rk) == 1).cast("int").alias("is_kept"),
     )
-    # materialize, then drop the operator's band/shingle caches (q24's
-    # session hygiene)
-    result = materialize(out)
-    DD.release_caches()
-    return result
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------

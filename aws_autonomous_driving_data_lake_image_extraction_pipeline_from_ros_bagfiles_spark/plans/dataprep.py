@@ -528,15 +528,13 @@ def _q203_oracle() -> str:
 
 @register("q203_cluster_aware_split", oracle=_q203_oracle())
 def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
-    from ..operators.components import assign_clusters
+    # session-shared pair-gen + CC stage (VERDICT r8 #2)
+    from ..operators.components import attach_clusters, family_components
     from ..operators.sampling import hash_split
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
-    )
-    assigned = assign_clusters(docs.select("doc_id"), pairs)
+    comp = family_components(spark, sf_dir, threshold=0.2)
+    assigned = attach_clusters(docs.select("doc_id"), comp)
     labeled = assigned.select(
         "doc_id", "cluster_id", hash_split(F.col("cluster_id")).alias("split")
     )
@@ -555,6 +553,4 @@ def q203_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_in_multi"),
     )
-    result = materialize(out)
-    DD.release_caches()
-    return result
+    return materialize(out)

@@ -119,21 +119,14 @@ def _q54_oracle() -> str:
 
 @register("q54_dedup_clusters", oracle=_q54_oracle())
 def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
-    from ..operators.components import connected_components
+    # session-shared pair-gen + CC stage (VERDICT r8 #2): q54/q157/q203
+    # consume the SAME components frame, computed once; band/shingle
+    # cache hygiene lives inside family_pairs
+    from ..operators.components import family_components
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
-    )
-    comp = connected_components(pairs)
+    comp = family_components(spark, sf_dir, threshold=0.2)
     out = comp.select(F.col("node").alias("doc_id"), "cluster_id")
-    # materialize, then release the band/shingle caches the operator
-    # pinned (q24's hygiene — a 198-query bench session must not
-    # accumulate executor storage)
-    result = materialize(out)
-    DD.release_caches()
-    return result
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------
@@ -901,15 +894,11 @@ def _q205_oracle() -> str:
 
 @register("q205_incremental_clusters", oracle=_q205_oracle())
 def q205_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
-    from ..operators.components import connected_components
+    from ..operators.components import connected_components, family_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        docs, threshold=0.2, max_bucket_size=DD.DEFAULT_BUCKET_CAP
-    ).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)  # feeds two filters + CC rounds
-    DD.release_caches()
+    # the family's shared checkpointed pair table (feeds two filters +
+    # CC rounds here; q54/q157/q203 read the same blocks)
+    pairs = family_pairs(spark, sf_dir, threshold=0.2)
     old_pairs = pairs.filter(
         (F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0)
     )
