@@ -73,5 +73,19 @@ def materialize(df: DataFrame) -> DataFrame:
     executor loss — e.g. a long-lived handle consumed minutes later —
     use ``df.checkpoint()`` with a reliable (HDFS/S3) checkpoint dir or
     an explicit parquet round-trip instead.
+
+    AUDIT TRANSPARENCY (ADVICE r8): ``localCheckpoint`` returns a
+    lineage-truncated frame, so a plan audit that explains the returned
+    DataFrame would see ``Scan ExistingRDD`` instead of the query's real
+    joins — every nested-loop join behind the barrier would dodge the
+    BNLJ whitelist enforcement. With ``SPARK_GRAFT_AUDIT_NO_BARRIER=1``
+    (set by tools/plan_audit.py, never by production runs) the barrier
+    is a no-op and the full pre-barrier plan is audited. Builders only
+    lose the snapshot-before-teardown property under the flag, which is
+    harmless for explain-only consumption.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
+        return df
     return df.localCheckpoint(eager=True)
