@@ -243,15 +243,22 @@ def _assert_quant_domain(emb: DataFrame, vec_col: str) -> float:
     ).agg(F.max("mx").alias("mx"), F.max("d").alias("d")).first()
     if st["d"] is None:  # empty corpus — nothing to overflow
         return 0.0
+    import math
+
     mx, d = float(st["mx"] or 0.0), int(st["d"])
     bound = ((2**63 - 1) / (max(d, 1) * float(_QUANT_D))) ** 0.5 / 2.0
-    if mx > bound:
+    # NaN must fail too, not sail through a False comparison: Spark's
+    # non-ANSI bigint cast of floor(NaN) yields NULL while DuckDB errors
+    # — exactly the silent divergence this guard exists to block (r9
+    # round-diff review)
+    if math.isnan(mx) or mx > bound:
         raise ValueError(
             f"deterministic_lloyd domain error: max|{vec_col}| = {mx:.4g}"
             f" exceeds the int64-safe bound {bound:.4g} for d={d} at"
-            f" quantization {_QUANT_D:g} — rescale the embeddings (e.g."
-            " L2-normalize) before training, or the integer-quantized"
-            " distances would overflow and silently diverge across engines"
+            f" quantization {_QUANT_D:g} (NaN elements also land here) —"
+            " rescale/clean the embeddings (e.g. L2-normalize) before"
+            " training, or the integer-quantized distances would overflow"
+            " and silently diverge across engines"
         )
     return mx
 

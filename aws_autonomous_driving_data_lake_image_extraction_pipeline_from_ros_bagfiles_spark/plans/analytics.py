@@ -931,7 +931,11 @@ def lloyd_oracle_ctes(b_sql: str, iters: int) -> str:
         WHERE rn = 1)"""
 
     ctes = [
-        f"nb AS (SELECT {b_sql} AS b FROM embeddings)",
+        # LIMIT 1 keeps nb a genuine one-row relation even when b_sql is
+        # a literal (q55's "8" would otherwise yield one row PER
+        # embedding; DuckDB 1.0 silently picks an arbitrary row for the
+        # scalar subquery, DuckDB >= 1.1 errors — r9 round-diff review)
+        f"nb AS (SELECT {b_sql} AS b FROM embeddings LIMIT 1)",
         """sv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                      md5(CAST(vec_id AS VARCHAR)) AS k FROM embeddings)""",
         """c0 AS (SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS bucket, e AS c

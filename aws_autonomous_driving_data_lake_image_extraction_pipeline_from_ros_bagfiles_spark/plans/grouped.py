@@ -180,7 +180,13 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = deterministic_lloyd(emb, 8, iters=2)
+    # snapshot the trained 8-row centroid frame: it feeds BOTH the probe
+    # ranking (streamed side) and the corpus assignment (broadcast side),
+    # and the two subtrees are not identical exchanges, so without the
+    # barrier the full O(N·B·d) training lineage executes twice per
+    # action (r9 round-diff review). materialize() — not a raw
+    # localCheckpoint — so the plan audit still sees the training joins.
+    cents = materialize(deterministic_lloyd(emb, 8, iters=2))
     bucketed = assign_buckets_exact(emb, cents)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     pb = probe_buckets_exact(cents, q, nprobe=3)

@@ -133,16 +133,25 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 3))
             if args.repeat > 1 and monotone_noisy(runs):
                 # all samples rode one co-tenant load ramp — widen the
-                # sample set so the median can escape the noise window
+                # sample set so the median can escape the noise window.
+                # Own try: a failure here must fall back to the valid
+                # samples already in hand, not discard them (r9 review)
                 print(
                     f"# {name}: monotone spread {min(runs)}->{max(runs)},"
                     f" taking {EXTRA_SAMPLES} extra samples",
                     file=sys.stderr,
                 )
-                for _ in range(EXTRA_SAMPLES):
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).count()
-                    runs.append(round(time.perf_counter() - t0, 3))
+                try:
+                    for _ in range(EXTRA_SAMPLES):
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()
+                        runs.append(round(time.perf_counter() - t0, 3))
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"# {name}: extra sample failed ({e!r:.120}), keeping"
+                        f" the {len(runs)} collected samples",
+                        file=sys.stderr,
+                    )
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # abort the suite: without this, a single co-tenant OOM or
             # plan regression at query k lost all k-1 timings, the JSON

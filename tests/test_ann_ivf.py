@@ -268,21 +268,25 @@ def test_lloyd_tier_agreement(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    cents_exact = deterministic_lloyd(emb, 8, iters=2, exact=True)
-    cents_fast = deterministic_lloyd(emb, 8, iters=2, exact=False)
-    ce = {r.bucket: list(r.centroid) for r in cents_exact.collect()}
-    cf = {r.bucket: list(r.centroid) for r in cents_fast.collect()}
-    assert ce == cf  # bit-identical: same init, same quantized means
+    # B=8 exercises the codegen branch; B=40 (> _CODEGEN_MAX_B) the
+    # pandas_udf/BLAS branch — the one q184's production tier actually
+    # takes at real scale, where B = N//64 > 32 (r9 round-diff review)
+    for n_buckets in (8, 40):
+        cents_exact = deterministic_lloyd(emb, n_buckets, iters=2, exact=True)
+        cents_fast = deterministic_lloyd(emb, n_buckets, iters=2, exact=False)
+        ce = {r.bucket: list(r.centroid) for r in cents_exact.collect()}
+        cf = {r.bucket: list(r.centroid) for r in cents_fast.collect()}
+        assert ce == cf  # bit-identical: same init, same quantized means
 
-    ae = {
-        r.vec_id: r.bucket
-        for r in lloyd_assign(emb, cents_exact, exact=True).collect()
-    }
-    af = {
-        r.vec_id: r.bucket
-        for r in lloyd_assign(emb, cents_exact, exact=False).collect()
-    }
-    assert ae == af
+        ae = {
+            r.vec_id: r.bucket
+            for r in lloyd_assign(emb, cents_exact, exact=True).collect()
+        }
+        af = {
+            r.vec_id: r.bucket
+            for r in lloyd_assign(emb, cents_exact, exact=False).collect()
+        }
+        assert ae == af
 
 
 def test_lloyd_domain_guard(spark):

@@ -165,6 +165,10 @@ def main() -> None:
     import os
 
     os.environ["SPARK_GRAFT_AUDIT_NO_BARRIER"] = "1"
+    # pin the replay tier: an ambient SPARK_GRAFT_TIER=production (e.g. a
+    # shell that just ran bench.py) would silently audit the matmul tier
+    # and report a misleading whitelist violation for q184 (r9 review)
+    os.environ["SPARK_GRAFT_TIER"] = "replay"
 
     import __spark_entry__ as se
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.session import (
