@@ -22,9 +22,23 @@ LINE = re.compile(r"^(PASS|ROWS|FAIL)\s+(\S+):\s*(.*)$")
 
 
 def main() -> int:
-    rnd = int(sys.argv[1])
-    sweep_path = sys.argv[2]
-    note = sys.argv[3] if len(sys.argv) > 3 else ""
+    # optional flags anywhere: --sf=0.1 (recorded scale factor) and
+    # --suffix=_sf01 (artifact filename suffix) — the r8 convention's
+    # CORRECTNESS_local_r{N}_sf01.json was hand-assembled; now the one
+    # tool writes both artifacts
+    sf = 0.01
+    suffix = ""
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = float(a.split("=", 1)[1])
+        elif a.startswith("--suffix="):
+            suffix = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    rnd = int(args[0])
+    sweep_path = args[1]
+    note = args[2] if len(args) > 2 else ""
 
     results: dict[str, dict[str, str]] = {}
     with open(sweep_path, errors="replace") as f:
@@ -52,7 +66,7 @@ def main() -> int:
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     artifact = {
         "round": rnd,
-        "sf": 0.01,
+        "sf": sf,
         "n_queries": len(results),
         "n_pass": n_pass,
         "n_rows_only": n_rows,
@@ -61,7 +75,7 @@ def main() -> int:
         + (f" ({note})" if note else " (full registry sweep)"),
         "results": results,
     }
-    out = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}.json")
+    out = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}{suffix}.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {out}: {len(results)} queries, {n_pass} PASS / {n_rows} ROWS / {n_fail} FAIL")
