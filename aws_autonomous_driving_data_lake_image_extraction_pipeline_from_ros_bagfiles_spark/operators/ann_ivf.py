@@ -314,19 +314,28 @@ def lloyd_assign(
     The oracle/gate tier.
 
     ``exact=False`` — the production tier: collect the B centroids and
-    route through :func:`assign_buckets`'s broadcast-matmul path (one
-    (B, d) numpy broadcast, BLAS argmin per Arrow batch — O(1) plan size,
-    matmul throughput). Same tie-break (lower bucket id: np.argmin takes
-    the first minimum); float64 vs 1e-12-quantized distances can only
-    disagree on pairs closer than the quantization step —
-    tests/test_ann_ivf.py pins tier agreement on the test corpora. The
-    B-row collect is the standard IVF coarse-quantizer assumption (the
-    centroid table fits the driver; corpora beyond that need a
-    hierarchical quantizer, out of scope here)."""
+    route through the broadcast-matmul path (one (B, d) numpy broadcast,
+    BLAS argmin per Arrow batch — O(1) plan size, matmul throughput).
+    Same tie-break (lower bucket id: np.argmin takes the first minimum);
+    float64 vs 1e-12-quantized distances can only disagree on pairs
+    closer than the quantization step — tests/test_ann_ivf.py pins tier
+    agreement on the test corpora. The B-row collect is the standard IVF
+    coarse-quantizer assumption (the centroid table fits the driver;
+    corpora beyond that need a hierarchical quantizer, out of scope
+    here).
+
+    Unlike :func:`assign_buckets` (which keeps B <= _CODEGEN_MAX_B in
+    codegen because a SERVING plan compiles once and is reused), this
+    path always vectorizes: training assignments are one-shot plans, so
+    the O(B·d) literal tree's codegen COMPILE time is paid per call and
+    dominates at B ~ 30 (measured r9: q184 at sf0.1 spent ~4 s/pass
+    compiling 31x64-literal argmins; the Arrow argmin runs the same pass
+    in well under a second)."""
     if exact:
         return assign_buckets_exact(emb, cents, vec_col, id_col)
-    return assign_buckets(
-        emb.select(id_col, vec_col), centroid_list(cents), vec_col
+    base = emb.select(id_col, vec_col)
+    return base.withColumn(
+        "bucket", _nearest_centroid_vectorized(base, vec_col, centroid_list(cents))
     )
 
 
