@@ -642,3 +642,44 @@ def test_default_banding_never_floods(spark):
         assert frac44 <= frac82  # longer keys never flood more
     finally:
         sig.unpersist()
+
+
+def test_family_stage_cache_isolation(spark):
+    """The shared cluster-family stage must serve per-(sf_dir, params)
+    results: switching corpora clears the previous entry (single-corpus
+    policy) and the served components match a fresh uncached compute —
+    a stale cache here would silently cluster the WRONG corpus for
+    three registry queries."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        components as C,
+    )
+
+    C._FAMILY_CACHE.clear()
+    a1 = {
+        (r.node, r.cluster_id)
+        for r in C.family_components(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert C.family_components(spark, "/root/testdata/sf0.001") is C._FAMILY_CACHE[
+        C._family_key(spark, "/root/testdata/sf0.001", 0.2, 32, "comp")
+    ]  # second call serves the memo
+    b = {
+        (r.node, r.cluster_id)
+        for r in C.family_components(spark, "/root/testdata/sf0.01").collect()
+    }
+    # corpus switch evicted the old key (single-corpus policy)
+    assert not any(k[1].endswith("sf0.001") for k in C._FAMILY_CACHE)
+    assert b != a1
+    # fresh uncached compute agrees with what the cache served
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        dedup as DD,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.2, max_bucket_size=32)
+    fresh = {(r.node, r.cluster_id) for r in connected_components(pairs).collect()}
+    DD.release_caches()
+    assert fresh == b
+    C._FAMILY_CACHE.clear()
