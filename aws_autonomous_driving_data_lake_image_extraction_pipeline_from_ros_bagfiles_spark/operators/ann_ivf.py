@@ -321,8 +321,10 @@ def lloyd_assign(
     closer than the quantization step — tests/test_ann_ivf.py pins tier
     agreement on the test corpora. The B-row collect is the standard IVF
     coarse-quantizer assumption (the centroid table fits the driver;
-    corpora beyond that need a hierarchical quantizer, out of scope
-    here).
+    corpora beyond that use the hierarchical tier —
+    :func:`deterministic_lloyd_grouped` / :func:`assign_subbuckets_exact`
+    — whose per-cell equi-join never materializes the global centroid
+    set anywhere).
 
     Unlike :func:`assign_buckets` (which keeps B <= _CODEGEN_MAX_B in
     codegen because a SERVING plan compiles once and is reused), this
@@ -433,6 +435,121 @@ def deterministic_lloyd(
             .join(upd.alias("u"), "bucket", "left")
             .select(
                 "bucket",
+                F.coalesce(F.col("u.centroid"), F.col("p.centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return cents
+
+
+def assign_subbuckets_exact(
+    cells: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cell argmin assignment against a (cell, sub, centroid) frame
+    under :func:`int_sq_dist`; ties -> lower sub id. The join is an
+    EQUI-join on the cell key — unlike the flat exact tier's
+    crossJoin(broadcast(B rows)), no centroid set is ever broadcast
+    whole, so the plan survives B far beyond executor memory: each
+    vector meets only its own cell's ~B/B1 sub-centroids."""
+    from pyspark.sql import Window
+
+    d = int_sq_dist(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy("__d", "sub")
+    return (
+        cells.select(id_col, vec_col, cell_col)
+        .join(cents, cell_col)
+        .withColumn("__d", d)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, cell_col, "sub")
+    )
+
+
+def deterministic_lloyd_grouped(
+    cells: DataFrame,
+    target_block: int = 64,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-cell deterministic Lloyd: trains an independent seedless
+    sub-quantizer INSIDE every level-1 cell, all cells in one
+    distributed plan — the second level of a hierarchical IVF
+    (two_level refs: this closes the 'corpora beyond a driver-collected
+    B need a hierarchical quantizer' caveat on :func:`lloyd_assign`).
+    Returns (cell, sub, centroid array<double>).
+
+    Same engine-portable rules as :func:`deterministic_lloyd` so a SQL
+    oracle can replay training end-to-end: per-cell b2 =
+    greatest(1, n_cell // target_block); init = the b2 md5-smallest
+    vec_ids of the cell; integer-quantized distances and means;
+    empty-sub keep-prev. Every step is a groupBy/window keyed by cell —
+    no per-cell driver loop, no collect, no broadcast of the (global)
+    B-row centroid set."""
+    from pyspark.sql import Window
+
+    _assert_quant_domain(cells, vec_col)
+    base = cells.select(
+        cell_col,
+        id_col,
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    b2 = base.groupBy(cell_col).agg(
+        F.greatest(
+            F.lit(1), F.floor(F.count("*") / F.lit(target_block))
+        ).cast("int").alias("__b2")
+    )
+    wk = Window.partitionBy(cell_col).orderBy("__k", id_col)
+    cents = (
+        base.withColumn("__k", F.md5(F.col(id_col).cast("string")))
+        .withColumn("__rn", F.row_number().over(wk))
+        .join(b2, cell_col)
+        .filter(F.col("__rn") <= F.col("__b2"))
+        .select(
+            cell_col,
+            (F.col("__rn") - 1).alias("sub"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_subbuckets_exact(base, cents, vec_col, id_col, cell_col)
+        comp = (
+            assigned.select(
+                cell_col, "sub", F.posexplode(F.col(vec_col)).alias("i", "x")
+            )
+            .groupBy(cell_col, "sub", "i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(float(_QUANT_C))).cast("bigint")
+                ).alias("sx"),
+                F.count("*").alias("n"),
+            )
+        )
+        cval = (
+            F.col("sx").cast("double") / F.col("n").cast("double")
+        ) / F.lit(float(_QUANT_C))
+        upd = (
+            comp.select(cell_col, "sub", "i", cval.alias("c"))
+            .groupBy(cell_col, "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+        )
+        cents = (
+            cents.alias("p")
+            .join(upd.alias("u"), [cell_col, "sub"], "left")
+            .select(
+                cell_col,
+                "sub",
                 F.coalesce(F.col("u.centroid"), F.col("p.centroid")).alias(
                     "centroid"
                 ),

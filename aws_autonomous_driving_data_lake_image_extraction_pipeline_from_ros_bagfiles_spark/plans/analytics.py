@@ -1037,6 +1037,151 @@ def q184_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q222 — HIERARCHICAL (two-level) IVF SemDeDup: the 100-TB answer to
+# q184's flat quantizer. A flat B ∝ N coarse quantizer eventually needs
+# the whole centroid set in one place (the exact tier broadcasts it; the
+# matmul tier collects it to the driver) — at ~1e9 vectors that is an
+# ~8 GB table no single task should hold. Two levels remove the global
+# materialization entirely: level-1 trains B1 = max(2, isqrt(B)) cells
+# (tiny, broadcastable at any N), level-2 trains an INDEPENDENT per-cell
+# sub-quantizer with b2 = max(1, n_cell/TARGET) — all cells in one
+# distributed plan keyed by cell, so sub-assignment is an EQUI-join
+# (each vector meets only its own cell's ~sqrt(B) sub-centroids) and no
+# join side exceeds a cell. Assignment work drops from O(N·B·d) to
+# O(N·(B1 + B/B1)·d) — ~2·sqrt(B)·N·d.
+#
+# HASH-GATED end-to-end: both levels are the deterministic
+# integer-quantized Lloyd (md5-smallest init per scope, bigint distance
+# and mean quantization), so the DuckDB oracle replays level-1 training,
+# cell assignment, per-cell b2, per-cell init, the level-2 round,
+# sub-assignment, and the in-(cell,sub) pair join. Same TAU/TARGET as
+# q184 — the two queries answer the same SemDeDup question at different
+# quantizer topologies, and tests pin that q222's blocks are refinements
+# of its own cells.
+# --------------------------------------------------------------------------
+Q222_TAU = 0.3
+Q222_TARGET_BLOCK = 64
+
+
+def _q222_oracle() -> str:
+    from ..operators.ann_ivf import _QUANT_C
+
+    qc = float(_QUANT_C)
+    b1_sql = (
+        f"greatest(2, CAST(floor(sqrt(greatest(8, count(*) // {Q222_TARGET_BLOCK})))"
+        " AS BIGINT))"
+    )
+    dist = lloyd_dist_sql
+    return f"""
+    WITH {lloyd_oracle_ctes(b1_sql, 1)},
+    cells2 AS (SELECT vec_id, e, bucket AS cell FROM af),
+    cnt2 AS (SELECT cell, greatest(1, count(*) // {Q222_TARGET_BLOCK}) AS b2
+             FROM cells2 GROUP BY 1),
+    sk AS (SELECT cell, vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS k FROM cells2),
+    s0 AS (SELECT cell, rn - 1 AS sub, c FROM (
+        SELECT sk.cell, e AS c, cnt2.b2,
+               row_number() OVER (PARTITION BY sk.cell ORDER BY k, vec_id) AS rn
+        FROM sk JOIN cnt2 ON sk.cell = cnt2.cell) WHERE rn <= b2),
+    sa1 AS (SELECT vec_id, e, cell, sub FROM (
+        SELECT s.vec_id, s.e, s.cell, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM cells2 s JOIN s0 i ON s.cell = i.cell) WHERE rn = 1),
+    m1 AS (SELECT cell, sub, u.i AS i,
+                  CAST(sum(CAST(floor(u.x * {qc}) AS BIGINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) / {qc} AS c
+           FROM (SELECT cell, sub,
+                        unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
+                 FROM sa1)
+           GROUP BY 1, 2, 3),
+    ml1 AS (SELECT cell, sub, list(c ORDER BY i) AS c FROM m1 GROUP BY 1, 2),
+    cf AS (SELECT p.cell, p.sub, coalesce(u.c, p.c) AS c
+           FROM s0 p LEFT JOIN ml1 u ON p.cell = u.cell AND p.sub = u.sub),
+    saf AS (SELECT vec_id, e, cell, sub FROM (
+        SELECT s.vec_id, s.e, s.cell, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM cells2 s JOIN cf i ON s.cell = i.cell) WHERE rn = 1),
+    sides2 AS (SELECT vec_id, e, cell, sub,
+                      sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+               FROM saf),
+    pr2 AS (
+        SELECT a.cell, a.sub,
+               round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                   / (a.nm * b.nm), 6) AS cos
+        FROM sides2 a JOIN sides2 b
+          ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id)
+    SELECT cell, sub, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(cos), 6) AS max_cosine
+    FROM pr2 WHERE cos >= {Q222_TAU}
+    GROUP BY 1, 2
+    """
+
+
+@register("q222_hierarchical_semdedup", oracle=_q222_oracle())
+def q222_hierarchical_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.ann_ivf import (
+        assign_buckets_exact,
+        assign_subbuckets_exact,
+        deterministic_lloyd,
+        deterministic_lloyd_grouped,
+    )
+    from ..operators.similarity import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n = emb.count()
+    b_total = max(8, n // Q222_TARGET_BLOCK)
+    # isqrt == floor(sqrt) for every int < 2^52 (IEEE sqrt is correctly
+    # rounded), so the oracle's floor(sqrt(...)) replays this exactly
+    b1 = max(2, math.isqrt(b_total))
+    cents1 = deterministic_lloyd(emb, b1, iters=1)
+    # snapshot the cell assignment: it feeds level-2 training (3-4
+    # lineage references inside the grouped Lloyd) AND the final
+    # sub-assignment — without the barrier the level-1 O(N·B1·d) pass
+    # re-executes once per reference (q55's r9 lesson). materialize(),
+    # not a raw localCheckpoint, so the plan audit still sees level 1.
+    cells = materialize(
+        assign_buckets_exact(emb, cents1).withColumnRenamed("bucket", "cell")
+    )
+    cents2 = deterministic_lloyd_grouped(
+        cells, target_block=Q222_TARGET_BLOCK, iters=1
+    )
+    bucketed = assign_subbuckets_exact(cells, cents2).select(
+        "vec_id", "cell", "sub", "embedding", norm(F.col("embedding")).alias("nm")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        "sub",
+        F.col("embedding").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        "sub",
+        F.col("embedding").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["cell", "sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "sub", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= Q222_TAU)
+    )
+    out = pairs.groupBy("cell", "sub").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+    return materialize(out)
+
+
+# --------------------------------------------------------------------------
 # q200 — incremental embedding-batch dedup against a PERSISTED
 # corpus-scaled LSH index (the vector twin of q89, composing r5's
 # lsh_blocking defaults into the ingest shape): the corpus (odd vec_ids)

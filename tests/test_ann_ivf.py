@@ -353,3 +353,45 @@ def test_probe_exact_matches_numpy_probe(spark):
     ]
     assert topk == gated
     bucketed.unpersist()
+
+
+def test_hierarchical_quantizer_structure(spark):
+    """Two-level quantizer invariants (q222): level-2 training yields
+    exactly max(1, n_cell // target) contiguous sub-ids per cell, and
+    sub-assignment preserves every vector's level-1 cell — the
+    refinement property the hierarchical SemDeDup blocks rely on."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        assign_buckets_exact,
+        assign_subbuckets_exact,
+        deterministic_lloyd,
+        deterministic_lloyd_grouped,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents1 = deterministic_lloyd(emb, 4, iters=1)
+    cells = assign_buckets_exact(emb, cents1).withColumnRenamed("bucket", "cell")
+    cells = cells.localCheckpoint(eager=True)
+    cents2 = deterministic_lloyd_grouped(cells, target_block=16, iters=1)
+
+    ncell = {r.cell: r.n for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    subs = {}
+    for r in cents2.collect():
+        subs.setdefault(r.cell, []).append(r.sub)
+    for cell, n in ncell.items():
+        expect = max(1, n // 16)
+        assert sorted(subs[cell]) == list(range(expect)), (cell, n, subs[cell])
+
+    assigned = assign_subbuckets_exact(cells, cents2)
+    # total preserved, cell preserved, sub in range
+    assert assigned.count() == emb.count()
+    moved = assigned.alias("a").join(
+        cells.select("vec_id", F.col("cell").alias("c0")), "vec_id"
+    ).filter(F.col("cell") != F.col("c0"))
+    assert moved.isEmpty()
+    bad = assigned.groupBy("cell").agg(F.max("sub").alias("mx")).collect()
+    for r in bad:
+        assert r.mx < max(1, ncell[r.cell] // 16)

@@ -50,6 +50,13 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 #   q55_ann_ivf (18)      — deterministic-Lloyd training + probe against
 #                           B=8 literal centroids and a one-row query;
 #                           every broadcast side is <= 8 rows.
+#   q222_hierarchical_semdedup (48) — level-1 of the two-level
+#                           quantizer: crossJoin(broadcast(cents1)) with
+#                           B1 = isqrt(B) rows (sublinear-bounded: ~4000
+#                           rows even at 1e9 vectors), repeated through
+#                           the unshared training lineage the audit's
+#                           no-barrier view exposes. Level 2 is an
+#                           equi-join on cell — no BNLJ by construction.
 #   q184_semantic_dedup_ivf (16) — the exact-replay Lloyd tier's
 #                           crossJoin(broadcast(cents)) with B ∝ N/64:
 #                           NOT O(1), but the documented SemDeDup
@@ -96,6 +103,7 @@ BNLJ_WHITELIST = {
     "q184_semantic_dedup_ivf": 16,
     "q219_tpch_q22": 2,
     "q221_tpch_q11": 2,
+    "q222_hierarchical_semdedup": 48,
     "q26_cosine_topk": 2,
     "q55_ann_ivf": 18,
     "q78_quantized_retrieval": 4,
