@@ -455,11 +455,17 @@ def assign_subbuckets_exact(
     EQUI-join on the cell key — unlike the flat exact tier's
     crossJoin(broadcast(B rows)), no centroid set is ever broadcast
     whole, so the plan survives B far beyond executor memory: each
-    vector meets only its own cell's ~B/B1 sub-centroids."""
+    vector meets only its own cell's ~B/B1 sub-centroids.
+
+    The argmin window is keyed (id, cell), not id alone: an id may
+    legitimately appear in SEVERAL cells — product quantization (q223)
+    feeds one row per (vec_id, subspace) and each subspace needs its own
+    independent argmin. For the hierarchical-IVF shape (q222), where
+    every id lives in exactly one cell, the extra key is a no-op."""
     from pyspark.sql import Window
 
     d = int_sq_dist(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy("__d", "sub")
+    w = Window.partitionBy(id_col, cell_col).orderBy("__d", "sub")
     return (
         cells.select(id_col, vec_col, cell_col)
         .join(cents, cell_col)
@@ -477,6 +483,7 @@ def deterministic_lloyd_grouped(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    fixed_k: int | None = None,
 ) -> DataFrame:
     """Per-cell deterministic Lloyd: trains an independent seedless
     sub-quantizer INSIDE every level-1 cell, all cells in one
@@ -491,7 +498,12 @@ def deterministic_lloyd_grouped(
     vec_ids of the cell; integer-quantized distances and means;
     empty-sub keep-prev. Every step is a groupBy/window keyed by cell —
     no per-cell driver loop, no collect, no broadcast of the (global)
-    B-row centroid set."""
+    B-row centroid set.
+
+    ``fixed_k`` overrides the corpus-scaled sizing with a CONSTANT
+    per-cell codebook size b2 = least(fixed_k, n_cell) — product
+    quantization (q223) wants ks codes per subspace regardless of N,
+    where the hierarchical coarse quantizer (q222) wants b2 ∝ n_cell."""
     from pyspark.sql import Window
 
     _assert_quant_domain(cells, vec_col)
@@ -500,11 +512,12 @@ def deterministic_lloyd_grouped(
         id_col,
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
-    b2 = base.groupBy(cell_col).agg(
-        F.greatest(
-            F.lit(1), F.floor(F.count("*") / F.lit(target_block))
-        ).cast("int").alias("__b2")
+    b2_expr = (
+        F.least(F.lit(fixed_k), F.count("*"))
+        if fixed_k is not None
+        else F.greatest(F.lit(1), F.floor(F.count("*") / F.lit(target_block)))
     )
+    b2 = base.groupBy(cell_col).agg(b2_expr.cast("int").alias("__b2"))
     wk = Window.partitionBy(cell_col).orderBy("__k", id_col)
     cents = (
         base.withColumn("__k", F.md5(F.col(id_col).cast("string")))
@@ -556,6 +569,134 @@ def deterministic_lloyd_grouped(
             )
         )
     return cents
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ / ADC — Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the Faiss IVFADC
+# scan). Vectors are split into m contiguous subvectors; each subspace
+# trains an independent ks-entry codebook; a vector's code is its m
+# nearest sub-centroid ids (m·log2(ks) bits — 64-dim float64 compresses
+# 64x at m=8, ks=16). Query-time asymmetric distance (ADC) precomputes an
+# m×ks lookup table of query-subvector-to-centroid distances; a
+# candidate's distance is then m table lookups + adds — no original
+# vector is ever read at scan time, which is the property that lets a
+# 100-TB corpus serve ANN from a codes table 1-2 orders of magnitude
+# smaller than its embeddings. All pieces reuse the engine-portable
+# integer-quantized Lloyd machinery, so the WHOLE path — training,
+# encoding, LUT, ADC top-k — is bit-replayable by a SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    emb: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_col: str = "subspace",
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous subvectors:
+    (id, subspace 0..m-1, subvector of d/m elements). One narrow
+    projection + generator — no shuffle; d need not be known at plan
+    time (slice bounds are computed from size(vec)/m per row). Float
+    sources are cast to double BEFORE slicing (the repo's cross-engine
+    float rule)."""
+    v = F.col(vec_col).cast("array<double>")
+    ds = (F.size(v) / F.lit(m)).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(v, s * ds + 1, ds),
+    )
+    return emb.select(
+        id_col, F.posexplode(subs).alias(sub_col, vec_col)
+    )
+
+
+def pq_train(
+    subvecs: DataFrame,
+    ks: int,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_col: str = "subspace",
+) -> DataFrame:
+    """Train the m independent per-subspace codebooks in ONE distributed
+    plan: :func:`deterministic_lloyd_grouped` with the subspace id as the
+    cell key and a FIXED per-cell size b2 = least(ks, n). Returns
+    (subspace, sub, centroid) — `sub` is the code id 0..ks-1. Seedless
+    md5-smallest init + integer-quantized rounds, so an external engine
+    replays training bit-for-bit."""
+    return deterministic_lloyd_grouped(
+        subvecs,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        cell_col=sub_col,
+        fixed_k=ks,
+    )
+
+
+def pq_encode(
+    subvecs: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_col: str = "subspace",
+) -> DataFrame:
+    """Encode: per (id, subspace) argmin against that subspace's codebook
+    under :func:`int_sq_dist` (ties -> lower code). Equi-join on the
+    subspace key + per-(id, subspace) window — the codes table
+    (id, subspace, code) is the ONLY thing the ADC scan reads."""
+    return (
+        assign_subbuckets_exact(
+            subvecs, codebooks, vec_col=vec_col, id_col=id_col, cell_col=sub_col
+        )
+        .select(id_col, sub_col, F.col("sub").alias("code"))
+    )
+
+
+def pq_adc_lut(
+    codebooks: DataFrame,
+    query_subvecs: DataFrame,
+    sub_col: str = "subspace",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The m×ks asymmetric-distance lookup table for ONE query:
+    (subspace, code, dist) where dist is the integer-quantized squared L2
+    between the query's subvector and that code's centroid. m·ks rows —
+    broadcast-sized at any corpus scale."""
+    return (
+        codebooks.join(
+            query_subvecs.select(sub_col, F.col(vec_col).alias("__q")), sub_col
+        )
+        .select(
+            sub_col,
+            F.col("sub").alias("code"),
+            int_sq_dist(F.col("__q"), F.col("centroid")).alias("dist"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    sub_col: str = "subspace",
+) -> DataFrame:
+    """ADC scan: broadcast-join the codes table to the LUT on
+    (subspace, code), sum the m per-subspace distances per id (an EXACT
+    bigint sum — engine-portable), take the k smallest (ties -> lower
+    id). The orderBy+limit plans as TakeOrderedAndProject: per-partition
+    heap + driver merge of k rows, never a global sort. Returns
+    (id, adc_dist)."""
+    return (
+        codes.join(F.broadcast(lut), [sub_col, "code"])
+        .groupBy(id_col)
+        .agg(F.sum("dist").alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
 
 
 def _min_sq_dist(df: DataFrame, vec_col: str, centroids: list[list[float]]):

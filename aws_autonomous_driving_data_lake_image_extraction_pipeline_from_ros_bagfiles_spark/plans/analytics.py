@@ -1182,6 +1182,106 @@ def q222_hierarchical_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q223 — PRODUCT-QUANTIZATION ANN (PQ/ADC; Jégou et al., TPAMI 2011 —
+# the Faiss IVFADC scan): the vector-COMPRESSION tier the 100-TB serving
+# path needs. q26 scans raw embeddings (O(N·d) floats read per query);
+# q27/q55 prune WHICH vectors are scanned but still read full vectors.
+# PQ changes what is STORED: each vector becomes m=8 sub-codes into
+# per-subspace 16-entry codebooks (64 float64s -> 8 nibbles, 128x), and
+# the query-time asymmetric distance is m LUT lookups + adds over the
+# codes table alone — the original embeddings are never touched at scan
+# time. At scale: codebooks are m·ks rows (broadcast at any N), encoding
+# is an equi-join on the subspace key, and the ADC scan is one
+# broadcast-join + map-side-combinable sum + TakeOrderedAndProject.
+#
+# HASH-GATED end-to-end: training is deterministic_lloyd_grouped with
+# the subspace as the cell key (seedless md5-smallest init, one
+# integer-quantized round, fixed b2 = least(16, n)); encoding and the
+# LUT use the same integer distance; the ADC total is an EXACT bigint
+# sum. The DuckDB oracle replays subvector slicing, per-subspace
+# training, encoding, the LUT, and the top-k — bit-for-bit.
+# --------------------------------------------------------------------------
+Q223_M = 8  # subspaces
+Q223_KS = 16  # codes per subspace
+Q223_K = 10  # neighbors returned
+Q223_ITERS = 1
+
+
+def _q223_oracle() -> str:
+    from ..operators.ann_ivf import _QUANT_C
+
+    qc = float(_QUANT_C)
+    dist = lloyd_dist_sql
+    m, ks, k = Q223_M, Q223_KS, Q223_K
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
+    sv AS (SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
+                  list_slice(fe, t.s * (len(fe) // {m}) + 1,
+                             (t.s + 1) * (len(fe) // {m})) AS e,
+                  md5(CAST(vec_id AS VARCHAR)) AS k
+           FROM base, (SELECT unnest(range({m})) AS s) t),
+    cnt AS (SELECT subspace, least({ks}, count(*)) AS b2 FROM sv GROUP BY 1),
+    s0 AS (SELECT subspace, rn - 1 AS sub, c FROM (
+        SELECT sv.subspace, e AS c, cnt.b2,
+               row_number() OVER (PARTITION BY sv.subspace ORDER BY k, vec_id) AS rn
+        FROM sv JOIN cnt ON sv.subspace = cnt.subspace) WHERE rn <= b2),
+    sa1 AS (SELECT vec_id, e, subspace, sub FROM (
+        SELECT s.vec_id, s.e, s.subspace, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM sv s JOIN s0 i ON s.subspace = i.subspace) WHERE rn = 1),
+    m1 AS (SELECT subspace, sub, u.i AS i,
+                  CAST(sum(CAST(floor(u.x * {qc}) AS BIGINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) / {qc} AS c
+           FROM (SELECT subspace, sub,
+                        unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
+                 FROM sa1)
+           GROUP BY 1, 2, 3),
+    ml1 AS (SELECT subspace, sub, list(c ORDER BY i) AS c FROM m1 GROUP BY 1, 2),
+    cf AS (SELECT p.subspace, p.sub, coalesce(u.c, p.c) AS c
+           FROM s0 p LEFT JOIN ml1 u ON p.subspace = u.subspace AND p.sub = u.sub),
+    saf AS (SELECT vec_id, subspace, sub FROM (
+        SELECT s.vec_id, s.subspace, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM sv s JOIN cf i ON s.subspace = i.subspace) WHERE rn = 1),
+    q AS (SELECT subspace, e FROM sv WHERE vec_id = 0),
+    lut AS (SELECT c.subspace, c.sub, {dist("q.e", "c.c")} AS d
+            FROM cf c JOIN q ON c.subspace = q.subspace)
+    SELECT s.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+    FROM saf s JOIN lut l ON s.subspace = l.subspace AND s.sub = l.sub
+    WHERE s.vec_id <> 0
+    GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
+@register("q223_pq_adc_topk", oracle=_q223_oracle())
+def q223_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    subvecs = pq_subvectors(emb, Q223_M)
+    # snapshot the exploded subvectors: they feed training (3 lineage
+    # references inside the grouped Lloyd), encoding AND the query-LUT
+    # side — materialize(), not localCheckpoint, so the plan audit still
+    # sees the generator stage (q222's lesson).
+    subvecs = materialize(subvecs)
+    codebooks = pq_train(subvecs, Q223_KS, iters=Q223_ITERS)
+    codes = pq_encode(subvecs, codebooks)
+    lut = pq_adc_lut(codebooks, subvecs.filter(F.col("vec_id") == 0))
+    topk = pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, Q223_K)
+    return materialize(topk)
+
+
+# --------------------------------------------------------------------------
 # q200 — incremental embedding-batch dedup against a PERSISTED
 # corpus-scaled LSH index (the vector twin of q89, composing r5's
 # lsh_blocking defaults into the ingest shape): the corpus (odd vec_ids)

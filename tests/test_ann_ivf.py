@@ -395,3 +395,82 @@ def test_hierarchical_quantizer_structure(spark):
     bad = assigned.groupBy("cell").agg(F.max("sub").alias("mx")).collect()
     for r in bad:
         assert r.mx < max(1, ncell[r.cell] // 16)
+
+
+def test_pq_encode_and_adc(spark):
+    """Product-quantization invariants (q223): the exploded subvector
+    table is m rows per id of d/m elements; every (id, subspace) gets
+    exactly ONE code (the per-(id, cell) argmin window — an id living in
+    all m subspaces must not collapse to a single global argmin); codes
+    stay inside the fixed ks-entry codebook; and the ADC top-k over the
+    codes table alone reaches a sane recall floor against exact brute
+    force on the raw vectors."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n, m, ks = emb.count(), 8, 16
+    subvecs = pq_subvectors(emb, m).localCheckpoint(eager=True)
+    assert subvecs.count() == n * m
+    dims = subvecs.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [8]
+
+    codebooks = pq_train(subvecs, ks)
+    sizes = {
+        r.subspace: r.n
+        for r in codebooks.groupBy("subspace").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {s: min(ks, n) for s in range(m)}
+
+    codes = pq_encode(subvecs, codebooks)
+    assert codes.count() == n * m  # one code per (id, subspace)
+    per_id = codes.groupBy("vec_id").agg(F.count("*").alias("c"))
+    assert per_id.filter(F.col("c") != m).isEmpty()
+    rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert rng.lo >= 0 and rng.hi < ks
+
+    lut = pq_adc_lut(codebooks, subvecs.filter(F.col("vec_id") == 0))
+    assert lut.count() == sum(sizes.values())
+    topk = pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, 10)
+    got = [r.vec_id for r in topk.collect()]
+    assert len(got) == 10
+
+    # Ground truth is exact SQUARED L2 (what ADC approximates), not
+    # cosine. The testdata embeddings are near-uniform random — PQ's
+    # worst case (no cluster structure, distance concentration), so
+    # absolute recall@10 is modest by nature; pin (a) recall well above
+    # the 10/N ≈ 0.02 chance floor and (b) the ranking-quality
+    # properties that hold with margin even here: ADC correlates with
+    # the true distance, and the ADC-top10's true distances sit below
+    # the corpus mean. (Empirical at sf0.001: recall 0.2, pearson 0.55,
+    # distance ratio 0.86.)
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    qv = X[ids == 0][0]
+    mask = ids != 0
+    d2 = ((X[mask] - qv) ** 2).sum(1)
+    cids = ids[mask]
+    truth = [int(cids[i]) for i in np.argsort(d2, kind="stable")[:10]]
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.1, (recall, got, truth)
+
+    adc_all = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_topk(
+            codes.filter(F.col("vec_id") != 0), lut, int(mask.sum())
+        ).collect()
+    }
+    adc = np.array([adc_all[int(i)] for i in cids], dtype=np.float64)
+    assert np.corrcoef(adc, d2)[0, 1] >= 0.4
+    top_true = d2[np.argsort(adc, kind="stable")[:10]].mean()
+    assert top_true < 0.92 * d2.mean()
