@@ -1282,6 +1282,174 @@ def q223_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q224 — FULL IVFADC (inverted file + residual product quantization +
+# multi-probe asymmetric scan; Jégou et al. 2011 §IV — the Faiss
+# IVF,PQ index): composes q223's PQ with the coarse IVF tier the way a
+# production index does. Coarse quantizer (B=8 deterministic Lloyd)
+# partitions the corpus into cells; PQ encodes the RESIDUAL
+# (vector − cell centroid), which carries far less energy than the raw
+# vector, so the same 8×16 codebook budget quantizes finer. The query
+# probes its nprobe=2 nearest cells and, because residuals are
+# cell-relative, builds a PER-CELL LUT from its per-cell residual; the
+# ADC scan touches only codes in probed cells (inverted-file pruning)
+# and never the raw vectors. At scale: cell assignment prunes the scan
+# ~B/nprobe-fold, LUTs stay nprobe·m·ks rows (broadcast at any N), and
+# the scan is one broadcast-join + exact bigint sum.
+#
+# HASH-GATED end-to-end: coarse training/assignment reuse the q55/q184
+# replay; residual subtraction is exact double arithmetic; PQ training/
+# encoding reuse q223's grouped replay over residual subvectors; the
+# probe ranking is the integer distance (ties -> lower cell); LUT and
+# top-k are exact integers. The oracle replays ALL of it.
+# --------------------------------------------------------------------------
+Q224_B = 8  # coarse cells
+Q224_NPROBE = 2
+Q224_M = 8
+Q224_KS = 16
+Q224_K = 10
+
+
+def _q224_oracle() -> str:
+    from ..operators.ann_ivf import _QUANT_C
+
+    qc = float(_QUANT_C)
+    dist = lloyd_dist_sql
+    m, ks, k, npr = Q224_M, Q224_KS, Q224_K, Q224_NPROBE
+    return f"""
+    WITH {lloyd_oracle_ctes(str(Q224_B), 1)},
+    rv AS (SELECT a.vec_id, a.bucket AS cell,
+                  list_transform(list_zip(a.e, c.c), p -> p[1] - p[2]) AS fe
+           FROM af a JOIN c1 c ON a.bucket = c.bucket),
+    psv AS (SELECT vec_id, cell, CAST(t.s AS INTEGER) AS subspace,
+                   list_slice(fe, t.s * (len(fe) // {m}) + 1,
+                              (t.s + 1) * (len(fe) // {m})) AS e,
+                   md5(CAST(vec_id AS VARCHAR)) AS k
+            FROM rv, (SELECT unnest(range({m})) AS s) t),
+    pcnt AS (SELECT subspace, least({ks}, count(*)) AS b2 FROM psv GROUP BY 1),
+    ps0 AS (SELECT subspace, rn - 1 AS sub, c FROM (
+        SELECT psv.subspace, e AS c, pcnt.b2,
+               row_number() OVER (PARTITION BY psv.subspace ORDER BY k, vec_id) AS rn
+        FROM psv JOIN pcnt ON psv.subspace = pcnt.subspace) WHERE rn <= b2),
+    psa1 AS (SELECT vec_id, e, subspace, sub FROM (
+        SELECT s.vec_id, s.e, s.subspace, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM psv s JOIN ps0 i ON s.subspace = i.subspace) WHERE rn = 1),
+    pm1 AS (SELECT subspace, sub, u.i AS i,
+                   CAST(sum(CAST(floor(u.x * {qc}) AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / {qc} AS c
+            FROM (SELECT subspace, sub,
+                         unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
+                  FROM psa1)
+            GROUP BY 1, 2, 3),
+    pml1 AS (SELECT subspace, sub, list(c ORDER BY i) AS c FROM pm1 GROUP BY 1, 2),
+    pcf AS (SELECT p.subspace, p.sub, coalesce(u.c, p.c) AS c
+            FROM ps0 p LEFT JOIN pml1 u
+              ON p.subspace = u.subspace AND p.sub = u.sub),
+    psaf AS (SELECT vec_id, cell, subspace, sub FROM (
+        SELECT s.vec_id, s.cell, s.subspace, i.sub,
+               row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
+        FROM psv s JOIN pcf i ON s.subspace = i.subspace) WHERE rn = 1),
+    qv AS (SELECT e FROM sv WHERE vec_id = 0),
+    pc AS (SELECT c1.bucket AS cell, c1.c
+           FROM c1, qv ORDER BY {dist("qv.e", "c1.c")}, c1.bucket LIMIT {npr}),
+    qr AS (SELECT p.cell,
+                  list_transform(list_zip(q.e, p.c), x -> x[1] - x[2]) AS fe
+           FROM pc p, qv q),
+    qsv AS (SELECT cell, CAST(t.s AS INTEGER) AS subspace,
+                   list_slice(fe, t.s * (len(fe) // {m}) + 1,
+                              (t.s + 1) * (len(fe) // {m})) AS e
+            FROM qr, (SELECT unnest(range({m})) AS s) t),
+    lut AS (SELECT q.cell, cb.subspace, cb.sub, {dist("q.e", "cb.c")} AS d
+            FROM pcf cb JOIN qsv q ON cb.subspace = q.subspace)
+    SELECT s.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+    FROM psaf s JOIN lut l
+      ON s.cell = l.cell AND s.subspace = l.subspace AND s.sub = l.sub
+    WHERE s.vec_id <> 0
+    GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
+@register("q224_ivfadc_topk", oracle=_q224_oracle())
+def q224_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_ivf import (
+        assign_buckets_exact,
+        deterministic_lloyd,
+        int_sq_dist,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+        probe_buckets_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents1 = deterministic_lloyd(emb, Q224_B, iters=1)
+    cells = materialize(
+        assign_buckets_exact(emb, cents1).withColumnRenamed("bucket", "cell")
+    )
+    # residual = vector − its cell centroid (exact double subtraction on
+    # both engines); PQ then spends its codebook budget on the residual
+    # energy only
+    resid = materialize(
+        cells.join(
+            F.broadcast(cents1.withColumnRenamed("bucket", "cell")), "cell"
+        ).select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid"),
+                lambda x, y: x - y,
+            ).alias("embedding"),
+        )
+    )
+    subvecs = materialize(pq_subvectors(resid, Q224_M))
+    codebooks = pq_train(subvecs, Q224_KS, iters=1)
+    codes = pq_encode(subvecs, codebooks).join(
+        resid.select("vec_id", "cell"), "vec_id"
+    )
+
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    probed = probe_buckets_exact(cents1, qrow, Q224_NPROBE)
+    # per-probed-cell query residual -> per-cell LUT (nprobe·m·ks rows)
+    qres = (
+        cents1.withColumnRenamed("bucket", "cell")
+        .join(probed.withColumnRenamed("bucket", "cell"), "cell")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "cell",
+            F.zip_with(
+                F.col("qvec"), F.col("centroid"), lambda x, y: x - y
+            ).alias("embedding"),
+        )
+    )
+    qsubs = pq_subvectors(qres, Q224_M, id_col="cell")
+    lut = codebooks.join(
+        qsubs.select("cell", "subspace", F.col("embedding").alias("__q")),
+        "subspace",
+    ).select(
+        "cell",
+        "subspace",
+        F.col("sub").alias("code"),
+        int_sq_dist(F.col("__q"), F.col("centroid")).alias("dist"),
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["cell", "subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(Q224_K)
+    )
+    return materialize(adc)
+
+
+# --------------------------------------------------------------------------
 # q200 — incremental embedding-batch dedup against a PERSISTED
 # corpus-scaled LSH index (the vector twin of q89, composing r5's
 # lsh_blocking defaults into the ingest shape): the corpus (odd vec_ids)

@@ -474,3 +474,62 @@ def test_pq_encode_and_adc(spark):
     assert np.corrcoef(adc, d2)[0, 1] >= 0.4
     top_true = d2[np.argsort(adc, kind="stable")[:10]].mean()
     assert top_true < 0.92 * d2.mean()
+
+
+def test_ivfadc_composition(spark):
+    """IVFADC invariants (q224): every returned candidate lives in one
+    of the query's probed cells (inverted-file pruning is real), the
+    ADC scan never reads raw vectors (codes-only join), and the
+    residual encoding preserves one code per (id, subspace)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        assign_buckets_exact,
+        deterministic_lloyd,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+        probe_buckets_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n, b, m, ks, npr = emb.count(), 8, 8, 16, 2
+    cents1 = deterministic_lloyd(emb, b, iters=1)
+    cells = assign_buckets_exact(emb, cents1).withColumnRenamed(
+        "bucket", "cell"
+    ).localCheckpoint(eager=True)
+    resid = cells.join(
+        cents1.withColumnRenamed("bucket", "cell"), "cell"
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: x - y,
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    subvecs = pq_subvectors(resid, m).localCheckpoint(eager=True)
+    codebooks = pq_train(subvecs, ks)
+    codes = pq_encode(subvecs, codebooks).join(
+        resid.select("vec_id", "cell"), "vec_id"
+    )
+    assert codes.count() == n * m
+
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    probed = {r.bucket for r in probe_buckets_exact(cents1, qrow, npr).collect()}
+    assert len(probed) == npr
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.analytics import (
+        q224_ivfadc_topk,
+    )
+
+    got = q224_ivfadc_topk(spark, SF_DIR).collect()
+    assert len(got) == 10 and all(r.adc_dist >= 0 for r in got)
+    member = {
+        r.vec_id: r.cell for r in cells.select("vec_id", "cell").collect()
+    }
+    for r in got:
+        assert member[r.vec_id] in probed, (r.vec_id, member[r.vec_id], probed)
