@@ -570,3 +570,114 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = materialize(out)
     DD.release_caches()
     return result
+
+
+# --------------------------------------------------------------------------
+# q225 — duplicate-SPAN coverage per document (the ExactSubstr-dedup
+# diagnostic of Lee et al., "Deduplicating Training Data Makes Language
+# Models Better", ACL 2022: before cutting duplicated spans, measure how
+# much of each document sits inside text shared with ANOTHER document).
+# A token position is covered when at least one 5-token window containing
+# it also occurs verbatim in a different doc. Distinct from q160
+# (containment scores PAIRS by shingle-set overlap) and q161 (novelty
+# attributes each gram to its first arrival): this is position-level —
+# it answers "what fraction of THIS doc's tokens would span-dedup cut".
+#
+# Scale shape: gram stream with start positions is linear in tokens; the
+# cross-doc test is one map-side-combinable min/max groupBy on the
+# 60-bit gram hash (q111's 8-byte-key convention — no count(distinct));
+# the interval union exploits fixed window length 5: sort a doc's dup
+# window starts once and each start contributes min(5, next - start)
+# tokens (gaps-and-islands via lead()), so coverage costs ONE shuffle at
+# doc granularity instead of exploding every window into 5 position
+# rows. No pair join anywhere — this stays linear when near-everything
+# is duplicated, the regime where pair-emitting dedup floods.
+# --------------------------------------------------------------------------
+Q225_N = 5
+
+
+@register(
+    "q225_dup_span_coverage",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    nt AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
+    gs AS (SELECT doc_id, u.i - 1 AS pos,
+                  CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
+           FROM (SELECT doc_id,
+                        unnest(list_filter(list_transform(w, (x, i) ->
+                            CASE WHEN i <= len(w) - 4 THEN struct_pack(i := i,
+                                 g := x || ' ' || w[i+1] || ' ' || w[i+2]
+                                        || ' ' || w[i+3] || ' ' || w[i+4]) END),
+                            s -> s IS NOT NULL)) AS u
+                 FROM toks)),
+    dup AS (SELECT gh FROM gs GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM gs JOIN dup USING (gh)),
+    cov AS (SELECT doc_id,
+                   least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) - pos, 5)) AS c
+            FROM hits),
+    pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+           FROM cov GROUP BY 1)
+    SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(pd.dup_tokens, 0) * 1.0 / n_tokens, 6) AS dup_frac
+    FROM nt LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q225_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    n = Q225_N
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    n_tok = toks.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    w = F.col("w")
+    starts = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))  # noqa: E731
+    # cache the positioned gram-hash stream: the dup-gram aggregate AND
+    # the hits join both read it (q160's convention for this shape)
+    gs = DD.cache_pinned(
+        toks.select(
+            "doc_id",
+            F.posexplode(F.transform(starts, gram)).alias("pos", "g"),
+        ).select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    dup = (
+        gs.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    hits = gs.join(dup, "gh").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    cov = hits.select(
+        "doc_id",
+        F.least(
+            F.lit(n), F.coalesce(F.lead("pos").over(wd) - F.col("pos"), F.lit(n))
+        ).alias("c"),
+    )
+    pd = cov.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("dup_tokens"))
+    out = (
+        n_tok.join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )
+    result = materialize(out)
+    DD.release_caches()
+    return result

@@ -187,3 +187,33 @@ def test_ivf_blocked_neardup_precision_and_recall(spark):
     assert n_found >= 0.2 * len(truth), (n_found, len(truth))
     for r in out:
         assert r.max_cosine >= Q184_TAU
+
+
+def test_dup_span_coverage_interval_union(spark, tmp_path):
+    """q225 semantics pinned on constructed docs: a single shared 5-gram
+    covers exactly 5 tokens; overlapping shared windows merge via the
+    gaps-and-islands union (a fully-duplicated doc covers ALL its
+    tokens, not windows*5); a unique doc scores 0."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.corpus_quality import (
+        q225_dup_span_coverage,
+    )
+
+    rows = [
+        (0, "a b c d e f"),   # shares "a b c d e" with doc 1 -> 5 of 6
+        (1, "a b c d e x"),   # same -> 5 of 6
+        (2, "z y x w v u t"), # unique -> 0 of 7
+        (3, "p q r s t u v"), # full dup of doc 4 -> 7 of 7 (union, not 15)
+        (4, "p q r s t u v"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in q225_dup_span_coverage(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (6, 5, round(5 / 6, 6))
+    assert got[1] == (6, 5, round(5 / 6, 6))
+    assert got[2] == (7, 0, 0.0)
+    assert got[3] == (7, 7, 1.0)
+    assert got[4] == (7, 7, 1.0)
