@@ -579,9 +579,12 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # much of each document sits inside text shared with ANOTHER document).
 # A token position is covered when at least one 5-token window containing
 # it also occurs verbatim in a different doc. Distinct from q160
-# (containment scores PAIRS by shingle-set overlap) and q161 (novelty
-# attributes each gram to its first arrival): this is position-level —
-# it answers "what fraction of THIS doc's tokens would span-dedup cut".
+# (containment scores PAIRS by shingle-set overlap), q161 (novelty
+# attributes each gram to its first arrival), and q111 (EXTRACTS the
+# span intervals themselves, counting within-doc repeats too, gated on
+# a minimum span length): this is the position-level per-doc ROLLUP —
+# "what fraction of THIS doc's tokens would cross-doc span-dedup cut" —
+# the number a curation policy thresholds on.
 #
 # Scale shape: gram stream with start positions is linear in tokens; the
 # cross-doc test is one map-side-combinable min/max groupBy on the

@@ -30,8 +30,14 @@ from .registry import materialize, register
 # q170 — product-quantization ADC retrieval: m=4 subspaces x 16 dims,
 # k=16 codes per subspace. The codebook is DETERMINISTIC — code j of
 # subspace s is anchor vector j's s-th subvector (anchors = vec_id 0-15)
-# — so both engines rebuild it bit-for-bit (a trained k-means codebook
-# would be rows-only, cf. q55; the assignment/ADC plumbing is identical).
+# — so both engines rebuild it bit-for-bit; the assignment/ADC plumbing
+# is identical to the trained tier. (The "a trained codebook would be
+# rows-only" caveat this query originally carried is closed: q223
+# TRAINS its codebooks with the deterministic integer-quantized grouped
+# Lloyd and stays hash-gated, and q224 composes that with coarse cells
+# + residuals into full IVFADC. q170 remains the anchor-codebook
+# float-arithmetic variant: it exercises float-double ADC sums and the
+# multi-query batch shape, which the integer tier doesn't.)
 # Every corpus vector gets its argmin code per subspace; queries
 # (vec_id 16-19) score the corpus through the asymmetric distance table
 # sum_s d2(query_sub_s, codebook[s][code_s(v)]) and return top-5.
