@@ -104,6 +104,15 @@ BNLJ_WHITELIST = {
     "q219_tpch_q22": 2,
     "q221_tpch_q11": 2,
     "q222_hierarchical_semdedup": 48,
+    # q224 full IVFADC: every BNLJ is one of (a) crossJoin(broadcast(
+    # cents1)) with B=8 LITERAL rows (coarse training + final cell
+    # assignment), (b) probe_buckets_exact's broadcast of the ONE-ROW
+    # query frame, or (c) the per-probed-cell query-residual build,
+    # broadcast of the same one-row frame — all O(1) sides. The count is
+    # high because the audit's no-barrier view unrolls the training
+    # lineage through three materialize() barriers (the q222 pattern);
+    # at execution each barrier runs its plan once.
+    "q224_ivfadc_topk": 78,
     "q26_cosine_topk": 2,
     "q55_ann_ivf": 18,
     "q78_quantized_retrieval": 4,
