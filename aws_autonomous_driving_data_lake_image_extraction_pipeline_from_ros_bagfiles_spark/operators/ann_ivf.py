@@ -449,6 +449,7 @@ def assign_subbuckets_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "cell",
+    broadcast_cents: bool = False,
 ) -> DataFrame:
     """Per-cell argmin assignment against a (cell, sub, centroid) frame
     under :func:`int_sq_dist`; ties -> lower sub id. The join is an
@@ -461,14 +462,22 @@ def assign_subbuckets_exact(
     legitimately appear in SEVERAL cells — product quantization (q223)
     feeds one row per (vec_id, subspace) and each subspace needs its own
     independent argmin. For the hierarchical-IVF shape (q222), where
-    every id lives in exactly one cell, the extra key is a no-op."""
+    every id lives in exactly one cell, the extra key is a no-op.
+
+    ``broadcast_cents`` marks the centroid side as broadcastable: right
+    for PQ, whose codebook is a CONSTANT m·ks rows (the equi-key has
+    only m distinct values, so a shuffle join would funnel the whole
+    corpus through m reducers); wrong for the hierarchical tier, whose
+    sub-centroid count grows ∝ N — there the default shuffle join on the
+    high-cardinality cell key is the point."""
     from pyspark.sql import Window
 
     d = int_sq_dist(F.col(vec_col), F.col("centroid"))
     w = Window.partitionBy(id_col, cell_col).orderBy("__d", "sub")
+    cside = F.broadcast(cents) if broadcast_cents else cents
     return (
         cells.select(id_col, vec_col, cell_col)
-        .join(cents, cell_col)
+        .join(cside, cell_col)
         .withColumn("__d", d)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -518,6 +527,10 @@ def deterministic_lloyd_grouped(
         else F.greatest(F.lit(1), F.floor(F.count("*") / F.lit(target_block)))
     )
     b2 = base.groupBy(cell_col).agg(b2_expr.cast("int").alias("__b2"))
+    # a fixed_k codebook is a bounded-constant frame (cells * fixed_k
+    # rows, and PQ's cell count is m) — broadcast its assignment joins;
+    # the corpus-scaled sizing grows ∝ N and must stay a shuffle join
+    bcast = fixed_k is not None
     wk = Window.partitionBy(cell_col).orderBy("__k", id_col)
     cents = (
         base.withColumn("__k", F.md5(F.col(id_col).cast("string")))
@@ -531,7 +544,9 @@ def deterministic_lloyd_grouped(
         )
     )
     for _ in range(iters):
-        assigned = assign_subbuckets_exact(base, cents, vec_col, id_col, cell_col)
+        assigned = assign_subbuckets_exact(
+            base, cents, vec_col, id_col, cell_col, broadcast_cents=bcast
+        )
         comp = (
             assigned.select(
                 cell_col, "sub", F.posexplode(F.col(vec_col)).alias("i", "x")
@@ -649,7 +664,12 @@ def pq_encode(
     (id, subspace, code) is the ONLY thing the ADC scan reads."""
     return (
         assign_subbuckets_exact(
-            subvecs, codebooks, vec_col=vec_col, id_col=id_col, cell_col=sub_col
+            subvecs,
+            codebooks,
+            vec_col=vec_col,
+            id_col=id_col,
+            cell_col=sub_col,
+            broadcast_cents=True,  # PQ codebooks are a constant m·ks rows
         )
         .select(id_col, sub_col, F.col("sub").alias("code"))
     )
