@@ -1207,14 +1207,19 @@ Q223_K = 10  # neighbors returned
 Q223_ITERS = 1
 
 
-def _q223_oracle() -> str:
+def _pq_train_ctes(m: int, ks: int) -> str:
+    """Oracle twin of pq_subvectors + pq_train(iters=1) + pq_encode over
+    the embeddings view: WITH-body CTEs ending in ``cf(subspace, sub, c)``
+    (the trained codebooks) and ``saf(vec_id, subspace, sub)`` (the codes
+    table); ``base(vec_id, fe)`` and ``sv(vec_id, subspace, e, k)`` stay
+    visible for consumers needing full vectors or query subvectors.
+    Shared by q223 (ADC top-k) and q226 (ADC recall audit) so the PQ
+    training replay cannot drift between them."""
     from ..operators.ann_ivf import _QUANT_C
 
     qc = float(_QUANT_C)
     dist = lloyd_dist_sql
-    m, ks, k = Q223_M, Q223_KS, Q223_K
-    return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
+    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
     sv AS (SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
                   list_slice(fe, t.s * (len(fe) // {m}) + 1,
                              (t.s + 1) * (len(fe) // {m})) AS e,
@@ -1244,14 +1249,20 @@ def _q223_oracle() -> str:
         SELECT s.vec_id, s.subspace, i.sub,
                row_number() OVER (PARTITION BY s.vec_id, s.subspace
                                   ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
-        FROM sv s JOIN cf i ON s.subspace = i.subspace) WHERE rn = 1),
+        FROM sv s JOIN cf i ON s.subspace = i.subspace) WHERE rn = 1)"""
+
+
+def _q223_oracle() -> str:
+    dist = lloyd_dist_sql
+    return f"""
+    WITH {_pq_train_ctes(Q223_M, Q223_KS)},
     q AS (SELECT subspace, e FROM sv WHERE vec_id = 0),
     lut AS (SELECT c.subspace, c.sub, {dist("q.e", "c.c")} AS d
             FROM cf c JOIN q ON c.subspace = q.subspace)
     SELECT s.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
     FROM saf s JOIN lut l ON s.subspace = l.subspace AND s.sub = l.sub
     WHERE s.vec_id <> 0
-    GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT {k}
+    GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT {Q223_K}
     """
 
 
@@ -1279,6 +1290,126 @@ def q223_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = pq_adc_lut(codebooks, subvecs.filter(F.col("vec_id") == 0))
     topk = pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, Q223_K)
     return materialize(topk)
+
+
+# --------------------------------------------------------------------------
+# q226 — PQ ADC recall@K audit: the q151/q201 evaluation pattern applied
+# to the compressed-domain tier — before serving from codes alone (q223),
+# measure what the 128x compression costs in recall against exact top-K
+# over the raw vectors, for a BOUNDED query sample (the production rule:
+# sample the queries, never brute-force the corpus side — the truth tier
+# is |Q| x corpus and stays linear in the corpus). Completes the
+# recall-audit family: q151 covers hyperplane LSH, q201 the banded-LSH
+# planner, q226 product quantization.
+#
+# Both rankings order by the INTEGER-quantized squared L2 (ties -> lower
+# id): the truth tier uses int_sq_dist over full vectors and ADC sums
+# integer LUT entries, so neither ranking has a float rank boundary and
+# the oracle replays both bit-for-bit — no round-at-6dp mitigation
+# needed (q151's cosine rounding exists for exactly the problem integer
+# distances don't have).
+# --------------------------------------------------------------------------
+Q226_NQ = 5
+Q226_K = 10
+
+
+def _q226_oracle() -> str:
+    dist = lloyd_dist_sql
+    nq, k = Q226_NQ, Q226_K
+    return f"""
+    WITH {_pq_train_ctes(Q223_M, Q223_KS)},
+    truth AS (SELECT qid, cid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist("a.fe", "b.fe")}, b.vec_id) AS rn
+        FROM base a JOIN base b ON a.vec_id < {nq} AND b.vec_id <> a.vec_id)
+      WHERE rn <= {k}),
+    lutq AS (SELECT q.vec_id AS qid, c.subspace, c.sub, {dist("q.e", "c.c")} AS d
+             FROM cf c JOIN sv q ON c.subspace = q.subspace
+             WHERE q.vec_id < {nq}),
+    adcd AS (SELECT l.qid, s.vec_id AS cid, CAST(sum(l.d) AS BIGINT) AS ad
+             FROM saf s JOIN lutq l ON s.subspace = l.subspace AND s.sub = l.sub
+             WHERE s.vec_id <> l.qid
+             GROUP BY 1, 2),
+    adc AS (SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                            ORDER BY ad, cid) AS rn
+        FROM adcd) WHERE rn <= {k})
+    SELECT t.qid AS vec_id, round(count(a.cid) * 1.0 / {k}, 6) AS recall
+    FROM truth t LEFT JOIN adc a ON a.qid = t.qid AND a.cid = t.cid
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("q226_pq_recall_eval", oracle=_q226_oracle())
+def q226_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ann_ivf import (
+        int_sq_dist,
+        pq_encode,
+        pq_subvectors,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    subvecs = materialize(pq_subvectors(emb, Q223_M))
+    codebooks = pq_train(subvecs, Q223_KS, iters=Q223_ITERS)
+    codes = pq_encode(subvecs, codebooks)
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("fe")
+    )
+    qv = base.filter(F.col("vec_id") < Q226_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("fe").alias("qe")
+    )
+    cv = base.select(F.col("vec_id").alias("cid"), F.col("fe").alias("ce"))
+    wq = Window.partitionBy("qid").orderBy("__d", "cid")
+    truth = (
+        qv.crossJoin(cv)  # bounded: |Q| queries x corpus — the eval tier
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("__d", int_sq_dist(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= Q226_K)
+        .select("qid", "cid")
+    )
+    lutq = codebooks.join(
+        subvecs.filter(F.col("vec_id") < Q226_NQ).select(
+            F.col("vec_id").alias("qid"), "subspace", F.col("embedding").alias("__q")
+        ),
+        "subspace",
+    ).select(
+        "qid",
+        "subspace",
+        F.col("sub").alias("code"),
+        int_sq_dist(F.col("__q"), F.col("centroid")).alias("d"),
+    )
+    adcd = (
+        codes.join(F.broadcast(lutq), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d").alias("ad"))
+    )
+    wa = Window.partitionBy("qid").orderBy("ad", "cid")
+    adc = (
+        adcd.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= Q226_K)
+        .select("qid", "cid")
+    )
+    out = (
+        truth.join(adc.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(Q226_K), 6
+            ).alias("recall")
+        )
+        .select(F.col("qid").alias("vec_id"), "recall")
+        .orderBy("vec_id")
+    )
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------
