@@ -615,9 +615,26 @@ def pq_subvectors(
     projection + generator — no shuffle; d need not be known at plan
     time (slice bounds are computed from size(vec)/m per row). Float
     sources are cast to double BEFORE slicing (the repo's cross-engine
-    float rule)."""
+    float rule). A dimension not divisible by m raises instead of
+    silently dropping the trailing d % m elements from every distance —
+    the fail-loudly rule _assert_quant_domain enforces for magnitudes
+    applies to shape too (an oracle truncating identically would let the
+    corruption sail through the hash gate)."""
     v = F.col(vec_col).cast("array<double>")
-    ds = (F.size(v) / F.lit(m)).cast("int")
+    ds = F.when(
+        F.size(v) % F.lit(m) == 0, (F.size(v) / F.lit(m)).cast("int")
+    ).otherwise(
+        (
+            F.raise_error(
+                F.format_string(
+                    f"pq_subvectors: dim %s not divisible by m={m}"
+                    " — the trailing elements would silently vanish from"
+                    " every ADC distance; pad or re-chunk the embeddings",
+                    F.size(v).cast("string"),
+                )
+            )
+        ).cast("int")
+    )
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.slice(v, s * ds + 1, ds),
@@ -680,16 +697,24 @@ def pq_adc_lut(
     query_subvecs: DataFrame,
     sub_col: str = "subspace",
     vec_col: str = "embedding",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The m×ks asymmetric-distance lookup table for ONE query:
-    (subspace, code, dist) where dist is the integer-quantized squared L2
-    between the query's subvector and that code's centroid. m·ks rows —
-    broadcast-sized at any corpus scale."""
+    """The m×ks asymmetric-distance lookup table: (subspace, code, dist)
+    where dist is the integer-quantized squared L2 between the query's
+    subvector and that code's centroid. ``key_cols`` names extra columns
+    on the query side carried through (a query id for multi-query recall
+    eval, a cell id for per-probed-cell residual LUTs) — the table stays
+    |keys|·m·ks rows, broadcast-sized at any corpus scale. One
+    construction shared by q223/q224/q226 so the LUT's distance and
+    naming cannot drift between consumers."""
+    keys = list(key_cols or [])
     return (
         codebooks.join(
-            query_subvecs.select(sub_col, F.col(vec_col).alias("__q")), sub_col
+            query_subvecs.select(*keys, sub_col, F.col(vec_col).alias("__q")),
+            sub_col,
         )
         .select(
+            *keys,
             sub_col,
             F.col("sub").alias("code"),
             int_sq_dist(F.col("__q"), F.col("centroid")).alias("dist"),

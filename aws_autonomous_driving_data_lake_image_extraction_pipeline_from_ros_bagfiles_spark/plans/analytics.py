@@ -1207,49 +1207,57 @@ Q223_K = 10  # neighbors returned
 Q223_ITERS = 1
 
 
-def _pq_train_ctes(m: int, ks: int) -> str:
-    """Oracle twin of pq_subvectors + pq_train(iters=1) + pq_encode over
-    the embeddings view: WITH-body CTEs ending in ``cf(subspace, sub, c)``
-    (the trained codebooks) and ``saf(vec_id, subspace, sub)`` (the codes
-    table); ``base(vec_id, fe)`` and ``sv(vec_id, subspace, e, k)`` stay
-    visible for consumers needing full vectors or query subvectors.
-    Shared by q223 (ADC top-k) and q226 (ADC recall audit) so the PQ
-    training replay cannot drift between them."""
+def _pq_train_ctes(
+    m: int, ks: int, src: str = "base", carry: str = "", prefix: str = ""
+) -> str:
+    """Oracle twin of pq_subvectors + pq_train(iters=1) + pq_encode:
+    WITH-body CTEs ending in ``cf(subspace, sub, c)`` (the trained
+    codebooks) and ``saf(vec_id[, carry], subspace, sub)`` (the codes
+    table); ``sv(vec_id[, carry], subspace, e, k)`` stays visible for
+    query-subvector consumers. ``src`` names the (vec_id, fe) relation
+    sliced into subvectors — the raw embeddings for q223/q226, the
+    cell-relative residuals for q224; ``carry`` lists extra ``src``
+    columns (e.g. ", cell") threaded through slicing and encoding.
+    ``prefix`` renames every CTE this helper defines (q224 composes it
+    with lloyd_oracle_ctes, whose coarse-level ``sv`` would otherwise
+    collide with the subvector ``sv`` here). ONE training replay shared
+    by all three oracles so a change to the quantization, init, or
+    tie-break cannot leave a sibling behind."""
     from ..operators.ann_ivf import _QUANT_C
 
     qc = float(_QUANT_C)
     dist = lloyd_dist_sql
-    return f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
-    sv AS (SELECT vec_id, CAST(t.s AS INTEGER) AS subspace,
+    return f"""{prefix}base AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
+    {prefix}sv AS (SELECT vec_id{carry}, CAST(t.s AS INTEGER) AS subspace,
                   list_slice(fe, t.s * (len(fe) // {m}) + 1,
                              (t.s + 1) * (len(fe) // {m})) AS e,
                   md5(CAST(vec_id AS VARCHAR)) AS k
-           FROM base, (SELECT unnest(range({m})) AS s) t),
-    cnt AS (SELECT subspace, least({ks}, count(*)) AS b2 FROM sv GROUP BY 1),
-    s0 AS (SELECT subspace, rn - 1 AS sub, c FROM (
-        SELECT sv.subspace, e AS c, cnt.b2,
-               row_number() OVER (PARTITION BY sv.subspace ORDER BY k, vec_id) AS rn
-        FROM sv JOIN cnt ON sv.subspace = cnt.subspace) WHERE rn <= b2),
-    sa1 AS (SELECT vec_id, e, subspace, sub FROM (
+           FROM {src}, (SELECT unnest(range({m})) AS s) t),
+    {prefix}cnt AS (SELECT subspace, least({ks}, count(*)) AS b2 FROM {prefix}sv GROUP BY 1),
+    {prefix}s0 AS (SELECT subspace, rn - 1 AS sub, c FROM (
+        SELECT {prefix}sv.subspace, e AS c, {prefix}cnt.b2,
+               row_number() OVER (PARTITION BY {prefix}sv.subspace ORDER BY k, vec_id) AS rn
+        FROM {prefix}sv JOIN {prefix}cnt ON {prefix}sv.subspace = {prefix}cnt.subspace) WHERE rn <= b2),
+    {prefix}sa1 AS (SELECT vec_id, e, subspace, sub FROM (
         SELECT s.vec_id, s.e, s.subspace, i.sub,
                row_number() OVER (PARTITION BY s.vec_id, s.subspace
                                   ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
-        FROM sv s JOIN s0 i ON s.subspace = i.subspace) WHERE rn = 1),
-    m1 AS (SELECT subspace, sub, u.i AS i,
+        FROM {prefix}sv s JOIN {prefix}s0 i ON s.subspace = i.subspace) WHERE rn = 1),
+    {prefix}m1 AS (SELECT subspace, sub, u.i AS i,
                   CAST(sum(CAST(floor(u.x * {qc}) AS BIGINT)) AS DOUBLE)
                       / CAST(count(*) AS DOUBLE) / {qc} AS c
            FROM (SELECT subspace, sub,
                         unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
-                 FROM sa1)
+                 FROM {prefix}sa1)
            GROUP BY 1, 2, 3),
-    ml1 AS (SELECT subspace, sub, list(c ORDER BY i) AS c FROM m1 GROUP BY 1, 2),
-    cf AS (SELECT p.subspace, p.sub, coalesce(u.c, p.c) AS c
-           FROM s0 p LEFT JOIN ml1 u ON p.subspace = u.subspace AND p.sub = u.sub),
-    saf AS (SELECT vec_id, subspace, sub FROM (
-        SELECT s.vec_id, s.subspace, i.sub,
+    {prefix}ml1 AS (SELECT subspace, sub, list(c ORDER BY i) AS c FROM {prefix}m1 GROUP BY 1, 2),
+    {prefix}cf AS (SELECT p.subspace, p.sub, coalesce(u.c, p.c) AS c
+           FROM {prefix}s0 p LEFT JOIN {prefix}ml1 u ON p.subspace = u.subspace AND p.sub = u.sub),
+    {prefix}saf AS (SELECT vec_id{carry}, subspace, sub FROM (
+        SELECT s.vec_id{", s." + carry.lstrip(", ") if carry else ""}, s.subspace, i.sub,
                row_number() OVER (PARTITION BY s.vec_id, s.subspace
                                   ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
-        FROM sv s JOIN cf i ON s.subspace = i.subspace) WHERE rn = 1)"""
+        FROM {prefix}sv s JOIN {prefix}cf i ON s.subspace = i.subspace) WHERE rn = 1)"""
 
 
 def _q223_oracle() -> str:
@@ -1285,7 +1293,10 @@ def q223_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side — materialize(), not localCheckpoint, so the plan audit still
     # sees the generator stage (q222's lesson).
     subvecs = materialize(subvecs)
-    codebooks = pq_train(subvecs, Q223_KS, iters=Q223_ITERS)
+    # codebooks feed BOTH the encode branch and the LUT branch of one
+    # final plan — unmaterialized, the grouped-Lloyd training subplan
+    # executes twice (r9 round-diff review); the frame is m·ks = 128 rows
+    codebooks = materialize(pq_train(subvecs, Q223_KS, iters=Q223_ITERS))
     codes = pq_encode(subvecs, codebooks)
     lut = pq_adc_lut(codebooks, subvecs.filter(F.col("vec_id") == 0))
     topk = pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, Q223_K)
@@ -1347,6 +1358,7 @@ def q226_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.ann_ivf import (
         int_sq_dist,
+        pq_adc_lut,
         pq_encode,
         pq_subvectors,
         pq_train,
@@ -1356,7 +1368,8 @@ def q226_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     subvecs = materialize(pq_subvectors(emb, Q223_M))
-    codebooks = pq_train(subvecs, Q223_KS, iters=Q223_ITERS)
+    # materialized for the same two-consumer reason as q223
+    codebooks = materialize(pq_train(subvecs, Q223_KS, iters=Q223_ITERS))
     codes = pq_encode(subvecs, codebooks)
 
     base = emb.select(
@@ -1375,22 +1388,18 @@ def q226_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= Q226_K)
         .select("qid", "cid")
     )
-    lutq = codebooks.join(
-        subvecs.filter(F.col("vec_id") < Q226_NQ).select(
-            F.col("vec_id").alias("qid"), "subspace", F.col("embedding").alias("__q")
+    lutq = pq_adc_lut(
+        codebooks,
+        subvecs.filter(F.col("vec_id") < Q226_NQ).withColumnRenamed(
+            "vec_id", "qid"
         ),
-        "subspace",
-    ).select(
-        "qid",
-        "subspace",
-        F.col("sub").alias("code"),
-        int_sq_dist(F.col("__q"), F.col("centroid")).alias("d"),
+        key_cols=["qid"],
     )
     adcd = (
         codes.join(F.broadcast(lutq), ["subspace", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(F.sum("d").alias("ad"))
+        .agg(F.sum("dist").alias("ad"))
     )
     wa = Window.partitionBy("qid").orderBy("ad", "cid")
     adc = (
@@ -1441,9 +1450,6 @@ Q224_K = 10
 
 
 def _q224_oracle() -> str:
-    from ..operators.ann_ivf import _QUANT_C
-
-    qc = float(_QUANT_C)
     dist = lloyd_dist_sql
     m, ks, k, npr = Q224_M, Q224_KS, Q224_K, Q224_NPROBE
     return f"""
@@ -1451,37 +1457,7 @@ def _q224_oracle() -> str:
     rv AS (SELECT a.vec_id, a.bucket AS cell,
                   list_transform(list_zip(a.e, c.c), p -> p[1] - p[2]) AS fe
            FROM af a JOIN c1 c ON a.bucket = c.bucket),
-    psv AS (SELECT vec_id, cell, CAST(t.s AS INTEGER) AS subspace,
-                   list_slice(fe, t.s * (len(fe) // {m}) + 1,
-                              (t.s + 1) * (len(fe) // {m})) AS e,
-                   md5(CAST(vec_id AS VARCHAR)) AS k
-            FROM rv, (SELECT unnest(range({m})) AS s) t),
-    pcnt AS (SELECT subspace, least({ks}, count(*)) AS b2 FROM psv GROUP BY 1),
-    ps0 AS (SELECT subspace, rn - 1 AS sub, c FROM (
-        SELECT psv.subspace, e AS c, pcnt.b2,
-               row_number() OVER (PARTITION BY psv.subspace ORDER BY k, vec_id) AS rn
-        FROM psv JOIN pcnt ON psv.subspace = pcnt.subspace) WHERE rn <= b2),
-    psa1 AS (SELECT vec_id, e, subspace, sub FROM (
-        SELECT s.vec_id, s.e, s.subspace, i.sub,
-               row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
-        FROM psv s JOIN ps0 i ON s.subspace = i.subspace) WHERE rn = 1),
-    pm1 AS (SELECT subspace, sub, u.i AS i,
-                   CAST(sum(CAST(floor(u.x * {qc}) AS BIGINT)) AS DOUBLE)
-                       / CAST(count(*) AS DOUBLE) / {qc} AS c
-            FROM (SELECT subspace, sub,
-                         unnest(list_transform(e, (x, i) -> struct_pack(i := i, x := x))) AS u
-                  FROM psa1)
-            GROUP BY 1, 2, 3),
-    pml1 AS (SELECT subspace, sub, list(c ORDER BY i) AS c FROM pm1 GROUP BY 1, 2),
-    pcf AS (SELECT p.subspace, p.sub, coalesce(u.c, p.c) AS c
-            FROM ps0 p LEFT JOIN pml1 u
-              ON p.subspace = u.subspace AND p.sub = u.sub),
-    psaf AS (SELECT vec_id, cell, subspace, sub FROM (
-        SELECT s.vec_id, s.cell, s.subspace, i.sub,
-               row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                                  ORDER BY {dist("s.e", "i.c")}, i.sub) AS rn
-        FROM psv s JOIN pcf i ON s.subspace = i.subspace) WHERE rn = 1),
+    {_pq_train_ctes(m, ks, src="rv", carry=", cell", prefix="p")},
     qv AS (SELECT e FROM sv WHERE vec_id = 0),
     pc AS (SELECT c1.bucket AS cell, c1.c
            FROM c1, qv ORDER BY {dist("qv.e", "c1.c")}, c1.bucket LIMIT {npr}),
@@ -1507,7 +1483,7 @@ def q224_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_ivf import (
         assign_buckets_exact,
         deterministic_lloyd,
-        int_sq_dist,
+        pq_adc_lut,
         pq_encode,
         pq_subvectors,
         pq_train,
@@ -1517,7 +1493,11 @@ def q224_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cents1 = deterministic_lloyd(emb, Q224_B, iters=1)
+    # cents1 has FOUR consumers (cell assignment, residual build, probe,
+    # query-residual build) — unmaterialized, each re-runs the coarse
+    # Lloyd's full-corpus pass (r9 round-diff review); the frame is B=8
+    # rows
+    cents1 = materialize(deterministic_lloyd(emb, Q224_B, iters=1))
     cells = materialize(
         assign_buckets_exact(emb, cents1).withColumnRenamed("bucket", "cell")
     )
@@ -1538,7 +1518,8 @@ def q224_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     subvecs = materialize(pq_subvectors(resid, Q224_M))
-    codebooks = pq_train(subvecs, Q224_KS, iters=1)
+    # materialized: encode + per-cell LUT both consume it (q223's reason)
+    codebooks = materialize(pq_train(subvecs, Q224_KS, iters=1))
     codes = pq_encode(subvecs, codebooks).join(
         resid.select("vec_id", "cell"), "vec_id"
     )
@@ -1560,15 +1541,7 @@ def q224_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qsubs = pq_subvectors(qres, Q224_M, id_col="cell")
-    lut = codebooks.join(
-        qsubs.select("cell", "subspace", F.col("embedding").alias("__q")),
-        "subspace",
-    ).select(
-        "cell",
-        "subspace",
-        F.col("sub").alias("code"),
-        int_sq_dist(F.col("__q"), F.col("centroid")).alias("dist"),
-    )
+    lut = pq_adc_lut(codebooks, qsubs, key_cols=["cell"])
     adc = (
         codes.filter(F.col("vec_id") != 0)
         .join(F.broadcast(lut), ["cell", "subspace", "code"])

@@ -599,25 +599,28 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q225_N = 5
 
 
-@register(
-    "q225_dup_span_coverage",
-    oracle="""
+def _q225_oracle() -> str:
+    # parameterized on Q225_N like q111 (a window-length change must move
+    # both engines together, not strand the oracle at 5 — r9 review)
+    n = Q225_N
+    gram = " || ' ' || ".join(["x"] + [f"w[i+{j}]" for j in range(1, n)])
+    return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     nt AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
     gs AS (SELECT doc_id, u.i - 1 AS pos,
                   CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
            FROM (SELECT doc_id,
                         unnest(list_filter(list_transform(w, (x, i) ->
-                            CASE WHEN i <= len(w) - 4 THEN struct_pack(i := i,
-                                 g := x || ' ' || w[i+1] || ' ' || w[i+2]
-                                        || ' ' || w[i+3] || ' ' || w[i+4]) END),
+                            CASE WHEN i <= len(w) - {n - 1}
+                                 THEN struct_pack(i := i, g := {gram}) END),
                             s -> s IS NOT NULL)) AS u
                  FROM toks)),
     dup AS (SELECT gh FROM gs GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
     hits AS (SELECT doc_id, pos FROM gs JOIN dup USING (gh)),
     cov AS (SELECT doc_id,
-                   least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id
-                                                     ORDER BY pos) - pos, 5)) AS c
+                   least({n}, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) - pos,
+                                       {n})) AS c
             FROM hits),
     pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
            FROM cov GROUP BY 1)
@@ -625,8 +628,10 @@ Q225_N = 5
            CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            round(coalesce(pd.dup_tokens, 0) * 1.0 / n_tokens, 6) AS dup_frac
     FROM nt LEFT JOIN pd USING (doc_id)
-    """,
-)
+    """
+
+
+@register("q225_dup_span_coverage", oracle=_q225_oracle())
 def q225_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
 

@@ -533,3 +533,22 @@ def test_ivfadc_composition(spark):
     }
     for r in got:
         assert member[r.vec_id] in probed, (r.vec_id, member[r.vec_id], probed)
+
+
+def test_pq_subvectors_rejects_indivisible_dim(spark):
+    """d % m != 0 must raise, not silently drop trailing dimensions from
+    every ADC distance (r9 review — an oracle truncating identically
+    would sail through the hash gate)."""
+    import pytest
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        pq_subvectors,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(10)])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        pq_subvectors(emb, 4).collect()
+    # divisible dims still slice cleanly
+    assert pq_subvectors(emb, 5).count() == 5

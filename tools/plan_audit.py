@@ -113,6 +113,10 @@ BNLJ_WHITELIST = {
     # lineage through three materialize() barriers (the q222 pattern);
     # at execution each barrier runs its plan once.
     "q224_ivfadc_topk": 78,
+    # q226's truth tier is the q151 shape: a bounded |Q|-row query frame
+    # crossJoined against the corpus for the exact-top-K ground truth —
+    # the eval tier the docstring caps at Q226_NQ.
+    "q226_pq_recall_eval": 2,
     "q26_cosine_topk": 2,
     "q55_ann_ivf": 18,
     "q78_quantized_retrieval": 4,
