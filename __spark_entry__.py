@@ -25,6 +25,7 @@ from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfile
     analytics,
     corpus_quality,
     curation,
+    data_selection,
     dataprep,
     evaluation,
     events_analytics,

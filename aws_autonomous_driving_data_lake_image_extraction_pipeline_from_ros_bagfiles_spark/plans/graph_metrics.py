@@ -57,7 +57,7 @@ def _scaled_raw_sql() -> str:
     return f"""{L.nbits_param_sql("embeddings")},
     {L.band_keys_sql("embeddings")},
     {L.candidate_pairs_sql()},
-    raw AS (
+    raw AS MATERIALIZED (
       SELECT cd.id_a AS u, cd.id_b AS v, round({_COS}, 6) AS c
       FROM lsh_cand cd
       JOIN embeddings a ON a.vec_id = cd.id_a
@@ -105,17 +105,22 @@ def _mutual_knn_edges_sql() -> str:
     """Oracle CTE chain ending in ``edges(u, v)``: the mutual top-K
     similarity graph. Shared by q168 and q180 — q180 is documented as
     operating on q168's edge set, so the construction (and any K or
-    tie-break change) exists once. Spark twin: _mutual_knn_edges()."""
+    tie-break change) exists once. Spark twin: _mutual_knn_edges().
+
+    The multi-referenced CTEs are MATERIALIZED (DuckDB hint, no semantic
+    effect): without it a downstream consumer that references the chain
+    several times (q229's unrolled LPA rounds) re-evaluates the LSH
+    verify exponentially — 215 s -> 23 s oracle wall at sf0.01."""
     return f"""
     {_scaled_raw_sql()},
     dir AS (SELECT u, v, c FROM raw UNION ALL SELECT v, u, c FROM raw),
-    top AS (
+    top AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT u, v, row_number() OVER (PARTITION BY u
                                         ORDER BY c DESC, v) AS rn
         FROM dir) WHERE rn <= {Q168_K}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a.u, a.v FROM top a JOIN top b ON a.u = b.v AND a.v = b.u
       WHERE a.u < a.v
     )"""
