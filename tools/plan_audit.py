@@ -117,6 +117,11 @@ BNLJ_WHITELIST = {
     # crossJoined against the corpus for the exact-top-K ground truth —
     # the eval tier the docstring caps at Q226_NQ.
     "q226_pq_recall_eval": 2,
+    # q228 DSIR: crossJoin(broadcast(tots)) — the ONE-ROW feature-total
+    # aggregate onto the 256-row bucket table — and crossJoin(broadcast(
+    # nsel)) — the one-row selection-quota aggregate onto the ranked doc
+    # frame. Both sides are O(1) scalar frames.
+    "q228_dsir_selection": 4,
     "q26_cosine_topk": 2,
     "q55_ann_ivf": 18,
     "q78_quantized_retrieval": 4,
