@@ -1649,3 +1649,154 @@ def q198_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — PSI drift monitor (population stability index, the standard
+# production-ML input-drift alarm): per event_type, PSI of the `value`
+# distribution between the reference window (first half of the stream's
+# day range) and the current window (second half), over FIXED value bins
+# bin = least(floor(value / 25), 9) with Laplace smoothing across the
+# full 10-bin domain:
+#     PSI = sum_i (q_i - p_i) * ln(q_i / p_i),
+#     p_i = (ref_i + 1)/(n_ref + 10),  q_i = (cur_i + 1)/(n_cur + 10).
+#
+# Determinism: bins are integer floors of exactly-representable
+# divisions (values carry 2 decimals; v/25 only lands on an integer when
+# it is exact in binary); every per-bin PSI term is one double chain
+# from exact integer counts, frozen to BIGINT nano-units before the
+# per-type sum, so summation order cannot move the result. The split
+# day is integer midpoint of min/max epoch days — corpus-derived, no
+# wall clock.
+#
+# Scale shape: one map-side-combinable groupBy over (type, window, bin)
+# — the shuffle carries <= types x 2 x 10 rows of counts regardless of
+# event volume; the bin-domain scaffold is a broadcast-sized explode.
+# --------------------------------------------------------------------------
+Q233_BIN_W = 25.0
+Q233_NBINS = 10
+
+
+def _q233_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+      FROM events
+    ),
+    split AS (
+      SELECT (min(day) + max(day)) // 2 AS mid FROM ev
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN ev.day <= split.mid THEN 'ref' ELSE 'cur' END AS win,
+             least(CAST(floor(value / {Q233_BIN_W}) AS BIGINT),
+                   {Q233_NBINS - 1}) AS bin
+      FROM ev CROSS JOIN split
+    ),
+    cnt AS (
+      SELECT event_type, win, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3
+    ),
+    tots AS (
+      SELECT event_type,
+             sum(CASE WHEN win = 'ref' THEN c ELSE 0 END) AS nr,
+             sum(CASE WHEN win = 'cur' THEN c ELSE 0 END) AS nc
+      FROM cnt GROUP BY 1
+    ),
+    dom AS (
+      SELECT t.event_type, t.nr, t.nc, g.bin
+      FROM tots t, (SELECT unnest(generate_series(0, {Q233_NBINS - 1})) AS bin) g
+    ),
+    terms AS (
+      SELECT d.event_type, d.nr, d.nc,
+             CAST(round(
+               (((coalesce(c2.c, 0) + 1) * 1.0 / (d.nc + {Q233_NBINS}))
+                - ((coalesce(c1.c, 0) + 1) * 1.0 / (d.nr + {Q233_NBINS})))
+               * ln(((coalesce(c2.c, 0) + 1) * 1.0 * (d.nr + {Q233_NBINS}))
+                    / (((coalesce(c1.c, 0) + 1)) * 1.0 * (d.nc + {Q233_NBINS})))
+               * 1000000000, 0) AS BIGINT) AS term_nano
+      FROM dom d
+      LEFT JOIN cnt c1 ON c1.event_type = d.event_type AND c1.bin = d.bin
+                       AND c1.win = 'ref'
+      LEFT JOIN cnt c2 ON c2.event_type = d.event_type AND c2.bin = d.bin
+                       AND c2.win = 'cur'
+    )
+    SELECT event_type,
+           CAST(min(nr) AS BIGINT) AS n_ref,
+           CAST(min(nc) AS BIGINT) AS n_cur,
+           round(sum(term_nano) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY 1
+    """
+
+
+@register("q233_psi_drift", oracle=_q233_oracle())
+def q233_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (F.col("ts_us") / F.lit(_DAY_US)).cast("bigint").alias("day"),
+    )
+    split = ev.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid")
+    )
+    binned = ev.crossJoin(F.broadcast(split)).select(
+        "event_type",
+        F.when(F.col("day") <= F.col("mid"), "ref").otherwise("cur")
+        .alias("win"),
+        F.least(
+            F.floor(F.col("value") / Q233_BIN_W).cast("bigint"),
+            F.lit(Q233_NBINS - 1),
+        ).alias("bin"),
+    )
+    # the count table is <= types x 2 x NBINS rows and feeds THREE
+    # consumers (totals + both window legs) — materialize so the event
+    # scan and the one-row split broadcast run once, not per consumer
+    cnt = materialize(
+        binned.groupBy("event_type", "win", "bin").agg(
+            F.count("*").alias("c")
+        )
+    )
+    tots = cnt.groupBy("event_type").agg(
+        F.sum(F.when(F.col("win") == "ref", F.col("c")).otherwise(0))
+        .alias("nr"),
+        F.sum(F.when(F.col("win") == "cur", F.col("c")).otherwise(0))
+        .alias("nc"),
+    )
+    dom = tots.select(
+        "event_type", "nr", "nc",
+        F.explode(F.sequence(F.lit(0), F.lit(Q233_NBINS - 1))).alias("bin"),
+    )
+    c1 = cnt.filter(F.col("win") == "ref").select(
+        "event_type", "bin", F.col("c").alias("cr")
+    )
+    c2 = cnt.filter(F.col("win") == "cur").select(
+        "event_type", "bin", F.col("c").alias("cc")
+    )
+    j = (
+        dom.join(c1, ["event_type", "bin"], "left")
+        .join(c2, ["event_type", "bin"], "left")
+    )
+    p_ref = (F.coalesce(F.col("cr"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.col("nr") + Q233_NBINS
+    )
+    p_cur = (F.coalesce(F.col("cc"), F.lit(0)) + 1) * F.lit(1.0) / (
+        F.col("nc") + Q233_NBINS
+    )
+    ratio = (
+        (F.coalesce(F.col("cc"), F.lit(0)) + 1)
+        * F.lit(1.0)
+        * (F.col("nr") + Q233_NBINS)
+    ) / (
+        (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+        * F.lit(1.0)
+        * (F.col("nc") + Q233_NBINS)
+    )
+    term_nano = F.round((p_cur - p_ref) * F.log(ratio) * 1e9, 0).cast(
+        "bigint"
+    )
+    terms = j.select("event_type", "nr", "nc", term_nano.alias("term_nano"))
+    return terms.groupBy("event_type").agg(
+        F.min("nr").cast("bigint").alias("n_ref"),
+        F.min("nc").cast("bigint").alias("n_cur"),
+        F.round(F.sum("term_nano") / 1e9, 6).alias("psi"),
+    )

@@ -906,3 +906,148 @@ def q194_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ucb", 4).alias("ucb_score"),
         F.round("realized", 4).alias("realized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q232 — Benjamini-Hochberg FDR control over a metric family (the
+# multiple-testing correction an experimentation platform applies when
+# one A/B test is read across many segments): per (event_type, day-of-
+# week) segment, a Welch-style z statistic between the md5-assigned arms
+# (q187's assignment, so the two queries describe the SAME experiment),
+# then the BH step-up rule at ALPHA: sort p ascending, k* = max k with
+# p_(k) <= k*ALPHA/m, declare ranks <= k* discoveries.
+#
+# Determinism: z is rounded to 4 dp (q187's precedent for float
+# moments); the p-value surrogate p = exp(-|z_rounded|) is a documented
+# MONOTONE FIXTURE standing in for 2*(1-Phi(|z|)) — neither engine has a
+# portable normal CDF, and BH only consumes the ORDER of the p-values
+# plus a threshold compare, both of which the surrogate preserves
+# (the mechanism is real, the tail shape is a fixture — q110's
+# fixture-weight precedent). p is rounded to 6 dp BEFORE ranking and
+# thresholding, with (event_type, dow) tie-breaks.
+#
+# Scale shape: one groupBy over (segment, arm) — map-side combinable —
+# then the m-row segment table ranks in one window and joins the
+# one-row k* aggregate by broadcast. m is the segment-family size
+# (bounded by design), never the event count.
+# --------------------------------------------------------------------------
+Q232_ALPHA = 0.10
+Q232_MIN_N = 2
+
+
+def _q232_oracle() -> str:
+    return f"""
+    WITH seg AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS dow,
+             {_ARM_SQL} AS arm,
+             value
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, dow, arm, count(*) AS n, avg(value) AS mean,
+             sum(value * value) / count(*) - avg(value) * avg(value) AS v
+      FROM seg GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT event_type, dow,
+             max(CASE WHEN arm = 'control' THEN n END) AS nc,
+             max(CASE WHEN arm = 'control' THEN mean END) AS mc,
+             max(CASE WHEN arm = 'control' THEN v END) AS vc,
+             max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
+             max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
+             max(CASE WHEN arm = 'treatment' THEN v END) AS vt
+      FROM stats GROUP BY 1, 2
+      HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2
+    ),
+    zt AS (
+      SELECT event_type, dow,
+             CAST(nc AS BIGINT) AS n_control,
+             CAST(nt AS BIGINT) AS n_treatment,
+             round((mt - mc) / sqrt(vc / nc + vt / nt), 4) AS z_stat
+      FROM wide
+    ),
+    pt AS (
+      SELECT *, round(exp(-abs(z_stat)), 6) AS p_value FROM zt
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_value, event_type, dow) AS rn,
+             count(*) OVER () AS m
+      FROM pt
+    ),
+    kstar AS (
+      SELECT coalesce(max(rn), 0) AS k FROM rk
+      WHERE p_value <= rn * {Q232_ALPHA} / m
+    )
+    SELECT rk.event_type, rk.dow, rk.n_control, rk.n_treatment,
+           rk.z_stat, rk.p_value, rk.rn, rk.rn <= kstar.k AS discovery
+    FROM rk CROSS JOIN kstar
+    """
+
+
+@register("q232_fdr_bh", oracle=_q232_oracle())
+def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seg = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint") % 7)
+        .alias("dow"),
+        _arm().alias("arm"),
+        "value",
+    )
+    stats = seg.groupBy("event_type", "dow", "arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        (
+            F.sum(F.col("value") * F.col("value")) / F.count("*")
+            - F.avg("value") * F.avg("value")
+        ).alias("v"),
+    )
+
+    def pick(col: str, arm: str):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = (
+        stats.groupBy("event_type", "dow")
+        .agg(
+            pick("n", "control").alias("nc"),
+            pick("mean", "control").alias("mc"),
+            pick("v", "control").alias("vc"),
+            pick("n", "treatment").alias("nt"),
+            pick("mean", "treatment").alias("mt"),
+            pick("v", "treatment").alias("vt"),
+            F.min("n").alias("minn"),
+            F.count("*").alias("narm"),
+        )
+        .filter((F.col("minn") >= Q232_MIN_N) & (F.col("narm") == 2))
+    )
+    zt = wide.select(
+        "event_type",
+        "dow",
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.col("nt").cast("bigint").alias("n_treatment"),
+        F.round(
+            (F.col("mt") - F.col("mc"))
+            / F.sqrt(F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")),
+            4,
+        ).alias("z_stat"),
+    )
+    pt = zt.withColumn("p_value", F.round(F.exp(-F.abs(F.col("z_stat"))), 6))
+    w = Window.orderBy(F.asc("p_value"), F.asc("event_type"), F.asc("dow"))
+    rk = pt.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count("*").over(Window.partitionBy())
+    )
+    kstar = rk.filter(
+        F.col("p_value") <= F.col("rn") * Q232_ALPHA / F.col("m")
+    ).agg(F.coalesce(F.max("rn"), F.lit(0)).alias("k"))
+    return rk.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "dow",
+        "n_control",
+        "n_treatment",
+        "z_stat",
+        "p_value",
+        "rn",
+        (F.col("rn") <= F.col("k")).alias("discovery"),
+    )

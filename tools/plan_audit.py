@@ -117,6 +117,14 @@ BNLJ_WHITELIST = {
     # crossJoined against the corpus for the exact-top-K ground truth —
     # the eval tier the docstring caps at Q226_NQ.
     "q226_pq_recall_eval": 2,
+    # q232 BH-FDR: crossJoin(broadcast(kstar)) — the one-row step-up
+    # cutoff aggregate onto the m-row segment table.
+    "q232_fdr_bh": 2,
+    # q233 PSI: crossJoin(broadcast(split)) — the one-row integer
+    # midpoint-day aggregate onto the event stream; the no-barrier view
+    # unrolls the materialized count table through its three consumers,
+    # so the ONE executed broadcast appears 6x in the audited plan.
+    "q233_psi_drift": 6,
     # q228 DSIR: crossJoin(broadcast(tots)) — the ONE-ROW feature-total
     # aggregate onto the 256-row bucket table — and crossJoin(broadcast(
     # nsel)) — the one-row selection-quota aggregate onto the ranked doc
