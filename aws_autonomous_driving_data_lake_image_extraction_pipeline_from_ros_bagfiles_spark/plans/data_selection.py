@@ -562,13 +562,19 @@ def q230_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in cents
             ]
             dmin = F.least(*dists) if len(dists) > 1 else dists[0]
-            nxt = (
+            rows = (
                 ex.withColumn("dmin", dmin)
                 .filter(F.col("dmin") > 0)
                 .orderBy(F.desc("dmin"), F.asc("vec_id"))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not rows:
+                # fewer than T distinct points: the oracle's c{t} CTE is
+                # empty from here on and contributes no UNION rows —
+                # stop with the same shorter selection
+                break
+            nxt = rows[0]
             selected.append((t, int(nxt["vec_id"]), int(nxt["dmin"])))
             cents.append(list(nxt["embedding"]))
     finally:

@@ -185,3 +185,33 @@ def test_psi_zero_for_identical_windows(spark):
     for r in out.values():
         assert r["psi"] is not None and r["psi"] >= -1e-6
         assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+def test_kcenter_stops_on_degenerate_corpus(spark, tmp_path):
+    # 3 distinct points (plus exact duplicates): the greedy loop must
+    # stop after 3 selections — mirroring the oracle, whose c{t} CTEs
+    # go empty once no positive-distance candidate remains.
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.data_selection import (
+        q230_kcenter_coreset,
+    )
+
+    def pad(v):
+        return v + [0.0] * 62
+
+    rows = [
+        (1, pad([0.0, 0.0])),
+        (2, pad([0.0, 0.0])),
+        (3, pad([1.0, 0.0])),
+        (4, pad([1.0, 0.0])),
+        (5, pad([0.0, 1.0])),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(0))
+    emb.write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = sorted(
+        q230_kcenter_coreset(spark, str(tmp_path)).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert len(out) == 3
+    assert len({r["vec_id"] for r in out}) == 3
