@@ -198,13 +198,20 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
 
 @register("q227_winnowing_fingerprints", oracle=_q227_oracle())
 def q227_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import materialize
+
     docs = load(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs)
+    # fps feeds its own DF table AND the cap join; keep feeds the size
+    # table and both pair-join sides — without the pins the tokenize +
+    # md5 + double-window winnowing subtree re-executes once per
+    # consumer (~8 corpus passes; round-9 review). Both frames are the
+    # winnowed fingerprint set: ~2/(W+1) of the gram stream.
+    fps = materialize(winnowing_fingerprints(docs))
     # document-frequency cap: fingerprints shared by more than DF_CAP
     # docs are boilerplate (the MOSS "too common" suppression) — this is
     # also the scale bound on the pair join's per-key fan-out
     df_tab = fps.groupBy("fp_h").agg(F.count("*").alias("nd"))
-    keep = (
+    keep = materialize(
         fps.join(df_tab, "fp_h").filter(F.col("nd") <= Q227_DF_CAP)
         .select("doc_id", "fp_h")
     )
@@ -323,14 +330,23 @@ def q228_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             % Q228_BUCKETS
         ).alias("b"),
     )
-    tgt_flag = (F.col("lang") == Q228_TARGET_LANG).cast("long")
-    # one pass over the feature stream produces raw AND target counts per
-    # bucket plus the grand totals (map-side combinable)
-    cnts = fb.groupBy("b").agg(
-        F.count("*").alias("cr"), F.sum(tgt_flag).alias("ct")
+    from .registry import materialize
+
+    # ONE pass over the hashed feature stream: the (doc, lang, bucket)
+    # count table is materialized and every downstream table — bucket
+    # counts, grand totals, per-doc weights — derives from it by exact
+    # integer aggregation (the same values the oracle computes from the
+    # stream). Without the pin fb's explode+md5 ran once per consumer
+    # (round-9 review).
+    db2 = materialize(
+        fb.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n"))
     )
-    tots = fb.agg(
-        F.count("*").alias("tr"), F.sum(tgt_flag).alias("tt")
+    tgt_n = F.when(F.col("lang") == Q228_TARGET_LANG, F.col("n")).otherwise(0)
+    cnts = db2.groupBy("b").agg(
+        F.sum("n").alias("cr"), F.sum(tgt_n).alias("ct")
+    )
+    tots = cnts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     lr = cnts.crossJoin(F.broadcast(tots)).select(
         "b",
@@ -349,7 +365,7 @@ def q228_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lrm"),
     )
-    db = fb.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    db = db2.select("doc_id", "b", "n")
     # the model is B=256 rows — broadcast onto the per-doc bucket counts
     wts = (
         db.join(F.broadcast(lr), "b")
@@ -619,8 +635,8 @@ def _q231_oracle() -> str:
              WHERE source IN ({refs}) GROUP BY 1, 2, 3),
     sc AS (
       SELECT b.doc_id, b.lang,
-             ln({lam} * coalesce(rb.cb * 1.0 / u1.cu, 0)
-                + {1.0 - lam} * (coalesce(u2.cu, 0) + 1)
+             ln(CAST({lam} AS DOUBLE) * coalesce(rb.cb * 1.0 / u1.cu, 0)
+                + CAST({1.0 - lam} AS DOUBLE) * (coalesce(u2.cu, 0) + 1)
                   / (coalesce(rt.nt, 0) + coalesce(rt.v, 0) + 1)) AS lp
       FROM bgf b
       LEFT JOIN rbig rb ON rb.lang = b.lang AND rb.w1 = b.w1 AND rb.w2 = b.w2
@@ -661,17 +677,25 @@ def q231_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "lang", "source", F.col("t").alias("w1"), "w2")
     )
+    from .registry import materialize
+
     ref = F.col("source").isin(*Q231_REF_SOURCES)
-    runi = (
+    # the unigram model feeds THREE consumers (both scoring legs + the
+    # totals) — materialize it so the reference token scan runs once;
+    # totals derive from the model table by exact integer aggregation
+    # (sum of counts = token count, row count = distinct tokens), the
+    # same values the oracle computes from the stream
+    runi = materialize(
         tok.filter(ref)
         .groupBy("lang", F.col("t").alias("w"))
         .agg(F.count("*").alias("cu"))
     )
-    rtot = (
-        tok.filter(ref)
-        .groupBy("lang")
-        .agg(F.count("*").alias("nt"), F.countDistinct("t").alias("v"))
+    rtot = runi.groupBy("lang").agg(
+        F.sum("cu").alias("nt"), F.count("*").alias("v")
     )
+    # bgf feeds the reference bigram counts AND the scoring stream —
+    # materialize so the doc scan + lead() window run once per query
+    bgf = materialize(bgf)
     rbig = (
         bgf.filter(ref)
         .groupBy("lang", "w1", "w2")
@@ -688,6 +712,16 @@ def q231_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         )
     )
+    # Float adjudication (round-9 review, MEASURED): the oracle casts
+    # both interpolation literals to DOUBLE explicitly — DuckDB
+    # otherwise evaluates them in decimal and ~15% of per-term lp values
+    # drift by 1 ulp. Per-term INTEGER freezing (round(lp*1e6) micros)
+    # was tried and is strictly WORSE here: libm vs JVM ln() disagree by
+    # enough that one term in the 272k at sf0.1 flipped across a .5e-6
+    # boundary (hash-gate failure), while the 6-dp ROUNDED AVERAGE
+    # tolerates per-term noise up to ~5e-7 against summation-order
+    # error of ~1e-15. The tercile rank consumes the rounded average
+    # with a doc_id tie-break, so it inherits that stability.
     sc = (
         bgf.join(rbig, ["lang", "w1", "w2"], "left")
         .join(

@@ -923,8 +923,15 @@ def q194_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable normal CDF, and BH only consumes the ORDER of the p-values
 # plus a threshold compare, both of which the surrogate preserves
 # (the mechanism is real, the tail shape is a fixture — q110's
-# fixture-weight precedent). p is rounded to 6 dp BEFORE ranking and
-# thresholding, with (event_type, dow) tie-breaks.
+# fixture-weight precedent). p is frozen to BIGINT MICROS before
+# ranking, and the step-up compare runs entirely in integers
+# (p_micros * m <= rn * ALPHA_MICROS): DuckDB evaluates rn*0.1/m in
+# decimal-exact arithmetic while Spark does two double roundings, so a
+# float-form threshold can flip a boundary segment between engines
+# (round-9 review). Zero-variance segments (all-identical values in an
+# arm) are excluded by an exact integer count-distinct >= 2 per arm —
+# their z would be a division by zero whose NULL sorts first on Spark
+# but last on DuckDB, shifting every BH rank.
 #
 # Scale shape: one groupBy over (segment, arm) — map-side combinable —
 # then the m-row segment table ranks in one window and joins the
@@ -932,6 +939,7 @@ def q194_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bounded by design), never the event count.
 # --------------------------------------------------------------------------
 Q232_ALPHA = 0.10
+Q232_ALPHA_MICROS = 100_000  # ALPHA in the integer step-up compare
 Q232_MIN_N = 2
 
 
@@ -945,7 +953,8 @@ def _q232_oracle() -> str:
       FROM events
     ),
     stats AS (
-      SELECT event_type, dow, arm, count(*) AS n, avg(value) AS mean,
+      SELECT event_type, dow, arm, count(*) AS n,
+             count(DISTINCT value) AS nd, avg(value) AS mean,
              sum(value * value) / count(*) - avg(value) * avg(value) AS v
       FROM seg GROUP BY 1, 2, 3
     ),
@@ -958,7 +967,7 @@ def _q232_oracle() -> str:
              max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
              max(CASE WHEN arm = 'treatment' THEN v END) AS vt
       FROM stats GROUP BY 1, 2
-      HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2
+      HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2 AND min(nd) >= 2
     ),
     zt AS (
       SELECT event_type, dow,
@@ -968,20 +977,23 @@ def _q232_oracle() -> str:
       FROM wide
     ),
     pt AS (
-      SELECT *, round(exp(-abs(z_stat)), 6) AS p_value FROM zt
+      SELECT *, CAST(round(exp(-abs(z_stat)) * 1000000, 0) AS BIGINT)
+                AS p_micros
+      FROM zt
     ),
     rk AS (
       SELECT *,
-             row_number() OVER (ORDER BY p_value, event_type, dow) AS rn,
+             row_number() OVER (ORDER BY p_micros, event_type, dow) AS rn,
              count(*) OVER () AS m
       FROM pt
     ),
     kstar AS (
       SELECT coalesce(max(rn), 0) AS k FROM rk
-      WHERE p_value <= rn * {Q232_ALPHA} / m
+      WHERE p_micros * m <= rn * {Q232_ALPHA_MICROS}
     )
     SELECT rk.event_type, rk.dow, rk.n_control, rk.n_treatment,
-           rk.z_stat, rk.p_value, rk.rn, rk.rn <= kstar.k AS discovery
+           rk.z_stat, round(rk.p_micros / 1000000.0, 6) AS p_value,
+           rk.rn, rk.rn <= kstar.k AS discovery
     FROM rk CROSS JOIN kstar
     """
 
@@ -998,6 +1010,7 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = seg.groupBy("event_type", "dow", "arm").agg(
         F.count("*").alias("n"),
+        F.countDistinct("value").alias("nd"),
         F.avg("value").alias("mean"),
         (
             F.sum(F.col("value") * F.col("value")) / F.count("*")
@@ -1018,9 +1031,14 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick("mean", "treatment").alias("mt"),
             pick("v", "treatment").alias("vt"),
             F.min("n").alias("minn"),
+            F.min("nd").alias("minnd"),
             F.count("*").alias("narm"),
         )
-        .filter((F.col("minn") >= Q232_MIN_N) & (F.col("narm") == 2))
+        .filter(
+            (F.col("minn") >= Q232_MIN_N)
+            & (F.col("narm") == 2)
+            & (F.col("minnd") >= 2)
+        )
     )
     zt = wide.select(
         "event_type",
@@ -1033,13 +1051,17 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
-    pt = zt.withColumn("p_value", F.round(F.exp(-F.abs(F.col("z_stat"))), 6))
-    w = Window.orderBy(F.asc("p_value"), F.asc("event_type"), F.asc("dow"))
+    pt = zt.withColumn(
+        "p_micros",
+        F.round(F.exp(-F.abs(F.col("z_stat"))) * 1000000, 0).cast("bigint"),
+    )
+    w = Window.orderBy(F.asc("p_micros"), F.asc("event_type"), F.asc("dow"))
     rk = pt.withColumn("rn", F.row_number().over(w)).withColumn(
         "m", F.count("*").over(Window.partitionBy())
     )
+    # integer step-up compare — see the determinism note above
     kstar = rk.filter(
-        F.col("p_value") <= F.col("rn") * Q232_ALPHA / F.col("m")
+        F.col("p_micros") * F.col("m") <= F.col("rn") * Q232_ALPHA_MICROS
     ).agg(F.coalesce(F.max("rn"), F.lit(0)).alias("k"))
     return rk.crossJoin(F.broadcast(kstar)).select(
         "event_type",
@@ -1047,7 +1069,7 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_control",
         "n_treatment",
         "z_stat",
-        "p_value",
+        F.round(F.col("p_micros") / 1000000.0, 6).alias("p_value"),
         "rn",
         (F.col("rn") <= F.col("k")).alias("discovery"),
     )

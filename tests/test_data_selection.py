@@ -160,9 +160,10 @@ def test_bh_step_up_properties(spark):
     flags = [r["discovery"] for r in rows]
     k = sum(flags)
     assert flags == [True] * k + [False] * (m - k)
-    # every discovered rank satisfies the BH condition at k*
+    # every discovered rank satisfies the BH condition at k* — checked
+    # in the same integer form the query uses (p is exact micros)
     if k:
-        assert rows[k - 1]["p_value"] <= k * Q232_ALPHA / m
+        assert round(rows[k - 1]["p_value"] * 1_000_000) * m <= k * 100_000
     # p-values arrive sorted by rank
     ps = [r["p_value"] for r in rows]
     assert ps == sorted(ps)
@@ -171,20 +172,64 @@ def test_bh_step_up_properties(spark):
 # ---------------------------------------------------------------- q233
 
 
-def test_psi_zero_for_identical_windows(spark):
-    # PSI of a distribution against itself is exactly 0 under the
-    # smoothed estimator when both windows hold identical bin counts.
+def test_psi_zero_for_identical_windows(spark, tmp_path):
+    # PSI of a distribution against itself is EXACTLY 0 under the
+    # smoothed estimator: craft a stream whose ref and cur halves hold
+    # identical value multisets, so every bin ratio is 1 and every
+    # ln-term is 0 before quantization — any symmetry break in the
+    # estimator (e.g. swapped nr/nc in one leg) turns this nonzero.
+    import datetime
+
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
         q233_psi_drift,
     )
 
-    out = {r["event_type"]: r for r in q233_psi_drift(spark, SF_DIR).collect()}
-    # the real stream drifts little between halves: PSI must be small,
-    # non-negative up to term rounding, and defined for every type
-    assert set(out) == {"click", "view", "purchase", "signup", "error"}
-    for r in out.values():
-        assert r["psi"] is not None and r["psi"] >= -1e-6
-        assert r["n_ref"] > 0 and r["n_cur"] > 0
+    vals = [3.0, 27.5, 51.0, 51.0, 240.0, 9.99]
+    rows = []
+    eid = 0
+    for day, base in ((1, datetime.datetime(2024, 1, 1)),
+                      (11, datetime.datetime(2024, 1, 11))):
+        for v in vals:
+            eid += 1
+            rows.append((eid, base, eid, "click", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    out = q233_psi_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["psi"] == 0.0
+    assert r["n_ref"] == len(vals) and r["n_cur"] == len(vals)
+
+
+def test_psi_detects_shift(spark, tmp_path):
+    # moving the current window's mass into a different bin must yield
+    # a strictly positive PSI
+    import datetime
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
+        q233_psi_drift,
+    )
+
+    rows = []
+    eid = 0
+    for v in [3.0] * 6:
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 1), eid, "click", v, "{}"))
+    for v in [240.0] * 6:
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 11), eid, "click", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    out = q233_psi_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["psi"] > 1.0
 
 
 def test_kcenter_stops_on_degenerate_corpus(spark, tmp_path):
