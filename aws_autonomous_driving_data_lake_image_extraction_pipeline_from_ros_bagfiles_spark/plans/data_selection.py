@@ -556,45 +556,58 @@ def _q230_oracle() -> str:
 def q230_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_ivf import _assert_quant_domain, int_sq_dist
 
+    from .registry import materialize
+
     base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _assert_quant_domain(base, "embedding")
-    # one cached projection serves all T linear passes
     ex = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
-    ex = ex.persist()
-    try:
-        first = (
-            ex.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]  # 1 row — the only driver transfer per round
+    first = (
+        ex.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]  # 1 row — the only driver transfer per round
+    )
+    selected = [(1, int(first["vec_id"]), None)]
+
+    def lit_vec(c: list) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    # cur carries the RUNNING min distance as a materialized column, so
+    # round t evaluates exactly ONE new literal-centroid distance
+    # (least(dmin, dist(new))) instead of re-codegening all t-1 — the
+    # q184 lesson: literal-array codegen compile cost per pass grows
+    # with the number of embedded centroids (measured here: 95.8 s ->
+    # ~16 s for T=8 at sf10). Each barrier stores N bounded rows.
+    cur = materialize(
+        ex.withColumn(
+            "dmin", int_sq_dist(F.col("embedding"), lit_vec(list(first["embedding"])))
         )
-        selected = [(1, int(first["vec_id"]), None)]
-        cents = [list(first["embedding"])]
-        for t in range(2, Q230_T + 1):
-            dists = [
-                int_sq_dist(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in c]),
+    )
+    for t in range(2, Q230_T + 1):
+        rows = (
+            cur.filter(F.col("dmin") > 0)
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            # fewer than T distinct points: the oracle's c{t} CTE is
+            # empty from here on and contributes no UNION rows —
+            # stop with the same shorter selection
+            break
+        nxt = rows[0]
+        selected.append((t, int(nxt["vec_id"]), int(nxt["dmin"])))
+        if t < Q230_T:
+            cur = materialize(
+                cur.withColumn(
+                    "dmin",
+                    F.least(
+                        F.col("dmin"),
+                        int_sq_dist(
+                            F.col("embedding"), lit_vec(list(nxt["embedding"]))
+                        ),
+                    ),
                 )
-                for c in cents
-            ]
-            dmin = F.least(*dists) if len(dists) > 1 else dists[0]
-            rows = (
-                ex.withColumn("dmin", dmin)
-                .filter(F.col("dmin") > 0)
-                .orderBy(F.desc("dmin"), F.asc("vec_id"))
-                .limit(1)
-                .collect()
             )
-            if not rows:
-                # fewer than T distinct points: the oracle's c{t} CTE is
-                # empty from here on and contributes no UNION rows —
-                # stop with the same shorter selection
-                break
-            nxt = rows[0]
-            selected.append((t, int(nxt["vec_id"]), int(nxt["dmin"])))
-            cents.append(list(nxt["embedding"]))
-    finally:
-        ex.unpersist()
     return base.sparkSession.createDataFrame(
         selected, "sel_order INT, vec_id BIGINT, dist_q BIGINT"
     )
