@@ -110,7 +110,7 @@ def connected_components(
         new = truncate_lineage(
             _small_star(_large_star(cur)), checkpoint_dir, eager=False
         )
-        st = (
+        stf = (
             new.join(
                 cur.withColumn("__old", F.lit(1)), ["u", "v"], "left"
             )
@@ -118,8 +118,14 @@ def connected_components(
                 F.count("*").alias("n"),
                 F.count(F.when(F.col("__old").isNull(), 1)).alias("fresh"),
             )
-            .first()
         )
+        # expose this round's real plan (large-star/small-star shuffles +
+        # the convergence aggregate) to the plan audit — the loop's
+        # checkpoints hide it from the registry-level explain (VERDICT r9)
+        from ..plans.registry import audit_round
+
+        audit_round("connected_components:round", stf)
+        st = stf.first()
         n_new = st["n"]
         if st["fresh"] == 0 and n_new == n_cur:
             converged = True
@@ -203,11 +209,16 @@ def family_pairs(
         if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
         docs = load(spark, sf_dir, "documents")
-        pairs = (
-            DD.minhash_lsh_pairs(docs, threshold=threshold, max_bucket_size=cap)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
-        )
+        from ..plans.registry import audit_round
+
+        gen = DD.minhash_lsh_pairs(
+            docs, threshold=threshold, max_bucket_size=cap
+        ).select("id_a", "id_b")
+        # the pair-gen plan is hidden behind this checkpoint from every
+        # family member's registry-level explain — capture it for the
+        # plan audit (whichever member builds the stage carries it)
+        audit_round("family_pairs:gen", gen)
+        pairs = gen.localCheckpoint(eager=True)
         DD.release_caches()
         _FAMILY_CACHE[key] = pairs
     return _FAMILY_CACHE[key]
@@ -225,8 +236,12 @@ def family_components(
     if key not in _FAMILY_CACHE:
         if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
-        comp = connected_components(
+        from ..plans.registry import audit_round
+
+        comp0 = connected_components(
             family_pairs(spark, sf_dir, threshold, cap)
-        ).localCheckpoint(eager=True)
+        )
+        audit_round("family_components:final_join", comp0)
+        comp = comp0.localCheckpoint(eager=True)
         _FAMILY_CACHE[key] = comp
     return _FAMILY_CACHE[key]

@@ -94,5 +94,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # expose the round's plan (contrib join + rank update) to the
+        # plan audit before the checkpoint hides it (VERDICT r9)
+        from ..plans.registry import audit_round
+
+        audit_round("pagerank:round", ranks)
         ranks = truncate_lineage(ranks, checkpoint_dir, eager=_eager)
     return ranks

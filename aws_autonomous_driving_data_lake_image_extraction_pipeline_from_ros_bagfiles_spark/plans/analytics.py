@@ -656,6 +656,12 @@ def q114_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     g = gram_matrix(emb)
+    from .registry import audit_round
+
+    # the corpus-pass gram plan is consumed by a driver collect (bounded
+    # d^2 rows) and never reaches the registry-level explain — capture it
+    # for the plan audit (VERDICT r9)
+    audit_round("q114:gram_pass", g)
     v = power_iteration(
         [(r["i"], r["j"], r["g"]) for r in g.collect()], Q114_DIM, Q114_ITERS
     )

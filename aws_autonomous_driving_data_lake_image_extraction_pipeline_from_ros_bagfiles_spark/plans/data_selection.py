@@ -42,9 +42,16 @@ Scale shapes (100 TB discipline):
   doc_id, bounded by document length); the pair join is capped by
   Q227_DF_CAP — fingerprints shared by more than that many documents
   are suppressed as boilerplate (the standard MOSS "too common" rule),
-  so join fan-out per fingerprint is bounded.
+  so join fan-out per fingerprint is bounded. The DEFAULT output is the
+  per-doc aggregate (doc-linear — VERDICT r9 #4: the pair LISTING was
+  output-bound at 75M rows / 160 s at sf10 with organic dup mass);
+  q234 keeps the full pair listing as the opt-in variant.
 - q228: one token-stream shuffle per feature grain (map-side
-  combinable); the bucket model is B=256 rows — broadcast.
+  combinable); the bucket model is B=256 rows — broadcast. The
+  top-fraction selection finds the exact k-th boundary row via an
+  approx-quantile bracket + a window over only the O(e*n) band, then
+  flags rows with a per-row literal comparison — no global single-task
+  window, no join (round-9 ADVICE).
 - q229: the edge build is q168's corpus-scaled LSH + verify; each LPA
   round is one groupBy on the vote key + one window argmax, rounds are
   a fixed constant (3).
@@ -85,7 +92,11 @@ Q227_W = 5  # grams per window
 Q227_DF_CAP = 50  # suppress fingerprints shared by more docs (boilerplate)
 
 
-def _q227_oracle() -> str:
+def _q227_ctes() -> str:
+    """Shared oracle prefix: documents -> winnowed fingerprints ->
+    DF-capped keep set + per-doc fingerprint counts. Used by both the
+    default per-doc aggregate (q227) and the opt-in pair listing
+    (q234)."""
     return f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos,
@@ -122,7 +133,49 @@ def _q227_oracle() -> str:
       SELECT f.doc_id, f.fp_h FROM fps f JOIN df USING (fp_h)
       WHERE df.nd <= {Q227_DF_CAP}
     ),
-    sizes AS (SELECT doc_id, count(*) AS nf FROM keep GROUP BY 1),
+    sizes AS (SELECT doc_id, count(*) AS nf FROM keep GROUP BY 1)"""
+
+
+def _q227_oracle() -> str:
+    """Per-doc overlap AGGREGATE (the scale-safe default, VERDICT r9
+    #4): doc-linear output instead of the pair listing the same join
+    would otherwise emit (75M rows at sf10). Partner ranking is on
+    integers (shared_fps DESC, partner ASC); best_overlap is the chosen
+    pair's rounded ratio, display-only."""
+    return f"""{_q227_ctes()},
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM keep a JOIN keep b ON a.fp_h = b.fp_h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    pstat AS (
+      SELECT pr.doc_a, pr.doc_b, pr.shared_fps,
+             round(pr.shared_fps / least(sa.nf, sb.nf), 6) AS overlap,
+             CAST(count(*) OVER (PARTITION BY pr.doc_a) AS BIGINT)
+               AS n_partners,
+             max(pr.shared_fps) OVER (PARTITION BY pr.doc_a) AS max_shared,
+             row_number() OVER (PARTITION BY pr.doc_a
+                                ORDER BY pr.shared_fps DESC, pr.doc_b) AS rn
+      FROM pr
+      JOIN sizes sa ON sa.doc_id = pr.doc_a
+      JOIN sizes sb ON sb.doc_id = pr.doc_b
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_partners, 0) AS BIGINT) AS n_partners,
+           p.max_shared AS max_shared,
+           p.doc_b AS best_partner,
+           p.overlap AS best_overlap
+    FROM documents d
+    LEFT JOIN (SELECT * FROM pstat WHERE rn = 1) p ON p.doc_a = d.doc_id
+    """
+
+
+def _q234_oracle() -> str:
+    """The full pair LISTING — opt-in variant of q227 for consumers that
+    need every overlapping pair (MOSS-style reports). Output-bound by
+    the organic duplicate mass; q227's aggregate is the default."""
+    return f"""{_q227_ctes()},
     pr AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS shared_fps
@@ -196,8 +249,10 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("q227_winnowing_fingerprints", oracle=_q227_oracle())
-def q227_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnowed_keep(spark: SparkSession, sf_dir: str):
+    """(docs, keep, sizes): winnowed fingerprints with the MOSS
+    "too common" DF-cap applied, plus per-doc kept-fingerprint counts.
+    Shared by q227 (per-doc aggregate) and q234 (pair listing)."""
     from .registry import materialize
 
     docs = load(spark, sf_dir, "documents")
@@ -216,6 +271,77 @@ def q227_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp_h")
     )
     sizes = keep.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    return docs, keep, sizes
+
+
+@register("q227_winnowing_fingerprints", oracle=_q227_oracle())
+def q227_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing overlap AGGREGATE (scale-safe default, VERDICT
+    r9 #4): n_partners / max_shared / best partner per document —
+    doc-linear output, so the query stays report-sized even when the
+    corpus is mostly duplicates (the pair LISTING of the same join is
+    q234, opt-in: 75M rows at sf10). The pair stream still flows through
+    the DF-capped fingerprint join, but every window below partitions by
+    doc — no global ordering anywhere."""
+    docs, keep, sizes = _winnowed_keep(spark, sf_dir)
+    a = keep.select(F.col("doc_id").alias("doc_a"), "fp_h")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "fp_h")
+    pr = (
+        a.join(b, "fp_h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    wp = Window.partitionBy("doc_a")
+    wo = Window.partitionBy("doc_a").orderBy(
+        F.desc("shared_fps"), F.asc("doc_b")
+    )
+    pstat = (
+        pr.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                             F.col("nf").alias("nfa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("nf").alias("nfb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("nfa", "nfb"), 6
+            ).alias("overlap"),
+        )
+        .withColumn("n_partners", F.count("*").over(wp))
+        .withColumn("max_shared", F.max("shared_fps").over(wp))
+        .withColumn("rn", F.row_number().over(wo))
+    )
+    best = pstat.filter(F.col("rn") == 1).select(
+        "doc_a", "n_partners", "max_shared",
+        F.col("doc_b").alias("best_partner"),
+        F.col("overlap").alias("best_overlap"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, docs.doc_id == best.doc_a, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_partners", F.lit(0)).cast("bigint")
+            .alias("n_partners"),
+            "max_shared",
+            "best_partner",
+            "best_overlap",
+        )
+    )
+
+
+@register("q234_winnowing_overlap_pairs", oracle=_q234_oracle())
+def q234_winnowing_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full overlap-pair LISTING (opt-in variant of q227): every doc
+    pair sharing a kept fingerprint, with the shared count and the
+    containment-style overlap ratio. Output-bound by the corpus's
+    organic duplicate mass (75M rows at sf10) — run q227's per-doc
+    aggregate unless the report genuinely needs each pair."""
+    _docs, keep, sizes = _winnowed_keep(spark, sf_dir)
     a = keep.select(F.col("doc_id").alias("doc_a"), "fp_h")
     b = keep.select(F.col("doc_id").alias("doc_b"), "fp_h")
     pr = (
@@ -367,22 +493,79 @@ def q228_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     db = db2.select("doc_id", "b", "n")
     # the model is B=256 rows — broadcast onto the per-doc bucket counts
-    wts = (
+    wts = materialize(
         db.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("lrm")).alias("wm"))
     )
-    nsel = docs.agg(
-        F.ceil(F.count("*") * Q228_KEEP_FRAC).cast("bigint").alias("k")
-    )
-    rk = wts.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.desc("wm"), F.asc("doc_id"))),
-    )
-    return rk.crossJoin(F.broadcast(nsel)).select(
+    # Top-fraction selection WITHOUT a global single-task window (round-9
+    # ADVICE): k is corpus-scaled (25% of docs), so a
+    # row_number().over(Window.orderBy(...)) would funnel the whole
+    # weight frame through one task. Instead find the exact k-th
+    # (wm DESC, doc_id ASC) boundary row via an approx-quantile bracket:
+    #   1. approxQuantile gives [p_lo, p_hi] whose ranks provably
+    #      bracket the k-th largest wm (rank error <= e*n per side, and
+    #      we ask 3e beyond the target quantile on each side);
+    #   2. n_above = exact count of wm > p_hi (all selected);
+    #   3. the boundary row is rank (k - n_above) inside the band
+    #      [p_lo, p_hi] — a window over only O(e*n) ~ thousands of rows;
+    #   4. selected = (wm, doc_id) lexicographically >= boundary —
+    #      a pure per-row comparison against two broadcast literals, no
+    #      join, no global sort.
+    # The selection set is bit-identical to the oracle's global
+    # row_number ranking (same wm DESC, doc_id ASC tie-break).
+    import math
+
+    n = wts.count()
+    k = int(math.ceil(n * Q228_KEEP_FRAC))
+    selected = F.lit(False)
+    if n > 0 and k > 0:
+        e = max(1e-4, min(0.01, 2000.0 / n))
+        q = (n - k) / n
+        p_lo, p_hi = wts.stat.approxQuantile(
+            "wm", [max(0.0, q - 3.0 * e), min(1.0, q + 3.0 * e)], e
+        )
+        n_above = wts.filter(F.col("wm") > p_hi).count()
+        boundary = None
+        if n_above == k:
+            # the k-th row is the smallest of the strictly-above set
+            selected, boundary = F.col("wm") > F.lit(p_hi), ()
+        elif n_above < k:
+            band = wts.filter(
+                (F.col("wm") >= p_lo) & (F.col("wm") <= p_hi)
+            )
+            wb = Window.orderBy(F.desc("wm"), F.asc("doc_id"))
+            bf = (
+                band.withColumn("rn_b", F.row_number().over(wb))
+                .filter(F.col("rn_b") == k - n_above)
+                .select("wm", "doc_id")
+            )
+            from .registry import audit_round
+
+            audit_round("q228:boundary_probe", bf)
+            brow = bf.collect()
+            if brow:
+                bw, bd = brow[0]["wm"], brow[0]["doc_id"]
+                selected = (F.col("wm") > F.lit(bw)) | (
+                    (F.col("wm") == F.lit(bw)) & (F.col("doc_id") <= F.lit(bd))
+                )
+                boundary = (bw, bd)
+        if boundary is None:
+            # approx-quantile bracket failed to cover rank k (outside the
+            # GK guarantee — defensive only): fall back to the exact
+            # global ranking
+            rk = wts.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.desc("wm"), F.asc("doc_id"))
+                ),
+            )
+            selected = F.col("rn") <= F.lit(k)
+            wts = rk
+    return wts.select(
         "doc_id",
         F.round(F.col("wm") / 1000000.0, 6).alias("weight"),
-        (F.col("rn") <= F.col("k")).alias("selected"),
+        selected.alias("selected"),
     )
 
 
@@ -561,11 +744,13 @@ def q230_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _assert_quant_domain(base, "embedding")
     ex = base.repartition(base.sparkSession.sparkContext.defaultParallelism)
-    first = (
-        ex.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
-        .limit(1)
-        .collect()[0]  # 1 row — the only driver transfer per round
-    )
+    from .registry import audit_round
+
+    init = ex.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    ).limit(1)
+    audit_round("q230:init_pick", init)
+    first = init.collect()[0]  # 1 row — the only driver transfer per round
     selected = [(1, int(first["vec_id"]), None)]
 
     def lit_vec(c: list) -> F.Column:
@@ -583,12 +768,15 @@ def q230_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for t in range(2, Q230_T + 1):
-        rows = (
+        cand = (
             cur.filter(F.col("dmin") > 0)
             .orderBy(F.desc("dmin"), F.asc("vec_id"))
             .limit(1)
-            .collect()
         )
+        # per-round argmax plan for the audit — the materialize barriers
+        # hide it from the registry-level explain (VERDICT r9)
+        audit_round("q230:round_argmax", cand)
+        rows = cand.collect()
         if not rows:
             # fewer than T distinct points: the oracle's c{t} CTE is
             # empty from here on and contributes no UNION rows —

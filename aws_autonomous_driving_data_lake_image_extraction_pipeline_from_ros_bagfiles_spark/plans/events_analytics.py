@@ -1656,8 +1656,12 @@ def q198_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production-ML input-drift alarm): per event_type, PSI of the `value`
 # distribution between the reference window (first half of the stream's
 # day range) and the current window (second half), over FIXED value bins
-# bin = least(floor(value / 25), 9) with Laplace smoothing across the
-# full 10-bin domain:
+# bin = greatest(0, least(floor(value / 25), 9)) with Laplace smoothing
+# across the full 10-bin domain (the lower clamp keeps out-of-range
+# negative values inside the scaffold domain instead of silently
+# dropping their mass from the terms while still counting them in
+# n_ref/n_cur — the generator clips to [0, 560] today, but the operator
+# must hold for general data):
 #     PSI = sum_i (q_i - p_i) * ln(q_i / p_i),
 #     p_i = (ref_i + 1)/(n_ref + 10),  q_i = (cur_i + 1)/(n_cur + 10).
 #
@@ -1690,8 +1694,8 @@ def _q233_oracle() -> str:
     binned AS (
       SELECT event_type,
              CASE WHEN ev.day <= split.mid THEN 'ref' ELSE 'cur' END AS win,
-             least(CAST(floor(value / {Q233_BIN_W}) AS BIGINT),
-                   {Q233_NBINS - 1}) AS bin
+             greatest(0, least(CAST(floor(value / {Q233_BIN_W}) AS BIGINT),
+                               {Q233_NBINS - 1})) AS bin
       FROM ev CROSS JOIN split
     ),
     cnt AS (
@@ -1743,9 +1747,12 @@ def q233_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.when(F.col("day") <= F.col("mid"), "ref").otherwise("cur")
         .alias("win"),
-        F.least(
-            F.floor(F.col("value") / Q233_BIN_W).cast("bigint"),
-            F.lit(Q233_NBINS - 1),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.floor(F.col("value") / Q233_BIN_W).cast("bigint"),
+                F.lit(Q233_NBINS - 1),
+            ),
         ).alias("bin"),
     )
     # the count table is <= types x 2 x NBINS rows and feeds THREE

@@ -1436,6 +1436,11 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pagerank()/connected_components() (reliable checkpoints on shared
     # storage, operators/checkpointing.py — VERDICT r4 #6). local-mode
     # (this harness) is unaffected.
+    from .registry import audit_round
+
+    # the LSH pair-gen plan lives behind this checkpoint — capture it for
+    # the plan audit (VERDICT r9: q91's PLANS.md row was all zeros)
+    audit_round("q91:lsh_pair_gen", lsh)
     pairs = lsh.localCheckpoint(eager=True)
     D.release_caches()
     edges = pairs.select(

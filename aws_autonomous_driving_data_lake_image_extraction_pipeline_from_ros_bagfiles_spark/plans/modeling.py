@@ -962,10 +962,10 @@ def _q232_oracle() -> str:
       SELECT event_type, dow,
              max(CASE WHEN arm = 'control' THEN n END) AS nc,
              max(CASE WHEN arm = 'control' THEN mean END) AS mc,
-             max(CASE WHEN arm = 'control' THEN v END) AS vc,
+             greatest(max(CASE WHEN arm = 'control' THEN v END), 0) AS vc,
              max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
              max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
-             max(CASE WHEN arm = 'treatment' THEN v END) AS vt
+             greatest(max(CASE WHEN arm = 'treatment' THEN v END), 0) AS vt
       FROM stats GROUP BY 1, 2
       HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2 AND min(nd) >= 2
     ),
@@ -975,6 +975,7 @@ def _q232_oracle() -> str:
              CAST(nt AS BIGINT) AS n_treatment,
              round((mt - mc) / sqrt(vc / nc + vt / nt), 4) AS z_stat
       FROM wide
+      WHERE vc > 0 AND vt > 0
     ),
     pt AS (
       SELECT *, CAST(round(exp(-abs(z_stat)) * 1000000, 0) AS BIGINT)
@@ -1040,16 +1041,29 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("minnd") >= 2)
         )
     )
-    zt = wide.select(
-        "event_type",
-        "dow",
-        F.col("nc").cast("bigint").alias("n_control"),
-        F.col("nt").cast("bigint").alias("n_treatment"),
-        F.round(
-            (F.col("mt") - F.col("mc"))
-            / F.sqrt(F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")),
-            4,
-        ).alias("z_stat"),
+    # sum(v*v)/n - mean*mean can cancel to a tiny negative double even
+    # with nd >= 2; clamp to 0 and DROP the segment (on both engines
+    # identically) instead of letting sqrt(negative) make z NULL on one
+    # engine only (round-9 ADVICE)
+    vcg = F.greatest(F.col("vc"), F.lit(0.0))
+    vtg = F.greatest(F.col("vt"), F.lit(0.0))
+    zt = (
+        wide.withColumn("vcg", vcg)
+        .withColumn("vtg", vtg)
+        .filter((F.col("vcg") > 0) & (F.col("vtg") > 0))
+        .select(
+            "event_type",
+            "dow",
+            F.col("nc").cast("bigint").alias("n_control"),
+            F.col("nt").cast("bigint").alias("n_treatment"),
+            F.round(
+                (F.col("mt") - F.col("mc"))
+                / F.sqrt(
+                    F.col("vcg") / F.col("nc") + F.col("vtg") / F.col("nt")
+                ),
+                4,
+            ).alias("z_stat"),
+        )
     )
     pt = zt.withColumn(
         "p_micros",

@@ -89,3 +89,32 @@ def materialize(df: DataFrame) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_AUDIT_NO_BARRIER") == "1":
         return df
     return df.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Iterative-plan audit capture (VERDICT r9 #5): a driver-looped builder
+# (q230's greedy rounds, the connected-components contraction, q91's
+# PageRank iterations, q114's gram collect, q228's boundary probe) ends
+# in a tiny createDataFrame/barrier, so the registry-level explain sees
+# NONE of the per-round Spark jobs — PLANS.md showed an all-zeros row for
+# a query that runs real shuffles. Builders call ``audit_round(tag, df)``
+# immediately before each mid-build action; outside an audit the sink is
+# None and the call is a no-op (zero cost on the hot path). The audit
+# tool installs a list via ``set_audit_sink`` and folds the captured
+# per-round plan counters into the query's PLANS.md row.
+# ---------------------------------------------------------------------------
+_AUDIT_SINK: list | None = None
+
+
+def set_audit_sink(sink: list | None) -> None:
+    global _AUDIT_SINK
+    _AUDIT_SINK = sink
+
+
+def audit_round(tag: str, df: DataFrame) -> None:
+    if _AUDIT_SINK is None:
+        return
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    _AUDIT_SINK.append((tag, plan))

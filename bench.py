@@ -25,6 +25,14 @@ queries 3-8x between rounds (VERDICT r7 #3 — fixed-size q63 has measured
 lets a cross-round diff treat >1.5x moves as real. Repeats run
 back-to-back per query (not whole-suite sweeps) so each query's samples
 share cache/JIT state and differ only by host noise.
+
+``cold_total`` (VERDICT r9 #1) = the sum of every query's FIRST sample —
+the number a repeat-1 run (driver, judge) approximates, because the
+memoized/shared one-time stage costs land in first samples and in no
+warm median. Cross-protocol diffs compare cold_total vs repeat-1 totals
+and median-vs-median; never median-vs-repeat-1. ``loadavg_start/_end``
+stamp the host's 1/5/15-min load so a committed snapshot carries its own
+noise-window evidence.
 """
 
 from __future__ import annotations
@@ -120,7 +128,15 @@ def main() -> None:
     # not inflated by session startup
     queries["q01_events_daily"](spark, sf_dir).count()
 
+    # Cross-protocol comparability (VERDICT r9 #1): a repeat-N run's
+    # median total hides every memoized/shared one-time cost inside the
+    # warm repeats, so it is NOT comparable to a repeat-1 run (driver or
+    # judge). cold_total = sum of FIRST samples is the number a repeat-1
+    # run approximates; loadavg stamps bound the co-tenant noise window
+    # the run executed in. Both land in BENCH_DETAIL.json + the summary.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(queries.items()):
@@ -160,6 +176,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         samples[name] = runs
+        firsts[name] = runs[0]
         times[name] = round(statistics.median(runs), 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows) {runs}", file=sys.stderr)
 
@@ -167,14 +184,19 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.0
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     detail = {
         "metric": "total_query_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "cold_total": round(sum(firsts.values()), 3),
         "queries": times,
+        "first_samples": firsts,
         "sf": sf,
         "layout_sec": layout_sec,
         "repeat": max(1, args.repeat),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "annotations": {
             q: note for q, note in QUERY_ANNOTATIONS.items() if q in times
         },
@@ -196,11 +218,14 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": detail["value"],
         "unit": "sec",
+        "cold_total": detail["cold_total"],
         "sf": sf,
         "layout_sec": layout_sec,
         "n_queries": len(times),
         "n_errors": len(errors),
         "repeat": max(1, args.repeat),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "detail_file": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary))

@@ -56,6 +56,37 @@ def test_plan_audit_bnlj_whitelist_enforced():
     assert any("builder error" in s for s in v)
 
 
+def test_plan_audit_round_capture_enforced():
+    """VERDICT r9 #5: plans captured from inside an iterative builder's
+    loop (registry.audit_round) are enforced too — a nested-loop join or
+    a row-Python node hidden behind a per-round checkpoint must fail the
+    audit, and the whitelisted per-round shape must not."""
+    from tools.plan_audit import ROUND_BNLJ_WHITELIST, check_violations
+
+    from tools.plan_audit import BNLJ_WHITELIST
+
+    clean = {"bnlj": 0, "cart": 0, "row_py": 0, "round_bnlj": 0}
+    wl_name = next(iter(ROUND_BNLJ_WHITELIST))
+    # the round-whitelisted query may also carry a final-plan whitelist
+    # entry (q228 does) — satisfy both for the clean case
+    base = dict(clean, bnlj=BNLJ_WHITELIST.get(wl_name, 0))
+    ok = dict(base, round_bnlj=ROUND_BNLJ_WHITELIST[wl_name])
+    assert check_violations([(wl_name, ok), ("q_iter", dict(clean))], []) == []
+
+    injected = [
+        ("q_iter_bnlj", dict(clean, round_bnlj=2)),   # loop grew a bnlj
+        (wl_name, dict(base, round_bnlj=ROUND_BNLJ_WHITELIST[wl_name] + 2)),
+        # a row-Python node found in a CAPTURED round plan is folded into
+        # row_py by audit_one and fails unconditionally
+        ("q_iter_rowpy", dict(clean, row_py=1)),
+    ]
+    v = check_violations(injected, [])
+    assert len(v) == 3
+    assert any("q_iter_bnlj" in s and "per-round bnlj" in s for s in v)
+    assert any(wl_name in s and "per-round bnlj" in s for s in v)
+    assert any("BatchEvalPython" in s for s in v)
+
+
 def test_canon_cell_inf_and_struct():
     """r8 review: infinities must canonicalize (int(inf) raised
     OverflowError mid-gate), and DuckDB's dict-valued structs must hash
