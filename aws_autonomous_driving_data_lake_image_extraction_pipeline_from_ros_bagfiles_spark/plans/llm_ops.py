@@ -1512,6 +1512,11 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("f", "shingle")
+    # prefix keeps (rn, n) so the candidate join can apply PPJoin's two
+    # EXACT pruning filters below — both are candidate-side only (verify
+    # is still exact Jaccard), so the result set and the oracle are
+    # untouched; they exist to shrink the verify input (r10: candidates
+    # 118k -> ~2k at sf0.1, and verify was 8.8 of the query's 9 s)
     prefix = (
         sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(w))
@@ -1520,21 +1525,63 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn")
             <= F.col("n") - F.ceil(Q99_T * F.col("n")).cast("bigint") + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "rn", "n")
     )
+    na, nb = F.col("a.n"), F.col("b.n")
+    ra, rb = F.col("a.rn"), F.col("b.rn")
+    # overlap needed for J >= t: inter/(na+nb-inter) >= t  <=>
+    # inter >= ceil(t/(1+t) * (na+nb))
+    alpha = F.ceil(F.lit(Q99_T / (1.0 + Q99_T)) * (na + nb))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: a shorter set cannot reach t against a much
+        # longer one — |x| >= t*|y| is NECESSARY for J(x,y) >= t
+        .filter(F.least(na, nb) >= Q99_T * F.greatest(na, nb))
+        # positional filter: for a shared shingle at ordered positions
+        # (ra, rb), overlap <= (min(ra,rb) - 1 common-before bound) + 1
+        # + min(remaining suffixes); a pair survives if ANY shared
+        # prefix shingle's bound reaches alpha — the first common
+        # element (which PPJoin guarantees lies in both prefixes when
+        # J >= t) always does, so no true pair is dropped
+        .filter(
+            F.least(ra, rb) + F.least(na - ra, nb - rb) >= alpha
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
     )
-    pairs = D.jaccard_on_pairs(cand, src, "text", "doc_id").filter(
-        F.col("jaccard") >= Q99_T
+    # exact-Jaccard verify routed through the ALREADY-CACHED shingle
+    # table (r10): jaccard_on_pairs would re-tokenize + re-explode the
+    # candidate docs (nearly the whole corpus here — prefix candidates
+    # touch most docs) and run a second inverted-index self-join; joining
+    # the pair table against sh twice reuses the cached rows and keeps
+    # the intersection count pair-routed. Semantics identical: exact
+    # intersection / union on full shingle sets.
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
     )
-    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("na")), "id_a")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= Q99_T)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
     result = materialize(out)
     D.release_caches()
     return result
