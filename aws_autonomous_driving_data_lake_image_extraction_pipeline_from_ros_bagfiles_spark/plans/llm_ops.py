@@ -1553,31 +1553,34 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact-Jaccard verify routed through the ALREADY-CACHED shingle
-    # table (r10): jaccard_on_pairs would re-tokenize + re-explode the
-    # candidate docs (nearly the whole corpus here — prefix candidates
-    # touch most docs) and run a second inverted-index self-join; joining
-    # the pair table against sh twice reuses the cached rows and keeps
-    # the intersection count pair-routed. Semantics identical: exact
-    # intersection / union on full shingle sets.
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
+    # Exact-Jaccard verify on per-doc shingle ARRAYS (r10): regroup the
+    # cached shingle rows into one set-array per doc (shingles are
+    # per-doc DISTINCT by construction — dedup's set semantics), join
+    # the two arrays onto each candidate pair, and take
+    # size(array_intersect()) inside codegen. The verify shuffle then
+    # carries n_cand compact rows — NOT n_cand x avg_shingles exploded
+    # rows (the pair-routed join) and NOT sum_s f_s^2 inverted-index
+    # rows (which degenerates to ~all-pairs work on closed-vocabulary
+    # corpora where prefixes stay hot: measured 150 s at the synthetic
+    # sf1.0, vs ~9 s for this plan). One plan serves both regimes.
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
     out = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"),
-                         F.col("n").alias("na")), "id_a")
+        cand.join(
+            arrs.select(F.col("doc_id").alias("id_a"),
+                        F.col("shs").alias("sha")), "id_a")
         .join(
-            sizes.select(F.col("doc_id").alias("id_b"),
-                         F.col("n").alias("nb")), "id_b")
+            arrs.select(F.col("doc_id").alias("id_b"),
+                        F.col("shs").alias("shb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("i"),
+            F.size("sha").alias("na2"),
+            F.size("shb").alias("nb2"),
+        )
         .withColumn(
             "jaccard",
-            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+            F.col("i") / (F.col("na2") + F.col("nb2") - F.col("i")),
         )
         .filter(F.col("jaccard") >= Q99_T)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
