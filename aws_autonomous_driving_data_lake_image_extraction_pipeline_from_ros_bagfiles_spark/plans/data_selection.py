@@ -286,37 +286,49 @@ def q227_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, keep, sizes = _winnowed_keep(spark, sf_dir)
     a = keep.select(F.col("doc_id").alias("doc_a"), "fp_h")
     b = keep.select(F.col("doc_id").alias("doc_b"), "fp_h")
+    # ONE aggregation of the fp-join stream (a < b halves it), then a
+    # narrow symmetrize + a map-side-combinable struct-max groupBy — no
+    # window over the pair stream, and the per-doc fingerprint-size
+    # joins happen at DOC grain (after the aggregate), never on the
+    # corpus-scaled pair table. struct max on (shared, -partner) is
+    # exactly the oracle's (shared DESC, partner ASC) rank-1 row.
     pr = (
         a.join(b, "fp_h")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared_fps"))
+        .agg(F.count("*").alias("s"))
     )
-    wp = Window.partitionBy("doc_a")
-    wo = Window.partitionBy("doc_a").orderBy(
-        F.desc("shared_fps"), F.asc("doc_b")
-    )
-    pstat = (
-        pr.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                             F.col("nf").alias("nfa")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("nf").alias("nfb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared_fps",
-            F.round(
-                F.col("shared_fps") / F.least("nfa", "nfb"), 6
-            ).alias("overlap"),
+    sym = pr.unionAll(
+        pr.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "s",
         )
-        .withColumn("n_partners", F.count("*").over(wp))
-        .withColumn("max_shared", F.max("shared_fps").over(wp))
-        .withColumn("rn", F.row_number().over(wo))
     )
-    best = pstat.filter(F.col("rn") == 1).select(
-        "doc_a", "n_partners", "max_shared",
-        F.col("doc_b").alias("best_partner"),
-        F.col("overlap").alias("best_overlap"),
+    agg = sym.groupBy("doc_a").agg(
+        F.count("*").alias("n_partners"),
+        F.max("s").alias("max_shared"),
+        F.max(
+            F.struct(F.col("s").alias("s"), (-F.col("doc_b")).alias("nb"))
+        ).alias("best"),
+    ).select(
+        "doc_a",
+        "n_partners",
+        "max_shared",
+        (-F.col("best.nb")).alias("best_partner"),
+        F.col("best.s").alias("best_s"),
+    )
+    best = (
+        agg.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("nf").alias("nfa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("best_partner"),
+                           F.col("nf").alias("nfb")), "best_partner")
+        .select(
+            "doc_a", "n_partners", "max_shared", "best_partner",
+            F.round(
+                F.col("best_s") / F.least("nfa", "nfb"), 6
+            ).alias("best_overlap"),
+        )
     )
     return (
         docs.select("doc_id")
