@@ -973,3 +973,44 @@ def q231_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# q236 — stratified k-fold assignment (the split a training pipeline
+# actually wants for cross-validation over a curated corpus): within
+# each stratum (language), documents are ordered by their md5 hash (the
+# repo's seedless deterministic shuffle, same as q36/q230's init) and
+# dealt round-robin into K folds — every fold gets within-1-of-equal
+# mass of EVERY stratum, unlike a plain hash-mod split whose per-stratum
+# fold sizes are binomial. Output is doc-linear: (doc_id, lang, fold).
+#
+# Determinism: the order key is (md5(doc_id), doc_id) — no floats, no
+# rand(); fold = (rank - 1) % K. Scale shape: ONE window partitioned by
+# stratum (never global; a stratum's rows sort within its partition
+# group), no joins, no driver state.
+# --------------------------------------------------------------------------
+Q236_K = 5
+
+
+def _q236_oracle() -> str:
+    return f"""
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) - 1)
+                % {Q236_K} AS BIGINT) AS fold
+    FROM documents
+    """
+
+
+@register("q236_stratified_kfold", oracle=_q236_oracle())
+def q236_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) % Q236_K).cast("bigint").alias("fold"),
+    )

@@ -1807,3 +1807,125 @@ def q233_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nc").cast("bigint").alias("n_cur"),
         F.round(F.sum("term_nano") / 1e9, 6).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q235 — two-sample Kolmogorov-Smirnov drift statistic (the
+# distribution-free companion to q233's binned PSI: PSI needs a bin
+# design and misses within-bin shape changes; KS is the sup-norm
+# distance between the two raw ECDFs). Same ref/cur split as q233
+# (integer midpoint of the stream's day range). Per event_type:
+#
+#     D = max over observed v of |F_ref(v) - F_cur(v)|
+#       = max |cum_ref(v) * n_cur - cum_cur(v) * n_ref| / (n_ref*n_cur)
+#
+# Determinism: the max is taken on the EXACT BIGINT numerator
+# (cum counts and totals are integers), with the smallest achieving
+# value as the reported location (max(struct(num, -v)) — integer-first
+# ordering, so no float rank boundary exists); D itself is one double
+# division of exact integers, identical on both engines, rounded 6dp.
+#
+# Scale shape: one map-side-combinable groupBy over (type, value, win),
+# then a cumulative-sum window PARTITIONED BY event_type over the
+# distinct values (never a global window), then a struct-max aggregate
+# — the shuffled volume after the first groupBy is bounded by the
+# distinct (type, value) pairs, not the event count.
+# --------------------------------------------------------------------------
+
+
+def _q235_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+      FROM events
+    ),
+    split AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+    cnt AS (
+      SELECT event_type, value,
+             count(*) FILTER (day <= split.mid) AS cr,
+             count(*) FILTER (day > split.mid) AS cc
+      FROM ev CROSS JOIN split GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value,
+             CAST(sum(cr) OVER w AS BIGINT) AS fr,
+             CAST(sum(cc) OVER w AS BIGINT) AS fc,
+             CAST(sum(cr) OVER t AS BIGINT) AS nr,
+             CAST(sum(cc) OVER t AS BIGINT) AS nc
+      FROM cnt
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type)
+    ),
+    num AS (
+      SELECT event_type, value, nr, nc,
+             abs(fr * nc - fc * nr) AS d_num
+      FROM cum
+    ),
+    best AS (
+      SELECT event_type, nr, nc, d_num, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d_num DESC, value) AS rn
+      FROM num
+    )
+    SELECT event_type, nr AS n_ref, nc AS n_cur,
+           round(d_num * 1.0 / (nr * nc), 6) AS ks,
+           value AS ks_at
+    FROM best WHERE rn = 1
+    """
+
+
+@register("q235_ks_drift", oracle=_q235_oracle())
+def q235_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (F.col("ts_us") / F.lit(_DAY_US)).cast("bigint").alias("day"),
+    )
+    split = ev.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid")
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.when(F.col("day") <= F.col("mid"), 1)).alias("cr"),
+            F.count(F.when(F.col("day") > F.col("mid"), 1)).alias("cc"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "value",
+        F.sum("cr").over(wcum).alias("fr"),
+        F.sum("cc").over(wcum).alias("fc"),
+        F.sum("cr").over(wtot).alias("nr"),
+        F.sum("cc").over(wtot).alias("nc"),
+    )
+    num = cum.withColumn(
+        "d_num", F.abs(F.col("fr") * F.col("nc") - F.col("fc") * F.col("nr"))
+    )
+    best = num.groupBy("event_type").agg(
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+        F.max(
+            F.struct(F.col("d_num").alias("d"), (-F.col("value")).alias("nv"))
+        ).alias("b"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.col("b.d") * F.lit(1.0) / (F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("ks"),
+        (-F.col("b.nv")).alias("ks_at"),
+    )

@@ -260,3 +260,26 @@ def test_kcenter_stops_on_degenerate_corpus(spark, tmp_path):
     )
     assert len(out) == 3
     assert len({r["vec_id"] for r in out}) == 3
+
+
+# ---------------------------------------------------------------- q236
+def test_stratified_kfold_balance(spark):
+    """Every stratum's fold sizes differ by at most 1 (the property a
+    plain hash-mod split does NOT have), and the assignment is
+    deterministic across invocations."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.data_selection import (
+        Q236_K,
+        q236_stratified_kfold,
+    )
+
+    out = q236_stratified_kfold(spark, SF_DIR)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, {}).setdefault(r.fold, 0)
+        per[r.lang][r.fold] += 1
+    for lang, folds in per.items():
+        sizes = [folds.get(k, 0) for k in range(Q236_K)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    again = {(r.doc_id, r.fold) for r in q236_stratified_kfold(spark, SF_DIR).collect()}
+    assert again == {(r.doc_id, r.fold) for r in rows}

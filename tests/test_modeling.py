@@ -98,3 +98,54 @@ def test_cuped_reduces_variance(spark):
         # theta is the pooled OLS minimizer: adjusted variance can only
         # shrink (up to arm-vs-pooled slack); require it never blows up
         assert r.var_reduction_pct > -5.0
+
+
+# ---------------------------------------------------------------- q235
+def test_ks_identical_windows_zero(spark):
+    """Hand fixture: a value distribution that is IDENTICAL in both
+    windows gives KS ~ 1/n (the ECDF step offset from unequal counts is
+    avoided by equal counts -> exactly 0), and a hard shift gives a
+    large KS at the shift boundary."""
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
+        _DAY_US,
+    )
+
+    # two days; day 0 = ref, day 1 = cur (midpoint = 0)
+    def mk(rows):
+        df = spark.createDataFrame(
+            rows, "event_type string, value double, day bigint"
+        )
+        return df.select(
+            "event_type", "value",
+            (F.col("day") * _DAY_US).alias("ts_us"), "day",
+        )
+
+    same = [("a", float(v), d) for v in (1, 2, 3, 4) for d in (0, 1)]
+    shift = [("b", float(v), 0) for v in (1, 2, 3, 4)] + [
+        ("b", float(v + 10), 1) for v in (1, 2, 3, 4)
+    ]
+    ev = mk(same + shift)
+
+    from pyspark.sql import Window
+
+    split = ev.agg(((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid"))
+    cnt = (ev.crossJoin(F.broadcast(split)).groupBy("event_type", "value")
+           .agg(F.count(F.when(F.col("day") <= F.col("mid"), 1)).alias("cr"),
+                F.count(F.when(F.col("day") > F.col("mid"), 1)).alias("cc")))
+    wcum = (Window.partitionBy("event_type").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("event_type")
+    cum = cnt.select("event_type",
+                     F.sum("cr").over(wcum).alias("fr"),
+                     F.sum("cc").over(wcum).alias("fc"),
+                     F.sum("cr").over(wtot).alias("nr"),
+                     F.sum("cc").over(wtot).alias("nc"))
+    ks = (cum.withColumn("d", F.abs(F.col("fr")*F.col("nc")-F.col("fc")*F.col("nr")))
+          .groupBy("event_type")
+          .agg((F.max("d")/(F.max("nr")*F.max("nc"))).alias("ks"))
+          .collect())
+    got = {r.event_type: r.ks for r in ks}
+    assert got["a"] == 0.0
+    assert got["b"] == 1.0  # disjoint supports -> sup distance 1

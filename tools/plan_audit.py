@@ -128,6 +128,10 @@ BNLJ_WHITELIST = {
     # unrolls the materialized count table through its three consumers,
     # so the ONE executed broadcast appears 6x in the audited plan.
     "q233_psi_drift": 6,
+    # q235 KS: the same one-row midpoint-split broadcast as q233,
+    # crossJoined onto the event stream before the (type, value, win)
+    # count groupBy — O(1) side.
+    "q235_ks_drift": 2,
     # q228 DSIR: crossJoin(broadcast(tots)) — the ONE-ROW feature-total
     # aggregate onto the 256-row bucket table (r10: the former nsel
     # broadcast is gone — the top-fraction cutoff is now a driver-side
