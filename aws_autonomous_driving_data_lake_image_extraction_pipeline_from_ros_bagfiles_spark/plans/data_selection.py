@@ -1,4 +1,5 @@
-"""Data-selection tier (q227-q231): the corpus-SELECTION methods a
+"""Data-selection tier (q227-q231, plus the q234 pair-listing variant
+and the q236 stratified k-fold split): the corpus-SELECTION methods a
 large-scale training-data pipeline runs after dedup/quality filtering
 decided what is *removable* — these decide what is *worth keeping*:
 
