@@ -70,27 +70,39 @@ def _greedy_match_pdf(
     if not gts.empty:
         db = dets[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
         gb = gts[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.float64)
-        iw = np.clip(
-            np.minimum(db[:, None, 2], gb[None, :, 2])
-            - np.maximum(db[:, None, 0], gb[None, :, 0]),
-            0.0, None,
-        )
-        ih = np.clip(
-            np.minimum(db[:, None, 3], gb[None, :, 3])
-            - np.maximum(db[:, None, 1], gb[None, :, 1]),
-            0.0, None,
-        )
-        inter = iw * ih
-        d_area = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
         g_area = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
-        union = d_area[:, None] + g_area[None, :] - inter
-        ious = np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0)
         claimed = np.zeros(len(gts), dtype=bool)
-        for i in range(len(dets)):
-            j = int(np.argmax(ious[i]))
-            if ious[i, j] >= thresh and not claimed[j]:
-                claimed[j] = True
-                tp[i] = 1
+        # IoU rows are computed in det BLOCKS, not as one n_det x n_gt
+        # matrix: at sf1.0 the fixture packs ~10k dets x 3.3k GT into 60
+        # groups, and the full matrix is ~1.3 GB per task x 32 tasks —
+        # the memory spike (not the FLOPs) was what made q105's sf1.0
+        # wall time swing 24 -> 556 s with host state (r10 control run).
+        # Semantics are identical: the greedy claim still walks dets in
+        # (conf DESC, det_id ASC) order row by row.
+        block = 1024
+        for s in range(0, len(db), block):
+            dblk = db[s:s + block]
+            iw = np.clip(
+                np.minimum(dblk[:, None, 2], gb[None, :, 2])
+                - np.maximum(dblk[:, None, 0], gb[None, :, 0]),
+                0.0, None,
+            )
+            ih = np.clip(
+                np.minimum(dblk[:, None, 3], gb[None, :, 3])
+                - np.maximum(dblk[:, None, 1], gb[None, :, 1]),
+                0.0, None,
+            )
+            inter = iw * ih
+            d_area = (dblk[:, 2] - dblk[:, 0]) * (dblk[:, 3] - dblk[:, 1])
+            union = d_area[:, None] + g_area[None, :] - inter
+            ious = np.where(
+                union > 0, inter / np.maximum(union, 1e-300), 0.0
+            )
+            for bi in range(len(dblk)):
+                j = int(np.argmax(ious[bi]))
+                if ious[bi, j] >= thresh and not claimed[j]:
+                    claimed[j] = True
+                    tp[s + bi] = 1
     out = dets[["image_id", "class_id", "det_id", "conf"]].copy()
     out["tp"] = tp
     return out
