@@ -127,6 +127,139 @@ def voc_greedy_match(
     )
 
 
+def voc_match_declarative(
+    detections: DataFrame,
+    ground_truth: DataFrame,
+    iou_thresh: float = 0.5,
+    gt_id_col: str = "gt_id",
+    cell_size: float = 512.0,
+) -> DataFrame:
+    """The VOC matching rule as a PURE DataFrame plan — no Python
+    cogroup, no per-group IoU matrix (the production tier; the cogroup
+    :func:`voc_greedy_match` remains the replay/gate tier).
+
+    The greedy claim walk reduces exactly to three declarative steps:
+
+    1. candidate (det, gt) pairs via a GRID-BUCKET spatial join: each
+       box explodes to the ``cell_size`` grid cells its corners span,
+       pairs equi-join on (image, class, cell) — fan-out is bounded by
+       boxes-per-cell, never n_det x n_gt. IoU is codegen arithmetic;
+       pairs below ``iou_thresh`` are dropped (a detection whose global
+       argmax IoU is below threshold never claims anything, so
+       sub-threshold pairs cannot change any outcome).
+    2. best edge per detection: max(struct(iou, -gt_id)) — each det's
+       argmax-IoU ground truth (tie -> smallest gt id; the cogroup tier
+       inherits numpy's first-row tie order instead, so on data with
+       EXACT IoU ties between distinct GTs the tiers may differ — both
+       are valid VOC tie rules, and the tier-agreement test pins them
+       equal on tie-free data).
+    3. first-claimant window: a GT is claimed by the first (conf DESC,
+       det_id ASC) detection whose best edge points at it — every
+       later such detection is FP (VOC: no fallback to second-best),
+       and detections never claim a non-argmax GT. The window
+       partitions by (image, class, gt) — bounded groups.
+
+    Equivalence to the sequential walk: tp[i]=1 iff iou(i, argmax_i)
+    >= t and no earlier det shares that argmax with a qualifying edge —
+    which is exactly rank-1 in step 3's partition.
+    """
+    t = float(iou_thresh)
+    cs = float(cell_size)
+
+    def cells(df: DataFrame, keep: list) -> DataFrame:
+        return (
+            df.withColumn(
+                "__cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("x1") / cs).cast("int"),
+                        F.floor(F.col("x2") / cs).cast("int"),
+                    )
+                ),
+            )
+            .withColumn(
+                "__cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("y1") / cs).cast("int"),
+                        F.floor(F.col("y2") / cs).cast("int"),
+                    )
+                ),
+            )
+            .select(*keep, "__cx", "__cy")
+        )
+
+    d = cells(
+        detections,
+        ["image_id", "class_id", "det_id", "conf", "x1", "y1", "x2", "y2"],
+    )
+    g = cells(
+        ground_truth.select(
+            "image_id", "class_id",
+            F.col(gt_id_col).alias("__gt"), "x1", "y1", "x2", "y2",
+        ),
+        ["image_id", "class_id", "__gt", "x1", "y1", "x2", "y2"],
+    ).select(
+        "image_id", "class_id", "__gt",
+        F.col("x1").alias("gx1"), F.col("y1").alias("gy1"),
+        F.col("x2").alias("gx2"), F.col("y2").alias("gy2"),
+        "__cx", "__cy",
+    )
+    iw = F.greatest(
+        F.least(F.col("x2"), F.col("gx2"))
+        - F.greatest(F.col("x1"), F.col("gx1")),
+        F.lit(0.0),
+    )
+    ih = F.greatest(
+        F.least(F.col("y2"), F.col("gy2"))
+        - F.greatest(F.col("y1"), F.col("gy1")),
+        F.lit(0.0),
+    )
+    inter = iw * ih
+    union = (
+        (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        + (F.col("gx2") - F.col("gx1")) * (F.col("gy2") - F.col("gy1"))
+        - inter
+    )
+    pairs = (
+        d.join(g, ["image_id", "class_id", "__cx", "__cy"])
+        .withColumn(
+            "iou", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+        .filter(F.col("iou") >= t)
+        # a pair spanning k cells joins k times — same (det, gt, iou)
+        .select("image_id", "class_id", "det_id", "conf", "__gt", "iou")
+        .distinct()
+    )
+    best = pairs.groupBy("image_id", "class_id", "det_id", "conf").agg(
+        F.max(
+            F.struct(F.col("iou").alias("i"), (-F.col("__gt")).alias("ng"))
+        ).alias("b")
+    ).select(
+        "image_id", "class_id", "det_id", "conf",
+        (-F.col("b.ng")).alias("best_gt"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("image_id", "class_id", "best_gt").orderBy(
+        F.desc("conf"), F.asc("det_id")
+    )
+    tp = best.withColumn(
+        "tp", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    ).select("image_id", "class_id", "det_id", "tp")
+    return (
+        detections.select("image_id", "class_id", "det_id", "conf")
+        .join(tp, ["image_id", "class_id", "det_id"], "left")
+        .select(
+            "image_id",
+            "class_id",
+            "det_id",
+            "conf",
+            F.coalesce("tp", F.lit(0)).cast("int").alias("tp"),
+        )
+    )
+
+
 def voc07_average_precision(
     matched: DataFrame, ground_truth: DataFrame
 ) -> DataFrame:

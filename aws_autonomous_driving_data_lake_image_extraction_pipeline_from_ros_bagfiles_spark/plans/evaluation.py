@@ -35,9 +35,10 @@ from pyspark.sql import functions as F
 from ..operators.map_metric import (
     voc07_average_precision,
     voc_greedy_match,
+    voc_match_declarative,
 )
 from ..tables import load
-from .registry import materialize, register
+from .registry import materialize, production_tier, register
 
 # Shared derivation constants (mirrored literally in the oracle SQL).
 _N_IMAGES = 20
@@ -194,7 +195,10 @@ def _map_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         (gy1 + 850).alias("y2"),
     )
     dets = det_a.unionByName(det_b).unionByName(det_c)
-    return dets, gt.drop("cell")
+    # cell rides along as the GT id: the cogroup matcher selects its box
+    # columns explicitly (extra columns inert), and the declarative tier
+    # needs a deterministic per-GT identifier for its struct-max edge
+    return dets, gt
 
 
 # --------------------------------------------------------------------------
@@ -209,7 +213,17 @@ def _map_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 @register("q105_voc_map", oracle=_MAP_ORACLE)
 def q105_voc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     dets, gt = _map_fixture(spark, sf_dir)
-    matched = voc_greedy_match(dets, gt, iou_thresh=0.5)
+    # production tier (SPARK_GRAFT_TIER=production, the q184 pattern):
+    # the fully declarative matcher — grid-bucketed IoU pairs +
+    # struct-max best edge + first-claimant window, no Python cogroup,
+    # no per-group IoU matrix. The gate replays the cogroup tier;
+    # tier agreement is pytest-pinned (tests/test_map_metric.py).
+    if production_tier():
+        matched = voc_match_declarative(
+            dets, gt, iou_thresh=0.5, gt_id_col="cell", cell_size=512.0
+        )
+    else:
+        matched = voc_greedy_match(dets, gt, iou_thresh=0.5)
     # freeze the per-class AP table: both union branches (per-class rows
     # and the mAP summary aggregate) consume it, and without the barrier
     # each re-runs the cogrouped python greedy matcher — the dominant

@@ -62,6 +62,7 @@ QUERY_ANNOTATIONS = {
     "q32_bag_decode": "memoized: demo-bag decode cached per session; repeats are warm",
     "q33_png_export": "memoized: shares q32's decoded demo bag",
     "q184_semantic_dedup_ivf": "tier: production (broadcast-matmul assignment); gate replays exact Lloyd",
+    "q105_voc_map": "tier: production (declarative grid-bucketed matcher); gate replays the cogroup greedy walk",
     "q54_dedup_clusters": "shared: pair-gen+CC stage computed once per session for q54/q157/q203/q205",
     "q157_cluster_representatives": "shared: reuses the q54-family pair-gen+CC stage",
     "q203_cluster_aware_split": "shared: reuses the q54-family pair-gen+CC stage",

@@ -3,6 +3,8 @@ multi-overlap geometry (the case q105's one-overlap oracle cannot cover),
 plus hand-computed 11-point AP values."""
 
 import pytest
+
+from conftest import SF_DIR
 from pyspark.sql import functions as F
 
 from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.map_metric import (
@@ -94,3 +96,30 @@ def test_threshold_parameter_reaches_workers(spark, fixture):
     }
     assert got[1] == 0 and got[2] == 1  # B's IoU(GT1)=1.0 >= .9, unclaimed
     assert got[3] == 0 and got[4] == 0 and got[5] == 0
+
+
+def test_declarative_matcher_agrees_with_cogroup(spark):
+    """Tier agreement (the q184 pattern): the declarative grid-bucketed
+    matcher must reproduce the cogroup greedy walk's tp flags exactly on
+    the q105 fixture at SF_DIR (tie-free IoU geometry, so both tie
+    rules coincide)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.map_metric import (
+        voc_greedy_match,
+        voc_match_declarative,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.evaluation import (
+        _map_fixture,
+    )
+
+    dets, gt = _map_fixture(spark, SF_DIR)
+    a = {
+        (r.image_id, r.class_id, r.det_id): r.tp
+        for r in voc_greedy_match(dets, gt, iou_thresh=0.5).collect()
+    }
+    b = {
+        (r.image_id, r.class_id, r.det_id): r.tp
+        for r in voc_match_declarative(
+            dets, gt, iou_thresh=0.5, gt_id_col="cell", cell_size=512.0
+        ).collect()
+    }
+    assert a == b and len(a) == dets.count()
