@@ -529,12 +529,23 @@ def q228_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number ranking (same wm DESC, doc_id ASC tie-break).
     import math
 
-    n = wts.count()
-    k = int(math.ceil(n * Q228_KEEP_FRAC))
+    # k is derived from the DOCUMENT count, not the weight-row count
+    # (round-10 ADVICE): the oracle's nsel is ceil(count(*) FROM
+    # documents * frac), and a document with no features (NULL/empty
+    # text) is absent from wts — counting wts would shift the whole
+    # selection boundary on such corpora. m (the wts row count) still
+    # drives the quantile-bracket math, which ranks within wts only.
+    n_docs = docs.count()
+    k = int(math.ceil(n_docs * Q228_KEEP_FRAC))
+    m = wts.count()
     selected = F.lit(False)
-    if n > 0 and k > 0:
-        e = max(1e-4, min(0.01, 2000.0 / n))
-        q = (n - k) / n
+    if m > 0 and k >= m:
+        # fewer weighted docs than the selection budget: every weighted
+        # doc is selected (the oracle's rn <= k is vacuously true)
+        selected = F.lit(True)
+    elif m > 0 and k > 0:
+        e = max(1e-4, min(0.01, 2000.0 / m))
+        q = (m - k) / m
         p_lo, p_hi = wts.stat.approxQuantile(
             "wm", [max(0.0, q - 3.0 * e), min(1.0, q + 3.0 * e)], e
         )

@@ -1469,6 +1469,16 @@ def q91_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefixes approach half the corpus and the filter stops paying.
 # --------------------------------------------------------------------------
 Q99_T = 0.8
+# Exact-rational form of the threshold (round-10 ADVICE): every pruning
+# bound below is computed in BIGINT arithmetic from these integers, so a
+# pair sitting EXACTLY at the threshold (e.g. 4-of-5 containment,
+# J = 4/5) can never be gated differently by double(0.8) > 4/5 rounding
+# on one engine. _Q99_TN/_Q99_TD is t as a reduced fraction; alpha's
+# denominator is TN+TD because t/(1+t) = TN/(TN+TD).
+from fractions import Fraction as _Fraction
+
+_Q99_FRAC = _Fraction(str(Q99_T))
+_Q99_TN, _Q99_TD = _Q99_FRAC.numerator, _Q99_FRAC.denominator
 
 
 @register(
@@ -1484,7 +1494,8 @@ Q99_T = 0.8
     prefix AS (
         SELECT o.doc_id, o.shingle
         FROM ordered o JOIN sizes USING (doc_id)
-        WHERE o.rn <= sizes.n - CAST(ceil({Q99_T} * sizes.n) AS BIGINT) + 1),
+        WHERE o.rn <= sizes.n
+              - (({_Q99_TN} * sizes.n + {_Q99_TD - 1}) // {_Q99_TD}) + 1),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN prefix b ON a.shingle = b.shingle
@@ -1500,7 +1511,7 @@ Q99_T = 0.8
     FROM inter i
     JOIN sizes sa ON i.id_a = sa.doc_id
     JOIN sizes sb ON i.id_b = sb.doc_id
-    WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= {Q99_T}
+    WHERE {_Q99_TD} * i.c >= {_Q99_TN} * (sa.n + sb.n - i.c)
     """,
 )
 def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,23 +1533,31 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(
+            # exact-integer ceil(t*n) = (TN*n + TD-1) div TD — no
+            # double(0.8) anywhere in the bound (round-10 ADVICE)
             F.col("rn")
-            <= F.col("n") - F.ceil(Q99_T * F.col("n")).cast("bigint") + 1
+            <= F.col("n")
+            - F.expr(f"({_Q99_TN} * n + {_Q99_TD - 1}) div {_Q99_TD}")
+            + 1
         )
         .select("doc_id", "shingle", "rn", "n")
     )
     na, nb = F.col("a.n"), F.col("b.n")
     ra, rb = F.col("a.rn"), F.col("b.rn")
     # overlap needed for J >= t: inter/(na+nb-inter) >= t  <=>
-    # inter >= ceil(t/(1+t) * (na+nb))
-    alpha = F.ceil(F.lit(Q99_T / (1.0 + Q99_T)) * (na + nb))
+    # inter >= ceil(t/(1+t) * (na+nb)) = ceil(TN*(na+nb) / (TN+TD)),
+    # computed as exact BIGINT (TN*s + TN+TD-1) div (TN+TD) so a pair at
+    # the exact threshold is never pruned by float rounding
+    _ad = _Q99_TN + _Q99_TD
+    alpha = F.expr(f"({_Q99_TN} * (a.n + b.n) + {_ad - 1}) div {_ad}")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         # length filter: a shorter set cannot reach t against a much
-        # longer one — |x| >= t*|y| is NECESSARY for J(x,y) >= t
-        .filter(F.least(na, nb) >= Q99_T * F.greatest(na, nb))
+        # longer one — |x| >= t*|y| is NECESSARY for J(x,y) >= t;
+        # exact-integer form TD*least >= TN*greatest (round-10 ADVICE)
+        .filter(_Q99_TD * F.least(na, nb) >= _Q99_TN * F.greatest(na, nb))
         # positional filter: for a shared shingle at ordered positions
         # (ra, rb), overlap <= (min(ra,rb) - 1 common-before bound) + 1
         # + min(remaining suffixes); a pair survives if ANY shared
@@ -1582,7 +1601,13 @@ def q99_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.col("i") / (F.col("na2") + F.col("nb2") - F.col("i")),
         )
-        .filter(F.col("jaccard") >= Q99_T)
+        # exact-integer threshold: TD*i >= TN*(union) — mirrors the
+        # oracle's integer WHERE, so a pair at exactly J = t passes on
+        # both engines regardless of double rounding
+        .filter(
+            _Q99_TD * F.col("i")
+            >= _Q99_TN * (F.col("na2") + F.col("nb2") - F.col("i"))
+        )
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     result = materialize(out)

@@ -955,17 +955,17 @@ def _q232_oracle() -> str:
     stats AS (
       SELECT event_type, dow, arm, count(*) AS n,
              count(DISTINCT value) AS nd, avg(value) AS mean,
-             sum(value * value) / count(*) - avg(value) * avg(value) AS v
+             var_pop(value) AS v
       FROM seg GROUP BY 1, 2, 3
     ),
     wide AS (
       SELECT event_type, dow,
              max(CASE WHEN arm = 'control' THEN n END) AS nc,
              max(CASE WHEN arm = 'control' THEN mean END) AS mc,
-             greatest(max(CASE WHEN arm = 'control' THEN v END), 0) AS vc,
+             max(CASE WHEN arm = 'control' THEN v END) AS vc,
              max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
              max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
-             greatest(max(CASE WHEN arm = 'treatment' THEN v END), 0) AS vt
+             max(CASE WHEN arm = 'treatment' THEN v END) AS vt
       FROM stats GROUP BY 1, 2
       HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2 AND min(nd) >= 2
     ),
@@ -1013,10 +1013,17 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("value").alias("nd"),
         F.avg("value").alias("mean"),
-        (
-            F.sum(F.col("value") * F.col("value")) / F.count("*")
-            - F.avg("value") * F.avg("value")
-        ).alias("v"),
+        # var_pop, NOT sum(v*v)/n - mean^2 (round-10 ADVICE): the moment
+        # difference cancels catastrophically near zero variance, and
+        # its partition-order-dependent sign could gate ROW PRESENCE
+        # differently across engines at the vc>0/vt>0 filter below. Both
+        # Spark and DuckDB implement var_pop as a merged central-moment
+        # (Welford-style) aggregate whose update/merge increments are
+        # all non-negative, so v >= 0 by construction on BOTH engines,
+        # and v > 0 whenever nd >= 2 (some value differs from the
+        # running mean, contributing a strictly positive square) — the
+        # presence gate can no longer diverge on a cancelled sign.
+        F.var_pop("value").alias("v"),
     )
 
     def pick(col: str, arm: str):
@@ -1041,16 +1048,11 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("minnd") >= 2)
         )
     )
-    # sum(v*v)/n - mean*mean can cancel to a tiny negative double even
-    # with nd >= 2; clamp to 0 and DROP the segment (on both engines
-    # identically) instead of letting sqrt(negative) make z NULL on one
-    # engine only (round-9 ADVICE)
-    vcg = F.greatest(F.col("vc"), F.lit(0.0))
-    vtg = F.greatest(F.col("vt"), F.lit(0.0))
+    # var_pop is >= 0 by construction and > 0 given the minnd >= 2 gate
+    # above (see the stats comment); vc>0/vt>0 is kept as a belt that is
+    # satisfied identically on both engines, no clamp needed
     zt = (
-        wide.withColumn("vcg", vcg)
-        .withColumn("vtg", vtg)
-        .filter((F.col("vcg") > 0) & (F.col("vtg") > 0))
+        wide.filter((F.col("vc") > 0) & (F.col("vt") > 0))
         .select(
             "event_type",
             "dow",
@@ -1059,7 +1061,7 @@ def q232_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("mt") - F.col("mc"))
                 / F.sqrt(
-                    F.col("vcg") / F.col("nc") + F.col("vtg") / F.col("nt")
+                    F.col("vc") / F.col("nc") + F.col("vt") / F.col("nt")
                 ),
                 4,
             ).alias("z_stat"),

@@ -120,25 +120,31 @@ def test_q232_p_micros_boundary_margin(sf_dir):
     stats AS (
       SELECT event_type, dow, arm, count(*) AS n,
              count(DISTINCT value) AS nd, avg(value) AS mean,
-             sum(value * value) / count(*) - avg(value) * avg(value) AS v
+             var_pop(value) AS v
       FROM seg GROUP BY 1, 2, 3
     ),
     wide AS (
       SELECT event_type, dow,
              max(CASE WHEN arm = 'control' THEN n END) AS nc,
              max(CASE WHEN arm = 'control' THEN mean END) AS mc,
-             greatest(max(CASE WHEN arm = 'control' THEN v END), 0) AS vc,
+             max(CASE WHEN arm = 'control' THEN v END) AS vc,
              max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
              max(CASE WHEN arm = 'treatment' THEN mean END) AS mt,
-             greatest(max(CASE WHEN arm = 'treatment' THEN v END), 0) AS vt
+             max(CASE WHEN arm = 'treatment' THEN v END) AS vt
       FROM stats GROUP BY 1, 2
       HAVING min(n) >= {Q232_MIN_N} AND count(*) = 2 AND min(nd) >= 2
     )
     SELECT exp(-abs(round((mt - mc) / sqrt(vc / nc + vt / nt), 4)))
-           * 1000000 AS raw
+           * 1000000 AS raw,
+           (mt - mc) / sqrt(vc / nc + vt / nt) * 10000 AS raw_z
     FROM wide WHERE vc > 0 AND vt > 0
     """).fetchall()
     _assert_margin([r[0] for r in rows], f"q232 p_micros @ {sf_dir}")
+    # round-10 ADVICE follow-up: z_stat itself is frozen with
+    # round(x, 4) before the gate; var_pop's partition-order float sum
+    # can differ across engines by ~n ulps, so the scaled raw z must
+    # also keep margin from every .5 boundary
+    _assert_margin([r[1] for r in rows], f"q232 raw_z @ {sf_dir}")
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

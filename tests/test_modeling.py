@@ -101,51 +101,53 @@ def test_cuped_reduces_variance(spark):
 
 
 # ---------------------------------------------------------------- q235
-def test_ks_identical_windows_zero(spark):
-    """Hand fixture: a value distribution that is IDENTICAL in both
-    windows gives KS ~ 1/n (the ECDF step offset from unequal counts is
-    avoided by equal counts -> exactly 0), and a hard shift gives a
-    large KS at the shift boundary."""
+def test_ks_identical_windows_zero(spark, tmp_path):
+    """Hand fixture ROUTED THROUGH q235_ks_drift itself (round-10
+    ADVICE: the old inline re-implementation could not catch a
+    regression in the registered query): a value distribution that is
+    IDENTICAL in both windows gives KS exactly 0, and a hard shift
+    gives KS = 1 located at the ref support's maximum (the smallest
+    value achieving the sup, per the struct-max tie rule)."""
+    import datetime
+
     from pyspark.sql import functions as F
 
     from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
-        _DAY_US,
+        q235_ks_drift,
     )
 
-    # two days; day 0 = ref, day 1 = cur (midpoint = 0)
-    def mk(rows):
-        df = spark.createDataFrame(
-            rows, "event_type string, value double, day bigint"
-        )
-        return df.select(
-            "event_type", "value",
-            (F.col("day") * _DAY_US).alias("ts_us"), "day",
-        )
-
+    # two days; day 0 = ref, day 1 = cur (midpoint = 0); write the
+    # fixture as an events.parquet the registered query can load
     same = [("a", float(v), d) for v in (1, 2, 3, 4) for d in (0, 1)]
     shift = [("b", float(v), 0) for v in (1, 2, 3, 4)] + [
         ("b", float(v + 10), 1) for v in (1, 2, 3, 4)
     ]
-    ev = mk(same + shift)
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=d), i % 3, et, v, "{}")
+        for i, (et, v, d) in enumerate(same + shift)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
 
-    from pyspark.sql import Window
-
-    split = ev.agg(((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid"))
-    cnt = (ev.crossJoin(F.broadcast(split)).groupBy("event_type", "value")
-           .agg(F.count(F.when(F.col("day") <= F.col("mid"), 1)).alias("cr"),
-                F.count(F.when(F.col("day") > F.col("mid"), 1)).alias("cc")))
-    wcum = (Window.partitionBy("event_type").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wtot = Window.partitionBy("event_type")
-    cum = cnt.select("event_type",
-                     F.sum("cr").over(wcum).alias("fr"),
-                     F.sum("cc").over(wcum).alias("fc"),
-                     F.sum("cr").over(wtot).alias("nr"),
-                     F.sum("cc").over(wtot).alias("nc"))
-    ks = (cum.withColumn("d", F.abs(F.col("fr")*F.col("nc")-F.col("fc")*F.col("nr")))
-          .groupBy("event_type")
-          .agg((F.max("d")/(F.max("nr")*F.max("nc"))).alias("ks"))
-          .collect())
-    got = {r.event_type: r.ks for r in ks}
-    assert got["a"] == 0.0
-    assert got["b"] == 1.0  # disjoint supports -> sup distance 1
+    out = {
+        r.event_type: r
+        for r in q235_ks_drift(spark, str(tmp_path)).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a.ks == 0.0
+    assert (a.n_ref, a.n_cur) == (4, 4)
+    # identical windows: every value ties at d_num = 0; the struct-max
+    # (d, -value) tie rule reports the SMALLEST value
+    assert a.ks_at == 1.0
+    assert b.ks == 1.0  # disjoint supports -> sup distance 1
+    assert (b.n_ref, b.n_cur) == (4, 4)
+    # the sup is first achieved at the ref support's max (value 4);
+    # larger values also achieve it, the tie rule keeps the smallest
+    assert b.ks_at == 4.0

@@ -149,9 +149,12 @@ BNLJ_WHITELIST = {
 
 # Per-ROUND bnlj whitelist for plans captured via registry.audit_round()
 # (iterative builders' mid-build actions, VERDICT r9 #5). Keyed by query
-# name; the value is the EXACT total bnlj count across all captured
-# round plans. Default 0 — a nested-loop join inside an unlisted query's
-# loop fails the audit like a final-plan one.
+# name; the value is an UPPER BOUND on the total bnlj count across all
+# captured round plans (round-10 ADVICE: the whitelisted shapes sit in
+# data-dependent branches, e.g. q228's boundary probe only runs when
+# n_above < k, so fewer captures than the ceiling is normal). Default
+# 0 — a nested-loop join inside an unlisted query's loop fails the
+# audit like a final-plan one.
 ROUND_BNLJ_WHITELIST = {
     # q228's boundary probe replays the weight lineage, which contains
     # the one-row crossJoin(broadcast(tots)) scalar shape
@@ -180,9 +183,14 @@ def check_violations(rows, errors) -> list[str]:
                 f" {BNLJ_WHITELIST.get(n, 0)} — verify the small side is a"
                 " bounded scalar broadcast, then update BNLJ_WHITELIST"
             )
-        if a.get("round_bnlj", 0) != ROUND_BNLJ_WHITELIST.get(n, 0):
+        # round-bnlj is an UPPER bound, not an exact match (round-10
+        # ADVICE): the whitelisted shapes live in data-dependent
+        # branches (q228's boundary probe only runs when n_above < k),
+        # so a capture of FEWER bnlj plans than the ceiling is a branch
+        # not taken, not a violation
+        if a.get("round_bnlj", 0) > ROUND_BNLJ_WHITELIST.get(n, 0):
             violations.append(
-                f"{n}: per-round bnlj {a.get('round_bnlj', 0)} !="
+                f"{n}: per-round bnlj {a.get('round_bnlj', 0)} >"
                 f" whitelisted {ROUND_BNLJ_WHITELIST.get(n, 0)} — a"
                 " nested-loop join inside an iterative builder's loop;"
                 " verify the small side, then update ROUND_BNLJ_WHITELIST"
@@ -314,7 +322,7 @@ def main() -> None:
         kinds = [k for k in ("row_py", "cart", "bnlj", "round_bnlj") if a.get(k)]
         wl = " (bnlj whitelisted)" if (
             a["bnlj"] == BNLJ_WHITELIST.get(n, 0)
-            and a.get("round_bnlj", 0) == ROUND_BNLJ_WHITELIST.get(n, 0)
+            and a.get("round_bnlj", 0) <= ROUND_BNLJ_WHITELIST.get(n, 0)
             and not a["row_py"] and not a["cart"]
         ) else ""
         print(f"- {n}: {', '.join(kinds)}{wl}")
