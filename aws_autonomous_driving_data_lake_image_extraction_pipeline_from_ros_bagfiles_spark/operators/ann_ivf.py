@@ -39,9 +39,30 @@ from .similarity import cosine
 def train_quantizer(
     corpus: DataFrame, n_buckets: int, vec_col: str = "embedding", seed: int = 42
 ) -> list[list[float]]:
-    """Fit seeded KMeans; returns the centroid list (the whole "index")."""
-    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_buckets, seed=seed, maxIter=10).fit(feats)
+    """Fit seeded KMeans; returns the centroid list (the whole "index").
+
+    Two deliberate throughput choices (VERDICT r10 #1 — q103's job-chain
+    fold; training is the chain's single largest phase):
+
+    - ``initMode="random"`` (seeded, still deterministic): k-means||
+      spends ``initSteps`` extra distributed passes — ~5 scheduler
+      round-trips before the first Lloyd step — choosing a
+      well-spread seed set. For an IVF COARSE quantizer the seeds are
+      immediately refined by the Lloyd iterations and serving quality
+      depends on bucket balance, not seed optimality, so the extra
+      passes buy nothing the iterations don't redo.
+    - the feature frame is persisted for the duration of the fit: MLlib
+      re-evaluates its input once per init pass + iteration, and the
+      array->vector conversion on top of a parquet scan is exactly the
+      lineage that should not run ~11 times.
+    """
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features")).persist()
+    try:
+        model = KMeans(
+            k=n_buckets, seed=seed, maxIter=10, initMode="random"
+        ).fit(feats)
+    finally:
+        feats.unpersist()
     return [c.tolist() for c in model.clusterCenters()]
 
 
@@ -769,12 +790,16 @@ def _min_sq_dist(df: DataFrame, vec_col: str, centroids: list[list[float]]):
 def _write_centroid_table(spark, centroids: list[list[float]], path: str) -> None:
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     (
-        spark.createDataFrame(rows, "bucket int, centroid array<double>")
-        # repartition(1), NOT coalesce(1): coalesce over a parallelized
-        # local relation stalls the single task ~5 s per write in local
-        # mode (measured r8 — scheduler-side, size-independent); the
-        # one-row shuffle is ~0.3 s and scale-irrelevant at B rows
-        .repartition(1)
+        # parallelize(rows, 1): a one-slice local relation writes as ONE
+        # task with NO shuffle stage. The r8-measured 5 s stall was
+        # specific to coalesce(1) over a multi-slice parallelized
+        # relation (scheduler-side); a single-slice parallelize never
+        # hits that shape, and it drops the repartition(1) exchange the
+        # previous workaround paid per metadata write (VERDICT r10 #1).
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "bucket int, centroid array<double>",
+        )
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
@@ -801,20 +826,30 @@ def save_ivf_index(
     against, so the stale-quantizer check at append time is O(batch), not
     a corpus re-scan.
     """
+    from pyspark.sql import Observation
+
+    # (n, sum sq_dist) ride along the WRITE itself as observed metrics
+    # (VERDICT r10 #1): the r10 shape re-read the just-written corpus
+    # for this aggregate — column-pruned, but still a full directory
+    # listing + one extra job per save. observe() collects the two
+    # scalars from the exact rows the write pass streams, so the stats
+    # cost zero additional passes at any corpus size.
+    obs = Observation()
     (
         # co-locate each bucket before the partitioned write: without this,
         # every input partition opens a writer per bucket it touches
         # (O(tasks x B) small files); with it, each bucket lands as one
         # contiguous file set — the layout a 100 TB corpus needs anyway.
         # ``sq_dist`` (nearest-centroid squared distance) is computed in
-        # the SAME pass and stored as a corpus column: the stats
-        # aggregate below then reads only that one column from the
-        # written files — column-pruned, ~1% of the bytes — instead of
-        # re-scanning every vector and recomputing the distances (r10,
-        # VERDICT r9 #3: the re-read pass was the one corpus-scaled cost
-        # in the save path; rebuild_ivf_stats gets the same cheap scan)
+        # the SAME pass and stored as a corpus column, so incremental
+        # stats rebuilds read one pruned column (r10, VERDICT r9 #3).
         bucketed.select(id_col, vec_col, "bucket")
         .withColumn("sq_dist", _min_sq_dist(bucketed, vec_col, centroids))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq_dist").alias("sum_sq"),
+        )
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -822,19 +857,15 @@ def save_ivf_index(
     )
     spark = bucketed.sparkSession
     _write_centroid_table(spark, centroids, path)
-    # stats from the JUST-WRITTEN corpus files, not the input frame: the
-    # input's assignment lineage (a pandas-UDF pass at large B) would
-    # otherwise execute a second time for this aggregate (r8 round-diff
-    # review) — and with sq_dist stored, this scan is one pruned column
-    written = spark.read.parquet(f"{path}/corpus")
-    st = written.agg(
-        F.count("*").alias("n"),
-        F.avg("sq_dist").alias("mean_sq_dist"),
-    ).first()
-    _write_stats(spark, path, int(st["n"]), float(st["mean_sq_dist"] or 0.0))
+    m = obs.get
+    n = int(m["n"])
+    mean = (float(m["sum_sq"]) / n) if n else 0.0
+    _write_stats(spark, path, n, mean, has_sq=True)
 
 
-def _write_stats(spark, path: str, n: int, mean_sq_dist: float) -> None:
+def _write_stats(
+    spark, path: str, n: int, mean_sq_dist: float, has_sq: bool = True
+) -> None:
     """Stage-then-rename stats update: a crash during a plain overwrite
     (delete-then-write) could leave ``<path>/stats`` EMPTY, bricking
     every later append with an unnamed TypeError (r8 round-diff review).
@@ -849,11 +880,26 @@ def _write_stats(spark, path: str, n: int, mean_sq_dist: float) -> None:
     through Spark's Hadoop writer). On HDFS/local the rename is atomic;
     on S3A it is a copy (not atomic) — there the stats dir can be
     mid-copy visible, which read_ivf_stats surfaces as the
-    rebuild-recipe error rather than wrong numbers."""
+    rebuild-recipe error rather than wrong numbers.
+
+    ``has_sq`` records the CORPUS LAYOUT (whether the stored files carry
+    the per-row ``sq_dist`` column) so :func:`append_vectors` learns it
+    from this one-row read instead of listing the whole corpus directory
+    for a footer sample — the per-append filesystem round-trip VERDICT
+    r10 #1 flagged. Indexes written before this column exist; readers
+    treat a missing column as "unknown" and fall back to the footer."""
     stage = f"{path}/stats.staging"
     (
-        spark.createDataFrame([(n, mean_sq_dist)], "n bigint, mean_sq_dist double")
-        .repartition(1)
+        # range(0,1,1,1) pins ONE partition at the source — a pure-JVM
+        # one-task write with no repartition exchange and no Python
+        # serialization (this row is written twice per index lifecycle
+        # step; the old repartition(1) paid a shuffle stage each time)
+        spark.range(0, 1, 1, 1)
+        .select(
+            F.lit(int(n)).cast("bigint").alias("n"),
+            F.lit(float(mean_sq_dist)).alias("mean_sq_dist"),
+            F.lit(bool(has_sq)).alias("has_sq"),
+        )
         .write.mode("overwrite")
         .parquet(stage)
     )
@@ -887,6 +933,54 @@ def read_ivf_stats(spark, path: str) -> tuple[int, float]:
     return int(st["n"]), float(st["mean_sq_dist"])
 
 
+def _read_ivf_meta(spark, path: str):
+    """One Spark action for ALL of an index's metadata: centroids, the
+    (n, mean_sq_dist) drift baseline, and the stored-layout flag
+    (VERDICT r10 #1 — the append path previously paid one job for the
+    stats row, one collect for the centroid table, and a full corpus
+    directory listing for a schema probe, every batch). The two tiny
+    parquet dirs are read as one unioned frame (allowMissingColumns
+    tags each row's origin by which fields are NULL) and collected in a
+    single job.
+
+    Returns ``(centroids, n, mean_sq_dist, has_sq)`` where ``has_sq``
+    is None when the stats predate the layout flag (pre-r11 index) —
+    callers fall back to a corpus footer probe for those.
+    Raises the same rebuild-recipe error as :func:`read_ivf_stats` when
+    the stats are missing/empty."""
+    cents_df = spark.read.parquet(f"{path}/centroids")
+    try:
+        stats_df = spark.read.parquet(f"{path}/stats")
+    except Exception:
+        stats_df = None
+    if stats_df is None:
+        rows = None
+    else:
+        rows = (
+            cents_df.unionByName(stats_df, allowMissingColumns=True)
+            .collect()
+        )
+    srows = [r for r in (rows or []) if r["bucket"] is None]
+    if not srows:
+        raise ValueError(
+            f"IVF index at {path} has no readable stats (pre-r8 layout or"
+            " an interrupted update) — rebuild with"
+            " rebuild_ivf_stats(spark, path), then retry the append"
+        )
+    crows = sorted(
+        (r for r in rows if r["bucket"] is not None),
+        key=lambda r: r["bucket"],
+    )
+    st = srows[0]
+    has_sq = bool(st["has_sq"]) if "has_sq" in st.__fields__ else None
+    return (
+        [list(r["centroid"]) for r in crows],
+        int(st["n"]),
+        float(st["mean_sq_dist"]),
+        has_sq,
+    )
+
+
 def rebuild_ivf_stats(spark, path: str) -> tuple[int, float]:
     """Recompute the drift baseline from the stored corpus + centroids —
     the recovery path for interrupted updates and pre-stats indexes.
@@ -895,9 +989,10 @@ def rebuild_ivf_stats(spark, path: str) -> tuple[int, float]:
     one pruned column; pre-r10 layouts fall back to recomputing the
     distances from the vectors."""
     corpus, cents = load_ivf_index(spark, path)
+    has_sq = "sq_dist" in corpus.columns
     sq = (
         F.col("sq_dist")
-        if "sq_dist" in corpus.columns
+        if has_sq
         else _min_sq_dist(corpus, "embedding", cents)
     )
     st = corpus.agg(
@@ -905,7 +1000,9 @@ def rebuild_ivf_stats(spark, path: str) -> tuple[int, float]:
         F.avg(sq).alias("mean_sq_dist"),
     ).first()
     n, mean = int(st["n"]), float(st["mean_sq_dist"] or 0.0)
-    _write_stats(spark, path, n, mean)
+    # record the layout truthfully: a pre-r10 corpus stays sq_dist-less
+    # after a stats rebuild, and appends must keep matching its schema
+    _write_stats(spark, path, n, mean, has_sq=has_sq)
     return n, mean
 
 
@@ -959,8 +1056,14 @@ def append_vectors(
     only the drift baseline drifts). Serialize appends per index path,
     or run rebuild_ivf_stats() after a concurrent episode.
     """
-    cents = load_ivf_centroids(spark, path)
-    base_n, base_mean = read_ivf_stats(spark, path)
+    # one filesystem round-trip for ALL index metadata — centroids,
+    # drift baseline, stored layout — instead of stats job + centroid
+    # collect + corpus-directory footer listing per batch (VERDICT
+    # r10 #1); pre-r11 stats lack the layout flag, only those pay the
+    # footer probe
+    cents, base_n, base_mean, has_sq = _read_ivf_meta(spark, path)
+    if has_sq is None:
+        has_sq = "sq_dist" in spark.read.parquet(f"{path}/corpus").columns
     assigned = (
         assign_buckets(delta, cents, vec_col)
         .withColumn("__sq", _min_sq_dist(delta, vec_col, cents))
@@ -988,8 +1091,9 @@ def append_vectors(
         # new-layout indexes (save_ivf_index r10+) carry the sq_dist
         # column, pre-r10 ones don't — mixing schemas inside one corpus
         # dir would make plain (merge-less) reads schema-dependent on
-        # which footer Spark samples. One footer read decides.
-        has_sq = "sq_dist" in spark.read.parquet(f"{path}/corpus").columns
+        # which footer Spark samples. The layout flag came with the
+        # stats row above (r11); only flag-less legacy indexes paid a
+        # footer probe.
         out_cols = [id_col, vec_col, "bucket"] + (
             [F.col("__sq").alias("sq_dist")] if has_sq else []
         )
@@ -1006,7 +1110,7 @@ def append_vectors(
         # readable through any crash, r8 round-diff review)
         new_n = base_n + delta_n
         new_mean = (base_mean * base_n + delta_mean * delta_n) / new_n
-        _write_stats(spark, path, new_n, new_mean)
+        _write_stats(spark, path, new_n, new_mean, has_sq=has_sq)
         return {
             "appended": True, "retrain": False,
             "drift_ratio": drift, "n": delta_n,
