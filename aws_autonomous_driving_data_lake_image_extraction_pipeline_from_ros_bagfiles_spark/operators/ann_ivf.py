@@ -130,11 +130,32 @@ def _nearest_centroid_vectorized(df: DataFrame, vec_col: str, centroids: list[li
 
 
 def assign_buckets(
-    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    declarative: bool = False,
 ) -> DataFrame:
     """Nearest-centroid bucket per vector. B <= 32 stays pure codegen
     (JVM-only, no Python workers); beyond that the broadcast-matrix
-    Pandas-UDF path keeps plan size O(1) in B."""
+    Pandas-UDF path keeps plan size O(1) in B.
+
+    ``declarative=True`` (SPARK_GRAFT_TIER=production in the registry
+    plans, VERDICT r10 #5) routes through
+    :func:`assign_buckets_table` instead: broadcast centroid TABLE +
+    min-struct aggregate — no Python at ANY B, O(1) plan size, same
+    argmin/tie-break; column order is preserved by reattaching the
+    bucket to the input row shape."""
+    if declarative:
+        # keep the withColumn-like contract (input columns + bucket):
+        # join the (id-less) assignment back is not possible without an
+        # id, so this path requires the conventional vec_id column
+        assigned = assign_buckets_table(corpus, centroids, vec_col)
+        extra = [c for c in corpus.columns if c not in ("vec_id", vec_col)]
+        if extra:
+            return corpus.join(
+                assigned.select("vec_id", "bucket"), "vec_id"
+            )
+        return assigned
     if len(centroids) <= _CODEGEN_MAX_B:
         return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
     return corpus.withColumn("bucket", _nearest_centroid_vectorized(corpus, vec_col, centroids))
@@ -150,6 +171,7 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    declarative: bool = False,
 ) -> DataFrame:
     """Batched KNN: top-k corpus neighbors for EVERY query row.
 
@@ -160,7 +182,19 @@ def ivf_topk_batch(
     per-query top-k with a rank window (WindowGroupLimit keeps a bounded
     heap per query). Probe-bucket fan-out bounds join input to
     ~nprobe/B of |queries| x |corpus|.
+
+    ``declarative=True`` computes the probe ranking via
+    :func:`probe_buckets_table` (broadcast centroid table + sorted
+    collect_list) — no Python at ANY B, no O(B·d) literal tree; the
+    downstream probe-join/top-k is shared by all tiers.
     """
+    if declarative:
+        probes = probe_buckets_table(
+            queries, centroids, nprobe, qvec_col, qid_col
+        ).select(qid_col, qvec_col, F.explode("probe_buckets").alias("bucket"))
+        return _probe_topk(
+            bucketed, probes, k, vec_col, id_col, qid_col, qvec_col
+        )
     if len(centroids) <= _CODEGEN_MAX_B:
         dists = [
             F.struct(
@@ -189,6 +223,22 @@ def ivf_topk_batch(
     probes = queries.select(
         qid_col, qvec_col, F.explode(probe_buckets).alias("bucket")
     )
+    return _probe_topk(bucketed, probes, k, vec_col, id_col, qid_col, qvec_col)
+
+
+def _probe_topk(
+    bucketed: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Shared probe-join + per-query top-k tail of all
+    :func:`ivf_topk_batch` tiers: equi-join (qid, qvec, bucket) probe
+    rows with the bucketed corpus, rank by cosine with a
+    WindowGroupLimit-bounded heap per query."""
     joined = probes.join(bucketed, "bucket")
     sim = cosine(F.col(vec_col), F.col(qvec_col))
     from pyspark.sql import Window
@@ -240,6 +290,104 @@ def int_sq_dist(vec_col, cent_col):
         ).cast("bigint"),
     )
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def _sq_dist_col(vec_col, cent_col):
+    """Plain-double squared L2 between two ARRAY COLUMNS — the
+    declarative serving distance. Identical sequential fold (and hence
+    bit-identical result) to :func:`_sq_dist_expr`'s literal path: cast
+    to double, subtract, square, left-to-right aggregate. Used by the
+    production tier's table-broadcast assignment/probe, where the
+    centroids arrive as a broadcast FRAME instead of a literal tree, so
+    plan size stays O(1) in B and no Python worker ever runs."""
+    diff = F.zip_with(
+        vec_col, cent_col, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """(bucket, centroid) single-slice local frame from a centroid list
+    — the broadcast side of the declarative tier."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "bucket int, centroid array<double>",
+    )
+
+
+def assign_buckets_table(
+    corpus: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Declarative nearest-centroid assignment against a (bucket,
+    centroid) TABLE — the production serving tier (VERDICT r10 #5, the
+    q105 declarative-tier pattern applied to IVF):
+
+    - NO Python anywhere (vs the B > 32 broadcast-matmul pandas UDF);
+    - plan size O(1) in B (vs the literal-codegen tree's O(B·d));
+    - shuffle volume O(N): the B-way crossJoin fan-out is consumed by a
+      map-side-combinable ``min(struct(dist, bucket, vec))`` partial
+      aggregate inside the same stage, so only one best-edge row per
+      vector reaches the exchange (the window form shuffled N·B rows).
+
+    Tie-break matches every other tier: equal distance -> lower bucket
+    id (struct comparison falls through to the bucket field).
+    ``cents`` may be a (bucket, centroid) frame or a centroid list."""
+    if not isinstance(cents, DataFrame):
+        cents = _centroid_frame(corpus.sparkSession, cents)
+    d = _sq_dist_col(F.col(vec_col), F.col("centroid"))
+    best = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, "bucket", d.alias("__d"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("__d", "bucket", vec_col)).alias("__b"))
+    )
+    return best.select(
+        id_col,
+        F.col(f"__b.{vec_col}").alias(vec_col),
+        F.col("__b.bucket").alias("bucket"),
+    )
+
+
+def probe_buckets_table(
+    queries: DataFrame,
+    cents,
+    nprobe: int,
+    qvec_col: str = "qvec",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Declarative per-query probe ranking against a (bucket, centroid)
+    TABLE: the ``nprobe`` nearest buckets per query row as one
+    ``array_sort(collect_list(struct(d, bucket)))`` aggregate — no
+    Python, no window, plan size O(1) in B. Each query keeps its vector
+    (all replicas carry the same value, so ``first`` is
+    value-deterministic). Ties -> lower bucket id, matching the codegen
+    and numpy tiers. Returns (qid, qvec, probe_buckets array)."""
+    spark = queries.sparkSession
+    if not isinstance(cents, DataFrame):
+        cents = _centroid_frame(spark, cents)
+    d = _sq_dist_col(F.col(qvec_col), F.col("centroid"))
+    return (
+        queries.select(qid_col, qvec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            qid_col,
+            qvec_col,
+            F.struct(d.alias("d"), F.col("bucket").alias("bucket")).alias("__s"),
+        )
+        .groupBy(qid_col)
+        .agg(
+            F.first(qvec_col).alias(qvec_col),
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("__s")), 1, nprobe),
+                lambda s: s["bucket"],
+            ).alias("probe_buckets"),
+        )
+    )
 
 
 def _assert_quant_domain(emb: DataFrame, vec_col: str) -> float:
@@ -295,21 +443,30 @@ def assign_buckets_exact(
     + one shuffle on ``id_col``. B grows with the corpus here (SemDeDup's
     B ∝ N), so assignment work is O(N·B·d) — the cost exact Lloyd always
     pays; swap in :func:`assign_buckets`'s BLAS path when bit-parity with
-    an external replay is not required."""
-    from pyspark.sql import Window
+    an external replay is not required.
 
+    r11 shape: the argmin is a map-side-combinable
+    ``min(struct(dist, bucket, vec))`` aggregate — the B-way crossJoin
+    fan-out collapses to one row per vector BEFORE the exchange, so the
+    shuffle carries N rows (the previous window-rank form shuffled all
+    N·B fan-out rows to sort them). Identical argmin and tie-break
+    (struct comparison: dist, then bucket; the vec field is never
+    reached — (dist, bucket) pairs are unique per vector)."""
     d = int_sq_dist(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy("__d", "bucket")
-    return (
+    best = (
         # every vector compares against every centroid — the O(N·B) cross
         # product exact Lloyd is; broadcasting the B-row centroid side
         # makes the physical plan a streamed in-memory loop per task
         emb.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__d", d)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "bucket")
+        .select(id_col, vec_col, "bucket", d.alias("__d"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("__d", "bucket", vec_col)).alias("__b"))
+    )
+    return best.select(
+        id_col,
+        F.col(f"__b.{vec_col}").alias(vec_col),
+        F.col("__b.bucket").alias("bucket"),
     )
 
 
@@ -765,26 +922,25 @@ def pq_adc_topk(
     )
 
 
-def _min_sq_dist(df: DataFrame, vec_col: str, centroids: list[list[float]]):
-    """Squared L2 to the NEAREST centroid (== to the assigned bucket's
-    centroid, by definition of the assignment) — the scalar the drift
-    probe averages. Same small-B codegen / large-B broadcast-matmul
-    switch as :func:`assign_buckets`, so probe and assignment can never
-    disagree on the distance definition."""
-    if len(centroids) <= _CODEGEN_MAX_B:
-        return F.array_min(
-            F.array(*[_sq_dist_expr(vec_col, c) for c in centroids])
-        )
-    from pyspark.sql.functions import pandas_udf
-
-    bc = _centroid_broadcast(df, centroids)
-
-    @pandas_udf("double")
-    def mind(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series(_sq_dists(mat, bc.value).min(axis=1))
-
-    return mind(F.col(vec_col))
+def _assigned_sq_dist(
+    frame: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "sq_dist",
+) -> DataFrame:
+    """Squared L2 to the ASSIGNED bucket's centroid — which IS the
+    nearest-centroid distance, by definition of the assignment — as one
+    broadcast equi-join on ``bucket`` + the declarative fold. No
+    Python, no second argmin, O(N·d) at ANY B (r11: the previous form
+    recomputed a full min-over-all-centroids per row, as a pandas UDF
+    beyond B = 32, to obtain a value the bucket column already
+    determines). ``frame`` must carry ``bucket``."""
+    cf = _centroid_frame(frame.sparkSession, centroids)
+    return (
+        frame.join(F.broadcast(cf), "bucket")
+        .withColumn(out_col, _sq_dist_col(F.col(vec_col), F.col("centroid")))
+        .drop("centroid")
+    )
 
 
 def _write_centroid_table(spark, centroids: list[list[float]], path: str) -> None:
@@ -842,9 +998,13 @@ def save_ivf_index(
         # contiguous file set — the layout a 100 TB corpus needs anyway.
         # ``sq_dist`` (nearest-centroid squared distance) is computed in
         # the SAME pass and stored as a corpus column, so incremental
-        # stats rebuilds read one pruned column (r10, VERDICT r9 #3).
-        bucketed.select(id_col, vec_col, "bucket")
-        .withColumn("sq_dist", _min_sq_dist(bucketed, vec_col, centroids))
+        # stats rebuilds read one pruned column (r10, VERDICT r9 #3);
+        # it comes from a broadcast join on the assigned bucket — no
+        # Python, no re-argmin (r11).
+        _assigned_sq_dist(
+            bucketed.select(id_col, vec_col, "bucket"), centroids, vec_col
+        )
+        .select(id_col, vec_col, "bucket", "sq_dist")
         .observe(
             obs,
             F.count(F.lit(1)).alias("n"),
@@ -990,14 +1150,14 @@ def rebuild_ivf_stats(spark, path: str) -> tuple[int, float]:
     distances from the vectors."""
     corpus, cents = load_ivf_index(spark, path)
     has_sq = "sq_dist" in corpus.columns
-    sq = (
-        F.col("sq_dist")
+    frame = (
+        corpus
         if has_sq
-        else _min_sq_dist(corpus, "embedding", cents)
+        else _assigned_sq_dist(corpus, cents, "embedding")
     )
-    st = corpus.agg(
+    st = frame.agg(
         F.count("*").alias("n"),
-        F.avg(sq).alias("mean_sq_dist"),
+        F.avg("sq_dist").alias("mean_sq_dist"),
     ).first()
     n, mean = int(st["n"]), float(st["mean_sq_dist"] or 0.0)
     # record the layout truthfully: a pre-r10 corpus stays sq_dist-less
@@ -1029,6 +1189,7 @@ def append_vectors(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_drift_ratio: float = 4.0,
+    declarative: bool = False,
 ) -> dict:
     """Incremental index maintenance as ONE cached plan per increment
     (VERDICT r7 #2 — the q65 treatment): assign the delta with the
@@ -1064,11 +1225,12 @@ def append_vectors(
     cents, base_n, base_mean, has_sq = _read_ivf_meta(spark, path)
     if has_sq is None:
         has_sq = "sq_dist" in spark.read.parquet(f"{path}/corpus").columns
-    assigned = (
-        assign_buckets(delta, cents, vec_col)
-        .withColumn("__sq", _min_sq_dist(delta, vec_col, cents))
-        .persist()
-    )
+    assigned = _assigned_sq_dist(
+        assign_buckets(delta, cents, vec_col, declarative=declarative),
+        cents,
+        vec_col,
+        out_col="__sq",
+    ).persist()
     try:
         d = assigned.agg(
             F.count("*").alias("n"), F.avg("__sq").alias("mean_sq_dist")

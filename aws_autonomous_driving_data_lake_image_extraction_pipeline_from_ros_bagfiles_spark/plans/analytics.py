@@ -558,18 +558,28 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quantizer,
     )
 
+    # tier switch (VERDICT r10 #5, the q105/q184 pattern): the default
+    # tier serves through the small-B codegen-literal probe/assignment;
+    # SPARK_GRAFT_TIER=production routes assignment AND probe through
+    # the declarative centroid-TABLE path (broadcast join + min-struct /
+    # sorted-collect aggregates) — no Python worker and O(1) plan size
+    # at ANY B, the shape a 100-TB serving deployment runs. Tier
+    # agreement is pinned in tests/test_ann_ivf.py.
+    decl = production_tier()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)  # the later arrivals
     work = tempfile.mkdtemp(prefix="ivf_incr_")
     try:
         cents = train_quantizer(base, Q103_B)
-        save_ivf_index(assign_buckets(base, cents), cents, f"{work}/ix")
+        save_ivf_index(
+            assign_buckets(base, cents, declarative=decl), cents, f"{work}/ix"
+        )
         # incremental append: ONE cached assign+probe+append plan against
         # the STORED centroids (ann_ivf.append_vectors) — the drift probe
         # must admit this delta (same distribution as the training base),
         # proving the no-retrain fast path executed, not just plumbed
-        info = append_vectors(spark, f"{work}/ix", delta)
+        info = append_vectors(spark, f"{work}/ix", delta, declarative=decl)
         if not info["appended"]:
             raise AssertionError(f"in-distribution delta refused: {info}")
         grown, stored_cents = load_ivf_index(spark, f"{work}/ix")
@@ -578,7 +588,12 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
         served = ivf_topk_batch(
-            grown, stored_cents, queries, k=Q103_K, nprobe=Q103_NPROBE
+            grown,
+            stored_cents,
+            queries,
+            k=Q103_K,
+            nprobe=Q103_NPROBE,
+            declarative=decl,
         )
         # Count-only result: which neighbors come back depends on the
         # trained centroids (KMeans float-order jitter), but the serving

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import materialize, register
+from .registry import materialize, production_tier, register
 
 
 # --------------------------------------------------------------------------
@@ -186,10 +186,32 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier the full O(N·B·d) training lineage executes twice per
     # action (r9 round-diff review). materialize() — not a raw
     # localCheckpoint — so the plan audit still sees the training joins.
-    cents = materialize(deterministic_lloyd(emb, 8, iters=2))
-    bucketed = assign_buckets_exact(emb, cents)
+    # tier switch (VERDICT r10 #5): the gate default trains AND serves
+    # on the bit-replayable exact tier (integer-quantized distances);
+    # SPARK_GRAFT_TIER=production keeps the SAME seedless init and
+    # quantized means but routes corpus assignment and the probe
+    # ranking through the declarative centroid-TABLE path
+    # (assign_buckets_table / probe_buckets_table: broadcast join +
+    # min-struct / sorted-collect aggregates — no Python, O(1) plan
+    # size in B, O(N) shuffle). Tier agreement pinned in
+    # tests/test_ann_ivf.py; double-vs-quantized argmins can only
+    # disagree on pairs closer than the quantization step.
+    exact = not production_tier()
+    cents = materialize(deterministic_lloyd(emb, 8, iters=2, exact=exact))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    pb = probe_buckets_exact(cents, q, nprobe=3)
+    if exact:
+        bucketed = assign_buckets_exact(emb, cents)
+        pb = probe_buckets_exact(cents, q, nprobe=3)
+    else:
+        from ..operators.ann_ivf import (
+            assign_buckets_table,
+            probe_buckets_table,
+        )
+
+        bucketed = assign_buckets_table(emb, cents)
+        pb = probe_buckets_table(
+            q.select(F.lit(0).alias("qid"), "qvec"), cents, nprobe=3
+        ).select(F.explode("probe_buckets").alias("bucket"))
     cand = (
         bucketed.filter(F.col("vec_id") != 0)
         .join(F.broadcast(pb), "bucket")  # pruned scan: ~nprobe/B of corpus
@@ -467,9 +489,13 @@ def q70_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quantizer,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # tier switch (VERDICT r10 #5): production serves assignment and
+    # probe through the declarative centroid-table path — no Python in
+    # the probe path at any B; see q103's note
+    decl = production_tier()
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = train_quantizer(emb, n_buckets=8)
-    bucketed = assign_buckets(emb, centroids).cache()
+    bucketed = assign_buckets(emb, centroids, declarative=decl).cache()
     work = tempfile.mkdtemp(prefix="ivf_idx_")
     try:
         save_ivf_index(bucketed, centroids, work)
@@ -483,10 +509,14 @@ def q70_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # k x n_queries rows each — collect once, multiset-diff driver-side
         # (identical float paths on both sides, so exact equality is the bar)
         mem = sorted(
-            map(tuple, ivf_topk_batch(bucketed, centroids, queries, k=5, nprobe=3).collect())
+            map(tuple, ivf_topk_batch(
+                bucketed, centroids, queries, k=5, nprobe=3, declarative=decl
+            ).collect())
         )
         loaded = sorted(
-            map(tuple, ivf_topk_batch(corpus2, cents2, queries, k=5, nprobe=3).collect())
+            map(tuple, ivf_topk_batch(
+                corpus2, cents2, queries, k=5, nprobe=3, declarative=decl
+            ).collect())
         )
         rows_mem, rows_loaded = len(mem), len(loaded)
         n_diff = sum(a != b for a, b in zip(mem, loaded)) + abs(rows_mem - rows_loaded)

@@ -552,3 +552,115 @@ def test_pq_subvectors_rejects_indivisible_dim(spark):
         pq_subvectors(emb, 4).collect()
     # divisible dims still slice cleanly
     assert pq_subvectors(emb, 5).count() == 5
+
+
+def test_declarative_tier_agreement(spark):
+    """VERDICT r10 #5: the production (declarative, no-Python) IVF tier
+    must agree with the default tiers —
+
+    - assign_buckets_table == assign_buckets (codegen literal argmin)
+      bucket-for-bucket;
+    - probe_buckets_table == the codegen probe ranking per query;
+    - ivf_topk_batch(declarative=True) == the default serve tier
+      row-for-row;
+    - and the declarative serve plan runs NO Python node even at
+      B > _CODEGEN_MAX_B (where the default tier falls back to a
+      pandas UDF)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        _CODEGEN_MAX_B,
+        assign_buckets_table,
+        ivf_topk_batch,
+        probe_buckets_table,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = train_quantizer(emb, n_buckets=8)
+
+    # assignment agreement (double fold vs literal codegen — identical
+    # sequential arithmetic, so exact equality is the bar)
+    default_assign = {
+        (r.vec_id, r.bucket)
+        for r in assign_buckets(emb, centroids).select("vec_id", "bucket").collect()
+    }
+    decl_assign = {
+        (r.vec_id, r.bucket)
+        for r in assign_buckets_table(emb, centroids).select("vec_id", "bucket").collect()
+    }
+    assert decl_assign == default_assign
+
+    # probe + serve agreement
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    probes = {
+        r.qid: list(r.probe_buckets)
+        for r in probe_buckets_table(queries, centroids, nprobe=3).collect()
+    }
+    assert set(probes) == set(qids) and all(len(v) == 3 for v in probes.values())
+
+    bucketed = assign_buckets(emb, centroids).cache()
+    corpus = bucketed.filter(~F.col("vec_id").isin(qids))
+    base = sorted(
+        map(tuple, ivf_topk_batch(corpus, centroids, queries, k=5, nprobe=3).collect())
+    )
+    decl = sorted(
+        map(
+            tuple,
+            ivf_topk_batch(
+                corpus, centroids, queries, k=5, nprobe=3, declarative=True
+            ).collect(),
+        )
+    )
+    assert decl == base
+    bucketed.unpersist()
+
+    # no-Python guarantee where it matters: a centroid count past the
+    # codegen cap would push the DEFAULT tier to a pandas UDF; the
+    # declarative plan must stay JVM-only
+    big_b = _CODEGEN_MAX_B + 4
+    cents_big = [[float(i == j % 64) for i in range(64)] for j in range(big_b)]
+    served = ivf_topk_batch(
+        assign_buckets_table(emb, cents_big),
+        cents_big,
+        queries,
+        k=3,
+        nprobe=2,
+        declarative=True,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_q55_q70_q103_tier_agreement(spark, monkeypatch):
+    """Cross-tier pin for the registry queries themselves (the
+    q105/q184 pattern): replay and production tiers must produce the
+    same rows."""
+    import importlib
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans import (
+        registry,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.analytics import (
+        q103_ivf_incremental,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.grouped import (
+        q55_ann_ivf,
+        q70_ivf_index_persist,
+    )
+
+    def rows(fn):
+        return sorted(map(tuple, fn(spark, SF_DIR).collect()))
+
+    out = {}
+    for tier in ("replay", "production"):
+        monkeypatch.setenv("SPARK_GRAFT_TIER", tier)
+        assert registry.production_tier() == (tier == "production")
+        out[tier] = {
+            "q55": rows(q55_ann_ivf),
+            "q70": rows(q70_ivf_index_persist),
+            "q103": rows(q103_ivf_incremental),
+        }
+    assert out["replay"] == out["production"]
