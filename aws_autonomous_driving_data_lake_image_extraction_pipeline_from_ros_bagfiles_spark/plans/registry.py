@@ -118,3 +118,24 @@ def audit_round(tag: str, df: DataFrame) -> None:
         df._jdf.queryExecution(), "formatted"
     )
     _AUDIT_SINK.append((tag, plan))
+
+
+def audit_stream(tag: str, query) -> None:
+    """Streaming twin of :func:`audit_round` (VERDICT r10 #3): capture a
+    Structured Streaming query's last EXECUTED micro-batch plan into
+    the audit sink. The registry-level explain of a streaming query
+    (q61/q65/q88/q92) sees only the final static read of the sink
+    directory — the stateful aggregation/join/dedup plans live inside
+    the micro-batches, which `explainInternal` renders from the drained
+    query's IncrementalExecution. Every micro-batch of one drain shares
+    a plan shape, so one capture per drain is representative (a drain
+    with zero batches yields the <no data> codegen-less text, which
+    counts as zero everywhere — still better than invisible). No-op
+    outside an audit, like audit_round."""
+    if _AUDIT_SINK is None:
+        return
+    try:
+        plan = query._jsq.explainInternal(True)
+    except Exception as e:  # pragma: no cover - defensive
+        plan = f"<unavailable streaming plan: {e}>"
+    _AUDIT_SINK.append((tag, plan))

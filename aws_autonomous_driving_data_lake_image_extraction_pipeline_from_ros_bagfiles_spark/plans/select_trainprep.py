@@ -369,7 +369,15 @@ def q61_watermarked_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint_dir=f"{work}/ckpt",
                 delay="4 hours",
                 window="1 hour",
-                # size state stores to the 1-file micro-batch, not the
+                # one batch per ARRIVAL, not per file (VERDICT r10 #4):
+                # each micro-batch pays a fixed WAL + per-partition
+                # state-commit bill (~1.5 s here), so run 2's two files
+                # drain as one batch — the late filter still uses the
+                # CHECKPOINTED wm1 (watermarks only move at commit), so
+                # drop/keep/finalize behavior is bit-identical and the
+                # oracle stays green
+                max_files_per_trigger=None,
+                # size state stores to the bounded micro-batch, not the
                 # session width (same value on BOTH drains — the
                 # checkpoint pins its state partition count; r8, the q65
                 # job-count collapse applied to this query)

@@ -247,6 +247,12 @@ def run_dedup_ingest(
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
         novel = dedup_batch_against_corpus(batch_df, corpus, threshold)
+        # the real per-batch dedup plan is invisible to the registry-
+        # level explain (it sees only the final corpus read) — expose it
+        # to the plan audit like any iterative builder (VERDICT r10 #3)
+        from ..plans.registry import audit_round
+
+        audit_round(f"dedup_ingest:batch{batch_id}", novel)
         novel.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
         release_caches()  # only the dedup module's band/shingle caches
 

@@ -94,5 +94,8 @@ def stream_stream_click_view_join(
             .start()
         )
         q.awaitTermination()
+        from ..plans.registry import audit_stream
+
+        audit_stream("stream_join:drain", q)
     finally:
         spark.conf.set(sp_key, prior_sp)

@@ -47,7 +47,7 @@ def watermarked_window_counts(
     window: str = "1 hour",
     key_col: str = "event_type",
     ts_col: str = "ts",
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int | None = 1,
     shuffle_partitions: int | None = None,
 ) -> None:
     """availableNow pass: watermarked tumbling-window counts, finalized
@@ -76,11 +76,17 @@ def watermarked_window_counts(
     if shuffle_partitions is not None:
         spark.conf.set(sp_key, str(shuffle_partitions))
     try:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
-        )
+        reader = spark.readStream.schema(schema)
+        # None = no per-trigger cap: one availableNow batch drains every
+        # file that has landed. Each micro-batch pays a fixed WAL +
+        # state-commit cost per partition, so a multi-file arrival is
+        # cheapest as ONE batch (VERDICT r10 #4); watermark semantics
+        # are unchanged — the late filter uses the CHECKPOINTED
+        # watermark either way, and the watermark only advances at
+        # batch commit.
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
         agg = (
             stream.withWatermark(ts_col, delay)
             .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
@@ -100,6 +106,11 @@ def watermarked_window_counts(
             .start()
         )
         q.awaitTermination()
+        # expose the drained micro-batch plan to the plan audit
+        # (VERDICT r10 #3); no-op outside tools/plan_audit.py runs
+        from ..plans.registry import audit_stream
+
+        audit_stream("windows:watermarked_drain", q)
     finally:
         spark.conf.set(sp_key, prior_sp)
 
@@ -139,3 +150,6 @@ def dedup_within_watermark(
         .start()
     )
     q.awaitTermination()
+    from ..plans.registry import audit_stream
+
+    audit_stream("windows:dedup_drain", q)

@@ -303,3 +303,71 @@ def test_manifest_sink_binary_roundtrip(spark, tmp_path):
         for r in read_committed(spark, str(tmp_path), "k long, payload binary").collect()
     }
     assert got == {1: blob, 2: b"\x89PNG\r\n\x1a\n"}
+
+
+def test_stream_plan_audit_capture(spark):
+    """VERDICT r10 #3: a streaming drain must expose its micro-batch
+    executed plan to the plan audit — the registry-level explain of
+    q61/q92-class queries sees only the final static frame, so without
+    this hook a stateful streaming query audits as an all-zeros row.
+    Pin: with an audit sink installed, the q92 drain (stateful
+    dropDuplicatesWithinWatermark) captures a plan that shows the
+    state-store dedup operator; with no sink, the hook is a no-op."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans import (
+        registry,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.staging import (
+        stage_single_parquet,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # raw parquet infers TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        .limit(50)
+    )
+    work = tempfile.mkdtemp(prefix="stream_audit_")
+    captured: list = []
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        stage_single_parquet(events, f"{src}/d0.parquet", mtime=int(time.time()) - 30)
+        registry.set_audit_sink(captured)
+        try:
+            dedup_within_watermark(
+                spark,
+                src,
+                events.schema,
+                out_dir=f"{work}/out",
+                checkpoint_dir=f"{work}/ckpt",
+                keys=["event_id"],
+            )
+        finally:
+            registry.set_audit_sink(None)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    tags = [t for t, _ in captured]
+    assert "windows:dedup_drain" in tags, tags
+    plan = dict(captured)["windows:dedup_drain"]
+    # the executed micro-batch plan must show the stateful dedup
+    # operator and its state-store partitioning — exactly what the
+    # registry-level explain can never see (the last captured batch is
+    # the empty watermark-finalization one; the operator shape is the
+    # same in every batch of the drain)
+    assert "DeduplicateWithinWatermark" in plan, plan[:2000]
+    assert "state info" in plan and "EventTimeWatermark" in plan, plan[:2000]
