@@ -204,11 +204,18 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb = probe_buckets_exact(cents, q, nprobe=3)
     else:
         from ..operators.ann_ivf import (
-            assign_buckets_table,
+            assign_buckets,
+            centroid_list,
             probe_buckets_table,
         )
 
-        bucketed = assign_buckets_table(emb, cents)
+        # assign_buckets(declarative=True) is the no-Python guarantee:
+        # at B = 8 it is the literal-codegen projection (fastest shape
+        # at small B — sf1.0: 10.4 s vs 18.1 s for the table aggregate);
+        # past the codegen cap it becomes the broadcast-table aggregate
+        bucketed = assign_buckets(
+            emb, centroid_list(cents), declarative=True
+        )
         pb = probe_buckets_table(
             q.select(F.lit(0).alias("qid"), "qvec"), cents, nprobe=3
         ).select(F.explode("probe_buckets").alias("bucket"))

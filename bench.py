@@ -63,6 +63,9 @@ QUERY_ANNOTATIONS = {
     "q33_png_export": "memoized: shares q32's decoded demo bag",
     "q184_semantic_dedup_ivf": "tier: production (broadcast-matmul assignment); gate replays exact Lloyd",
     "q105_voc_map": "tier: production (declarative grid-bucketed matcher); gate replays the cogroup greedy walk",
+    "q55_ann_ivf": "tier: production (declarative table assign/probe); gate replays the integer-quantized tier",
+    "q70_ivf_index_persist": "tier: production (declarative table assign/probe)",
+    "q103_ivf_incremental": "tier: production (declarative table assign/probe)",
     "q54_dedup_clusters": "shared: pair-gen+CC stage computed once per session for q54/q157/q203/q205",
     "q157_cluster_representatives": "shared: reuses the q54-family pair-gen+CC stage",
     "q203_cluster_aware_split": "shared: reuses the q54-family pair-gen+CC stage",
