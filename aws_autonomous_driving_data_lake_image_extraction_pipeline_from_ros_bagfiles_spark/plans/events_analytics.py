@@ -1929,3 +1929,119 @@ def q235_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks"),
         (-F.col("b.nv")).alias("ks_at"),
     )
+
+
+# --------------------------------------------------------------------------
+# q238 — two-sample Mann-Whitney U drift (rank-sum): the third member of
+# the drift family — PSI (q233) needs a bin design, KS (q235) is the
+# sup-norm of the ECDF gap, and U is the RANK statistic: sensitive to
+# stochastic dominance (a median/location shift that KS can understate
+# and PSI's bins can swallow). Same ref/cur split as q233/q235 (integer
+# midpoint of the stream's day range). Per event_type:
+#
+#     U = R_ref - n_ref(n_ref+1)/2,  R_ref = sum of ref ranks in the
+#     COMBINED sample, ties taking the midrank.
+#
+# Determinism: midranks step by 1/2, so 2*R_ref is an exact BIGINT —
+# per distinct value v with cb = combined count of smaller values and
+# n_v = combined count at v, each ref occurrence contributes midrank
+# cb + (n_v+1)/2, i.e. 2*contribution = cr_v * (2*cb + n_v + 1). The
+# whole statistic stays integer through u2 = 2U; the reported effect
+# size auc = U / (n_ref*n_cur) (the common-language effect size /
+# ROC-AUC identity) is ONE double division of exact integers — no float
+# boundary anywhere before the final rounding.
+#
+# Scale shape: identical to q235 — one map-side-combinable groupBy over
+# (type, value), a cumulative window PARTITIONED BY event_type over the
+# distinct values (never global), then one aggregate per type.
+# --------------------------------------------------------------------------
+
+
+def _q238_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+      FROM events
+    ),
+    split AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+    cnt AS (
+      SELECT event_type, value,
+             count(*) FILTER (day <= split.mid) AS cr,
+             count(*) FILTER (day > split.mid) AS cc
+      FROM ev CROSS JOIN split GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value, cr, cc,
+             CAST(coalesce(sum(cr + cc) OVER w, 0) AS BIGINT) AS cb
+      FROM cnt
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(cr) AS BIGINT) AS n_ref,
+             CAST(sum(cc) AS BIGINT) AS n_cur,
+             CAST(sum(cr * (2 * cb + cr + cc + 1)) AS BIGINT) AS r2_ref
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_ref, n_cur,
+           r2_ref - n_ref * (n_ref + 1) AS u2,
+           round((r2_ref - n_ref * (n_ref + 1))
+                 / (2.0 * n_ref * n_cur), 6) AS auc
+    FROM agg
+    """
+
+
+@register("q238_mwu_drift", oracle=_q238_oracle())
+def q238_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (F.col("ts_us") / F.lit(_DAY_US)).cast("bigint").alias("day"),
+    )
+    split = ev.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid")
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.when(F.col("day") <= F.col("mid"), 1)).alias("cr"),
+            F.count(F.when(F.col("day") > F.col("mid"), 1)).alias("cc"),
+        )
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cnt.select(
+        "event_type",
+        "cr",
+        "cc",
+        F.coalesce(F.sum(F.col("cr") + F.col("cc")).over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.sum("cr").cast("bigint").alias("n_ref"),
+        F.sum("cc").cast("bigint").alias("n_cur"),
+        F.sum(
+            F.col("cr") * (2 * F.col("cb") + F.col("cr") + F.col("cc") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_ref"),
+    )
+    u2 = F.col("r2_ref") - F.col("n_ref") * (F.col("n_ref") + 1)
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        u2.alias("u2"),
+        F.round(
+            u2 / (2.0 * F.col("n_ref") * F.col("n_cur")), 6
+        ).alias("auc"),
+    )

@@ -1260,3 +1260,153 @@ def q195_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+# --------------------------------------------------------------------------
+# q237 — reciprocal-rank-fusion hybrid retrieval: the standard fusion of a
+# LEXICAL retriever (q80's BM25 over the fixed query terms) and a DENSE
+# retriever (q26's brute cosine against vec_id 0's embedding, doc_id ==
+# vec_id — the partially-embedded-corpus case at sf0.1, where only some
+# documents carry vectors, is handled by RRF's native treatment of
+# missing ranks). RRF(doc) = sum over arms of 1/(K + rank); items absent
+# from an arm contribute 0 for that arm. No score normalization needed —
+# the whole point of RRF (Cormack et al.'s rank-only fusion).
+#
+# Scale shape: each arm ends in orderBy().limit(KEACH) — Spark plans a
+# TakeOrderedAndProject (per-partition heap + driver merge), never a
+# global sort or single-task window; the rank windows then run over the
+# <= KEACH-row retained frames (bounded by the fusion depth, not the
+# corpus), and the fusion join is KEACH x KEACH at most. Both arm
+# orderings round/tie-break exactly like their parent queries (q80:
+# round(bm25, 6) DESC, doc_id; q26: raw cosine DESC, vec_id — sequential
+# float folds, bit-identical across engines).
+# --------------------------------------------------------------------------
+Q237_KEACH = 64   # fusion depth per arm
+Q237_RRF_K = 60   # the canonical RRF constant
+Q237_TOPK = 20
+Q237_QUERY_ID = 0  # doc 0 is the query document / query vector
+
+
+def _q237_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q80_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+    tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+    qtok AS (SELECT * FROM tok WHERE t IN ({terms})),
+    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+    tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl
+           FROM qtok GROUP BY 1, 2),
+    lexs AS (
+        SELECT tf.doc_id,
+               round(sum(ln(1 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * ({Q80_K1} + 1)
+                   / (tf.tf + {Q80_K1} * (1 - {Q80_B}
+                      + {Q80_B} * tf.dl / corpus.avgdl))), 6) AS bm25
+        FROM tf JOIN dft USING (t) CROSS JOIN corpus
+        WHERE tf.doc_id <> {Q237_QUERY_ID}
+        GROUP BY 1),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrk
+        FROM (SELECT * FROM lexs ORDER BY bm25 DESC, doc_id LIMIT {Q237_KEACH})),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id = {Q237_QUERY_ID}),
+    sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_sum(list_transform(e.embedding::DOUBLE[], (x, i) -> x * q.qe[i]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS sim
+        FROM embeddings e, q WHERE e.vec_id <> {Q237_QUERY_ID}),
+    den AS (
+        SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS drk
+        FROM (SELECT * FROM sims ORDER BY sim DESC, doc_id LIMIT {Q237_KEACH})),
+    fused AS (
+        SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+               coalesce(1.0 / ({Q237_RRF_K} + lex.lrk), 0)
+               + coalesce(1.0 / ({Q237_RRF_K} + den.drk), 0) AS rrf,
+               lex.lrk, den.drk
+        FROM lex FULL JOIN den USING (doc_id))
+    SELECT doc_id, round(rrf, 6) AS rrf,
+           CAST(lrk AS INT) AS lex_rank, CAST(drk AS INT) AS dense_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {Q237_TOPK}
+    """
+
+
+@register("q237_rrf_hybrid", oracle=_q237_oracle())
+def q237_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    # lexical arm — q80's exact scoring, minus its final LIMIT
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    corpus = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
+    )
+    tok = d.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("t")
+    ).filter(F.col("t").isin(Q80_TERMS))
+    dft = (
+        tok.select("doc_id", "t").distinct()
+        .groupBy("t").agg(F.count("*").alias("df"))
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf * F.col("tf") * (Q80_K1 + 1)
+        / (F.col("tf")
+           + Q80_K1 * (1 - Q80_B + Q80_B * F.col("dl") / F.col("avgdl")))
+    )
+    lexs = (
+        tf.filter(F.col("doc_id") != Q237_QUERY_ID)
+        .join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lexs.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(Q237_KEACH)
+        .withColumn("lrk", F.row_number().over(wl))
+        .select("doc_id", "lrk")
+    )
+
+    # dense arm — q26's brute cosine, truncated at the fusion depth
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == Q237_QUERY_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != Q237_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    wd = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    den = (
+        sims.orderBy(F.desc("sim"), F.asc("doc_id")).limit(Q237_KEACH)
+        .withColumn("drk", F.row_number().over(wd))
+        .select("doc_id", "drk")
+    )
+
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (Q237_RRF_K + F.col("lrk")), F.lit(0.0))
+            + F.coalesce(1.0 / (Q237_RRF_K + F.col("drk")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("lrk").cast("int").alias("lex_rank"),
+        F.col("drk").cast("int").alias("dense_rank"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(Q237_TOPK)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"),
+                "lex_rank", "dense_rank")
+    )

@@ -151,3 +151,47 @@ def test_ks_identical_windows_zero(spark, tmp_path):
     # the sup is first achieved at the ref support's max (value 4);
     # larger values also achieve it, the tie rule keeps the smallest
     assert b.ks_at == 4.0
+
+
+# ---------------------------------------------------------------- q238
+def test_mwu_identical_and_shifted(spark, tmp_path):
+    """Hand fixture routed through q238_mwu_drift itself: identical
+    windows give U = n_ref*n_cur/2 exactly (auc = 0.5, the no-drift
+    fixed point, exact because 2U is an integer); a hard upward shift
+    in the current window gives U = 0 (auc = 0 — every ref value ranks
+    below every cur value); midranks are exercised by the duplicated
+    values (each value appears in BOTH windows, so every rank is a
+    tie-group midrank)."""
+    import datetime
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.events_analytics import (
+        q238_mwu_drift,
+    )
+
+    same = [("a", float(v), d) for v in (1, 2, 3, 4) for d in (0, 1)]
+    shift = [("b", float(v), 0) for v in (1, 2, 3, 4)] + [
+        ("b", float(v + 10), 1) for v in (1, 2, 3, 4)
+    ]
+    epoch = datetime.datetime(1970, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=d), i % 3, et, v, "{}")
+        for i, (et, v, d) in enumerate(same + shift)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.event_type: r
+        for r in q238_mwu_drift(spark, str(tmp_path)).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_ref, a.n_cur) == (4, 4)
+    # identical distributions: U = 4*4/2 = 8, u2 = 16, auc = 0.5 exactly
+    assert a.u2 == 16 and a.auc == 0.5
+    # cur shifted above every ref value: ref holds ranks 1..4 -> U = 0
+    assert b.u2 == 0 and b.auc == 0.0

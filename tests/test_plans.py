@@ -425,3 +425,35 @@ def test_q155_dead_letter_single_rollup(spark):
     plan = _plan(spark, "q155_dead_letter_parse")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "from_json" in plan
+
+
+def test_q237_rrf_fusion_arithmetic(spark):
+    """q237: the fused score must equal 1/(60+lex_rank) +
+    1/(60+dense_rank) with absent arms contributing zero, ranks must be
+    1-based and unique within an arm, and the output must be the top-20
+    by (rrf DESC, doc_id)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.plans.text_ir import (
+        Q237_RRF_K,
+        Q237_TOPK,
+        q237_rrf_hybrid,
+    )
+
+    rows = q237_rrf_hybrid(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == Q237_TOPK
+    prev = None
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert r.lex_rank >= 1
+            expect += 1.0 / (Q237_RRF_K + r.lex_rank)
+        if r.dense_rank is not None:
+            assert r.dense_rank >= 1
+            expect += 1.0 / (Q237_RRF_K + r.dense_rank)
+        assert r.lex_rank is not None or r.dense_rank is not None
+        assert abs(r.rrf - round(expect, 6)) <= 1e-9, (r, expect)
+        if prev is not None:
+            assert (prev.rrf, ) >= (r.rrf, )  # descending
+        prev = r
+    # at least one doc fused from BOTH arms on this corpus (doc ids and
+    # vec ids share the 0..499 domain at sf0.001)
+    assert any(r.lex_rank is not None and r.dense_rank is not None for r in rows)

@@ -132,6 +132,13 @@ BNLJ_WHITELIST = {
     # crossJoined onto the event stream before the (type, value, win)
     # count groupBy — O(1) side.
     "q235_ks_drift": 2,
+    # q238 MWU: the same one-row midpoint-split broadcast as q233/q235
+    "q238_mwu_drift": 2,
+    # q237 RRF: two one-row scalar sides — the (n_docs, avgdl) corpus
+    # stats row under the BM25 arm and the query-vector row under the
+    # cosine arm — each appearing in both the TakeOrdered arm and its
+    # rank window's replay of the arm lineage
+    "q237_rrf_hybrid": 4,
     # q228 DSIR: crossJoin(broadcast(tots)) — the ONE-ROW feature-total
     # aggregate onto the 256-row bucket table (r10: the former nsel
     # broadcast is gone — the top-fraction cutoff is now a driver-side
