@@ -326,6 +326,14 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
             keys=["event_id"],
+            # both deliveries drain as ONE micro-batch and the dedup
+            # state stores are sized to it — the q61/q65 treatment;
+            # dropDuplicatesWithinWatermark removes within-batch
+            # duplicates identically, so the output is unchanged
+            max_files_per_trigger=None,
+            shuffle_partitions=max(
+                8, spark.sparkContext.defaultParallelism // 4
+            ),
         )
         out = spark.read.parquet(f"{work}/out").select(
             "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"

@@ -124,6 +124,8 @@ def dedup_within_watermark(
     keys: list[str],
     ts_col: str = "ts",
     delay: str = "40 days",
+    max_files_per_trigger: int | None = 1,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """availableNow drain of ``dropDuplicatesWithinWatermark``: the
     built-in stateful dedup whose state is BOUNDED by the watermark (a
@@ -134,22 +136,40 @@ def dedup_within_watermark(
     reconciliation (ST2): a source that re-delivers (the reference's SQS
     redelivery, here a file landed twice) emits each key exactly once as
     long as the duplicate arrives within the lateness contract.
-    """
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-        .withWatermark(ts_col, delay)
-        .dropDuplicatesWithinWatermark(keys)
-    )
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    from ..plans.registry import audit_stream
 
-    audit_stream("windows:dedup_drain", q)
+    ``max_files_per_trigger=None`` drains every landed file as one
+    micro-batch (the q61 treatment, VERDICT r10 #4): each batch pays a
+    fixed WAL + per-partition state-commit bill, and the dedup contract
+    is batch-size independent — dropDuplicatesWithinWatermark removes
+    duplicates arriving within one batch exactly as it removes them
+    across batches. ``shuffle_partitions`` (scoped to the drain,
+    restored after — the q65 knob) sizes the state stores to the
+    bounded batch; same checkpoint-pinning caveat as
+    watermarked_window_counts.
+    """
+    sp_key = "spark.sql.shuffle.partitions"
+    prior_sp = spark.conf.get(sp_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(sp_key, str(shuffle_partitions))
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = (
+            reader.parquet(source_dir)
+            .withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from ..plans.registry import audit_stream
+
+        audit_stream("windows:dedup_drain", q)
+    finally:
+        spark.conf.set(sp_key, prior_sp)
