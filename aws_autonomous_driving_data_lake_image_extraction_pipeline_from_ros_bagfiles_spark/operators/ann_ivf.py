@@ -28,12 +28,23 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import cosine
+
+
+def _is_missing_path(e: AnalysisException) -> bool:
+    """True iff the AnalysisException is Spark's path-does-not-exist
+    error — the one stats-read failure that legitimately means "no
+    stats yet, rebuild" rather than a real fault to propagate."""
+    cls = getattr(e, "getErrorClass", lambda: None)()
+    if cls is not None:
+        return cls == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
 
 def train_quantizer(
@@ -134,6 +145,7 @@ def assign_buckets(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     declarative: bool = False,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid bucket per vector. B <= 32 stays pure codegen
     (JVM-only, no Python workers); beyond that the broadcast-matrix
@@ -146,18 +158,25 @@ def assign_buckets(
     at small B: sf1.0 q55 18.1 s table vs 10.4 s literal), and past the
     cap — where the default tier falls back to a pandas UDF — it routes
     through :func:`assign_buckets_table`: broadcast centroid TABLE +
-    min-struct aggregate, O(1) plan size, same argmin/tie-break."""
+    min-struct aggregate, O(1) plan size, same argmin/tie-break.
+
+    PRECONDITION of the declarative > cap path (ADVICE r11): ``id_col``
+    values must be UNIQUE and NON-NULL. The table tier's
+    ``groupBy(id_col)`` would collapse duplicate ids to one row and the
+    join-back drops NULL-id rows, whereas the withColumn tiers preserve
+    input multiplicity. Every engine caller satisfies this (vec_id is a
+    key in all IVF corpora); pass the actual key via ``id_col`` if it
+    is not named vec_id."""
     if len(centroids) <= _CODEGEN_MAX_B:
         return corpus.withColumn("bucket", _nearest_centroid(vec_col, centroids))
     if declarative:
         # keep the withColumn-like contract (input columns + bucket):
-        # joining the (id-less) assignment back needs the conventional
-        # vec_id column
-        assigned = assign_buckets_table(corpus, centroids, vec_col)
-        extra = [c for c in corpus.columns if c not in ("vec_id", vec_col)]
+        # joining the (id-less) assignment back needs the id_col key
+        assigned = assign_buckets_table(corpus, centroids, vec_col, id_col)
+        extra = [c for c in corpus.columns if c not in (id_col, vec_col)]
         if extra:
             return corpus.join(
-                assigned.select("vec_id", "bucket"), "vec_id"
+                assigned.select(id_col, "bucket"), id_col
             )
         return assigned
     return corpus.withColumn("bucket", _nearest_centroid_vectorized(corpus, vec_col, centroids))
@@ -938,7 +957,17 @@ def _assigned_sq_dist(
     Python, no second argmin, O(N·d) at ANY B (r11: the previous form
     recomputed a full min-over-all-centroids per row, as a pandas UDF
     beyond B = 32, to obtain a value the bucket column already
-    determines). ``frame`` must carry ``bucket``."""
+    determines). ``frame`` must carry ``bucket``.
+
+    Equality with the true min-over-all-centroids distance assumes the
+    ASSIGNING tier's argmin agrees with this fold's arithmetic (ADVICE
+    r11): the default B > 32 tier assigns via a numpy BLAS argmin whose
+    float accumulation order differs from ``_sq_dist_col``'s sequential
+    fold, so an exact near-tie between two centroids could assign the
+    "other" one and make the stored sq_dist marginally exceed the true
+    nearest distance. Tier agreement is pinned on the test corpora
+    (tests/test_ann_ivf.py); the only consumer is the 4.0x drift-ratio
+    gate, where a near-tie-sized delta is immaterial by construction."""
     cf = _centroid_frame(frame.sparkSession, centroids)
     return (
         frame.join(F.broadcast(cf), "bucket")
@@ -1086,7 +1115,9 @@ def read_ivf_stats(spark, path: str) -> tuple[int, float]:
     crash inside a stats update)."""
     try:
         st = spark.read.parquet(f"{path}/stats").first()
-    except Exception:
+    except AnalysisException as e:
+        if not _is_missing_path(e):  # see _read_ivf_meta (ADVICE r11)
+            raise
         st = None
     if st is None:
         raise ValueError(
@@ -1115,7 +1146,13 @@ def _read_ivf_meta(spark, path: str):
     cents_df = spark.read.parquet(f"{path}/centroids")
     try:
         stats_df = spark.read.parquet(f"{path}/stats")
-    except Exception:
+    except AnalysisException as e:
+        # only the missing-stats-dir case means "rebuild the stats";
+        # corrupted footers / FS errors / permissions keep their real
+        # message instead of prompting an unnecessary rebuild (ADVICE
+        # r11)
+        if not _is_missing_path(e):
+            raise
         stats_df = None
     if stats_df is None:
         rows = None

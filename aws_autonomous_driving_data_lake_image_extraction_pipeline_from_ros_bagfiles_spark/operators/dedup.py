@@ -56,6 +56,26 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 # evict caches the embedding application pinned for itself.
 _ACTIVE_CACHES: list[DataFrame] = []
 
+# Memoized Column expression trees. A pyspark Column is an IMMUTABLE
+# unresolved expression — it holds no DataFrame or session reference, so
+# one instance is safely reused across any number of plans in the same
+# process. Building these trees is NOT free: each F.* call and operator
+# is a Py4J round trip, and the minhash/shingle trees cost thousands of
+# round trips (~2 s of pure driver latency per build, r12 profile). A
+# per-micro-batch caller (streaming/dedup_ingest.py rebuilds the plan for
+# EVERY batch) was paying that per batch — 12 s of a 17 s drain was
+# socket round trips. Keys are the free variables of each tree (column
+# names / n); the hash-family constants are module-level and fixed.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _expr_cached(key: tuple, build):
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = build()
+        _EXPR_CACHE[key] = col
+    return col
+
 
 def _cached(df: DataFrame) -> DataFrame:
     df = df.cache()
@@ -180,18 +200,30 @@ def minhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     materializes each digest exactly once and the H signature mins become
     vectorized aggregates over one shuffle on id.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = df.select(
+        F.col(id_col),
+        _expr_cached(("toks", text_col), lambda: tokens(F.col(text_col)).alias("__toks")),
+    )
     hs = toks.select(
         F.col(id_col),
-        F.explode(
-            shingle_base_hash(shingles_from_tokens(F.col("__toks")))
-        ).alias("h"),
+        _expr_cached(
+            ("mh_explode",),
+            lambda: F.explode(
+                shingle_base_hash(shingles_from_tokens(F.col("__toks")))
+            ).alias("h"),
+        ),
     )
-    aggs = []
-    for i in range(NUM_HASHES):
-        a, b = minhash_params(i)
-        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{i}"))
-    return hs.groupBy(id_col).agg(*aggs)
+
+    def build_aggs():
+        aggs = []
+        for i in range(NUM_HASHES):
+            a, b = minhash_params(i)
+            aggs.append(
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{i}")
+            )
+        return aggs
+
+    return hs.groupBy(id_col).agg(*_expr_cached(("mh_aggs",), build_aggs))
 
 
 def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -202,20 +234,30 @@ def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     re-checking a grown corpus never re-hashes its text: the signature
     cost is paid once per document at admission."""
     sig = minhash_table(df, text_col, id_col)
-    cols = [
-        F.md5(
-            F.concat_ws("|", *[f"s{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)])
-        ).alias(f"bk{b}")
-        for b in range(BANDS)
-    ]
+    cols = _expr_cached(
+        ("band_cols",),
+        lambda: [
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"s{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)]
+                )
+            ).alias(f"bk{b}")
+            for b in range(BANDS)
+        ],
+    )
     return sig.select(F.col(id_col), *cols)
 
 
 def bands_long(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Wide (id, bk0..) -> join-ready long (id, band, band_key). Narrow op,
     no hashing — safe to apply to persisted index columns on every read."""
-    arr = F.array(*[F.col(f"bk{b}") for b in range(BANDS)])
-    return wide.select(F.col(id_col), F.posexplode(arr).alias("band", "band_key"))
+    pos = _expr_cached(
+        ("bands_posexplode",),
+        lambda: F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(BANDS)])
+        ).alias("band", "band_key"),
+    )
+    return wide.select(F.col(id_col), pos)
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -417,10 +459,16 @@ def shingles_long(
     """(id, shingle) rows. Tokenizes in its OWN projection so the gram
     build under the explode references a materialized array attribute —
     the O(len) form (see shingles_from_tokens perf contract)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = df.select(
+        F.col(id_col),
+        _expr_cached(("toks", text_col), lambda: tokens(F.col(text_col)).alias("__toks")),
+    )
     return toks.select(
         F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        _expr_cached(
+            ("sh_explode", n),
+            lambda: F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        ),
     )
 
 

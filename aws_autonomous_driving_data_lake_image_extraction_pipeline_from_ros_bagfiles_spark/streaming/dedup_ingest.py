@@ -81,35 +81,61 @@ def dedup_batch_against_corpus(
     spark = batch.sparkSession
 
     # tier 1: keep-min per fingerprint via window — no driver-side
-    # keeper broadcast, one shuffle by fp (micro-batches are bounded)
+    # keeper broadcast, one shuffle by fp (micro-batches are bounded).
+    # One select (not withColumn chains): every DataFrame op is an eager
+    # Catalyst analysis pass over the whole subtree (~20-90 ms each on
+    # these trees, r12 profile), and this function runs per micro-batch.
     from pyspark.sql.window import Window
 
-    batch = (
-        batch.withColumn("fp", text_fingerprint(F.col("text")))
-        .withColumn("__min_id", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
-    )
+    batch = batch.select(
+        "*",
+        text_fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "*",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("__min_id"),
+    ).filter(F.col("doc_id") == F.col("__min_id")).drop("__min_id")
 
     # tier 2: corpus fingerprint anti-join (corpus may hold empty batch
-    # dirs — joins against an empty frame are no-ops, no isEmpty() probe)
+    # dirs — joins against an empty frame are no-ops, no isEmpty() probe).
+    # Shape: semi-join the CORPUS down to fps the batch actually carries
+    # (batch side broadcast — it is micro-batch-bounded), then anti-join
+    # the batch against that tiny matched set (also broadcast). The
+    # corpus — the unbounded side — is scanned but NEVER shuffled; the
+    # direct `batch anti-join corpus_fps` form would hash-exchange the
+    # whole corpus fp column per micro-batch at cluster scale. No
+    # distinct on the corpus side: anti-join semantics ignore right-side
+    # multiplicity, and the distinct was itself a full corpus shuffle.
     has_corpus = corpus is not None
     if has_corpus:
         if "fp" in corpus.columns:
-            corpus_fps = corpus.select("fp").distinct()
+            corpus_fps = corpus.select("fp")
         else:
-            corpus_fps = corpus.select(text_fingerprint(F.col("text")).alias("fp")).distinct()
-        batch = batch.join(corpus_fps, "fp", "left_anti")
+            corpus_fps = corpus.select(text_fingerprint(F.col("text")).alias("fp"))
+        matched_fps = corpus_fps.join(
+            F.broadcast(batch.select("fp")), "fp", "left_semi"
+        )
+        batch = batch.join(F.broadcast(matched_fps), "fp", "left_anti")
 
     # exact-tier survivors are read by the hashing pass, the verify doc
-    # set, and the final anti-join — cache once, released by batch_fn
-    batch = cache_pinned(batch)
+    # set, the tier-2 broadcast subquery, and the final anti-join — and
+    # every one of those reads re-ANALYZES the reader's whole subtree.
+    # localCheckpoint (not cache): it materializes like a cache but also
+    # TRUNCATES lineage, so the dozen downstream ops analyze a one-leaf
+    # LogicalRDD instead of the streaming-scan + window + anti-join
+    # tree — per-micro-batch plan construction is driver fixed cost and
+    # was half the drain (r12 profile). Safe here because a micro-batch
+    # is bounded and the foreachBatch body is replayed as a unit on
+    # failure (the checkpointed source re-delivers the batch; losing a
+    # non-replayable local checkpoint just re-runs this function).
+    batch = batch.localCheckpoint(eager=True)
 
-    # one hashing pass over the batch; tiers below reuse it
+    # one hashing pass over the batch; tiers below reuse it. The minhash
+    # HOF tree is the largest expression in the engine — checkpointing
+    # its output keeps it out of every candidate/verify analysis pass.
     hashed = batch.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    wide = cache_pinned(minhash_band_cols(hashed))
+    wide = minhash_band_cols(hashed).localCheckpoint(eager=True)
     blong = bands_long(wide)
 
     # Verify keys parity-tag the sides: batch ids map to 2*id, corpus
@@ -148,9 +174,13 @@ def dedup_batch_against_corpus(
         rb = rlong.select(F.col("doc_id").alias("raw_b"), "band", "band_key")
         # cross candidates: the BATCH side is doomed; normalize the
         # tagged keys to (lo, hi) for the shared verify's id_a < id_b
-        # convention (tagged keys never tie, even on id collision)
+        # convention (tagged keys never tie, even on id collision).
+        # Broadcast the batch band table: the corpus index — the side
+        # that grows without bound over the life of the ingest — is
+        # scanned and probed map-side, never hash-exchanged on
+        # (band, band_key) per micro-batch.
         cross = (
-            la.join(rb, ["band", "band_key"])
+            F.broadcast(la).join(rb, ["band", "band_key"])
             .select(
                 F.least(F.col("raw_a") * 2, F.col("raw_b") * 2 + 1).alias("id_a"),
                 F.greatest(F.col("raw_a") * 2, F.col("raw_b") * 2 + 1).alias("id_b"),
@@ -244,8 +274,48 @@ def run_dedup_ingest(
         spark.conf.set(sp_key, str(shuffle_partitions))
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
 
+    # Per-drain corpus cache: each committed batch directory is read and
+    # .cache()d ONCE for the life of the drain, instead of re-listed,
+    # re-footer-read, and re-scanned by every later micro-batch (each
+    # batch reads the corpus three times — fp semi-join, band probe,
+    # verify text). Keyed by directory so a replayed batch (exclude
+    # path) simply evicts its own stale pre-crash entry. The union plan
+    # grows one leaf per committed batch — bounded by the drain's batch
+    # count; a long-lived production ingest compacts batch dirs
+    # periodically (the upsert module's compact generation pattern),
+    # which also resets this union.
+    import glob as _glob
+    import os as _os
+
+    corpus_frames: dict[str, DataFrame] = {}
+
+    def corpus_union(exclude_batch: int) -> DataFrame | None:
+        excl = _os.path.join(corpus_dir, f"batch={exclude_batch}")
+        stale = corpus_frames.pop(excl, None)
+        if stale is not None:
+            stale.unpersist()
+        dirs = sorted(_glob.glob(_os.path.join(corpus_dir, "batch=*")))
+        out = None
+        for d in dirs:
+            if d.rstrip("/") == excl:
+                continue
+            df = corpus_frames.get(d)
+            if df is None:
+                df = (
+                    spark.read.option("recursiveFileLookup", "true").parquet(d).cache()
+                )
+                corpus_frames[d] = df
+            # unionByName, not unionAll: batch dirs differ in column
+            # ORDER (batch 0 skips the tier-2 USING join that moves fp
+            # to the front), and a positional union would silently
+            # misalign fp/doc_id across them — a multi-path
+            # spark.read.parquet resolves by name, and this union must
+            # match that semantics.
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
+        corpus = corpus_union(exclude_batch=batch_id)
         novel = dedup_batch_against_corpus(batch_df, corpus, threshold)
         # the real per-batch dedup plan is invisible to the registry-
         # level explain (it sees only the final corpus read) — expose it
@@ -267,3 +337,5 @@ def run_dedup_ingest(
     finally:
         spark.conf.set(aqe_key, prior_aqe)
         spark.conf.set(sp_key, prior_sp)
+        for df in corpus_frames.values():
+            df.unpersist()

@@ -80,10 +80,17 @@ def watermarked_window_counts(
         # None = no per-trigger cap: one availableNow batch drains every
         # file that has landed. Each micro-batch pays a fixed WAL +
         # state-commit cost per partition, so a multi-file arrival is
-        # cheapest as ONE batch (VERDICT r10 #4); watermark semantics
-        # are unchanged — the late filter uses the CHECKPOINTED
-        # watermark either way, and the watermark only advances at
-        # batch commit.
+        # cheapest as ONE batch (VERDICT r10 #4). Watermark semantics:
+        # the late filter uses the CHECKPOINTED watermark either way,
+        # but with per-file triggers the watermark ADVANCES between the
+        # batches of a single drain — so drop/keep equivalence of the
+        # one-batch drain holds only when the files of one drain don't
+        # straddle the lateness window relative to EACH OTHER (a later
+        # file's max ts minus the delay staying at or below an earlier
+        # file's row ts). The engine's redelivery fixtures satisfy that
+        # (oracle-pinned); an arrival pattern that violates it gets the
+        # one-batch drain's (more-admitting) semantics, which is the
+        # documented availableNow default, not an error.
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_dir)
