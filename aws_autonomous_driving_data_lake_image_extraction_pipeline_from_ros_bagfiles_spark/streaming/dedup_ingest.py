@@ -37,10 +37,10 @@ from ..operators.dedup import (
     BANDS,
     bands_long,
     cache_pinned,
-    jaccard_on_pairs,
     minhash_band_cols,
     minhash_bands,
     release_caches,
+    shingle_arrays,
     text_fingerprint,
 )
 
@@ -116,27 +116,26 @@ def dedup_batch_against_corpus(
         )
         batch = batch.join(F.broadcast(matched_fps), "fp", "left_anti")
 
-    # exact-tier survivors are read by the hashing pass, the verify doc
-    # set, the tier-2 broadcast subquery, and the final anti-join — and
-    # every one of those reads re-ANALYZES the reader's whole subtree.
-    # localCheckpoint (not cache): it materializes like a cache but also
-    # TRUNCATES lineage, so the dozen downstream ops analyze a one-leaf
-    # LogicalRDD instead of the streaming-scan + window + anti-join
-    # tree — per-micro-batch plan construction is driver fixed cost and
-    # was half the drain (r12 profile). Safe here because a micro-batch
-    # is bounded and the foreachBatch body is replayed as a unit on
-    # failure (the checkpointed source re-delivers the batch; losing a
-    # non-replayable local checkpoint just re-runs this function).
-    batch = batch.localCheckpoint(eager=True)
-
-    # one hashing pass over the batch; tiers below reuse it. The minhash
-    # HOF tree is the largest expression in the engine — checkpointing
-    # its output keeps it out of every candidate/verify analysis pass.
+    # ONE materialization pin for the whole per-batch state: exact-tier
+    # survivors WITH their band-index columns attached (the hashing pass
+    # rides the same job). localCheckpoint (not cache): it materializes
+    # like a cache but also TRUNCATES lineage, so the dozen downstream
+    # ops analyze a one-leaf LogicalRDD instead of the streaming-scan +
+    # window + anti-join + minhash-HOF tree — per-micro-batch plan
+    # construction is driver fixed cost and was half the drain (r12
+    # profile). Safe here because a micro-batch is bounded and the
+    # foreachBatch body is replayed as a unit on failure (the
+    # checkpointed source re-delivers the batch; losing a non-replayable
+    # local checkpoint just re-runs this function). Left join: docs
+    # shorter than the shingle width have no signature row — their bk*
+    # stay NULL, never band-match, and the fp tier still guards them
+    # exactly; this checkpointed frame IS the persisted output shape.
     hashed = batch.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
     )
-    wide = minhash_band_cols(hashed).localCheckpoint(eager=True)
-    blong = bands_long(wide)
+    wide = minhash_band_cols(hashed)
+    batch = batch.join(wide, "doc_id", "left").localCheckpoint(eager=True)
+    blong = bands_long(batch.select("doc_id", *_BAND_COLS))
 
     # Verify keys parity-tag the sides: batch ids map to 2*id, corpus
     # ids to 2*id+1, making the combined verify's key space disjoint BY
@@ -192,23 +191,63 @@ def dedup_batch_against_corpus(
             corpus.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
         )
 
-    # cand is read twice (verify pair set, doomed lookup); duplicates are
-    # deduped once in the verify projection — no pre-distinct shuffle
+    # cand is read twice (verify pair set, doomed lookup)
     cand = cache_pinned(cand)
-    verified = jaccard_on_pairs(
-        cand.select("id_a", "id_b").distinct(), verify_docs, "text", "doc_id"
-    ).filter(F.col("jaccard") >= threshold)
-    drops = (
-        verified.join(cand, ["id_a", "id_b"])
-        .select(F.col("doomed").alias("doc_id"))
-        .distinct()
-    )
-    batch = batch.join(drops, "doc_id", "left_anti")
 
-    # attach the index columns the corpus persists (left join: sub-shingle
-    # docs have no bands — their bk* stay NULL and never band-match, while
-    # fp still guards them exactly)
-    return batch.join(wide, "doc_id", "left")
+    # Exact-Jaccard verify in ARRAY form: candidate docs are a bounded
+    # set (|batch| x bands x bucket occupancy), so each doc's distinct
+    # shingle SET rides one array column and a pair's Jaccard is one
+    # array_intersect projection — same |A∩B| / (|A|+|B|-|A∩B|) the
+    # explode -> shingle self-join -> count -> two size-joins pipeline
+    # computed, minus ~6 shuffle stages per micro-batch (the r12 stage
+    # audit measured 167 stages/drain, none over 0.5 s — stage count IS
+    # the cost on a bounded batch). No pre-distinct on pairs / ids /
+    # drops: the joins below ignore right-side multiplicity (semi/anti)
+    # and duplicate pairs just re-verify a bounded few rows — each
+    # distinct was a shuffle.
+    cand_ids = cand.select(F.col("id_a").alias("doc_id")).unionAll(
+        cand.select(F.col("id_b").alias("doc_id"))
+    )
+    # materialize the candidate shingle arrays ONCE: they feed BOTH
+    # broadcast sides below, and without the pin each broadcast job
+    # re-scans batch + corpus and re-runs the shingle HOF (the two
+    # largest per-batch jobs in the r12 job audit, growing with corpus
+    # size)
+    arrs = shingle_arrays(
+        verify_docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    verified = (
+        cand.select("id_a", "id_b", "doomed")
+        .join(
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("sh_arr").alias("__sa"),
+                    F.col("n_sh").alias("__na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                arrs.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("sh_arr").alias("__sb"),
+                    F.col("n_sh").alias("__nb"),
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            inter / (F.col("__na") + F.col("__nb") - inter) >= F.lit(threshold)
+        )
+    )
+    drops = verified.select(F.col("doomed").alias("doc_id"))
+    # batch already carries its index columns (the checkpoint above) —
+    # the survivors ARE the persisted shape; broadcast the tiny drop set
+    # so the anti-join never shuffles the batch
+    return batch.join(F.broadcast(drops), "doc_id", "left_anti")
 
 
 def read_corpus(
