@@ -71,7 +71,10 @@ def dedup_batch_against_corpus(
     sequential version cost ~60 driver-serial jobs per ingest): their
     candidate pairs are unioned — normalized to (lo, hi) with the
     doomed side tagged at candidate time — and verified in a single
-    exact-Jaccard pass over one shared candidate-shingle cache. Legal
+    exact-Jaccard pass over one pinned candidate shingle-array frame
+    (r12: array_intersect per pair, not a shingle-long self-join — the
+    candidate doc set is micro-batch-bounded, so the array shape saves
+    ~6 shuffle stages per batch at identical arithmetic). Legal
     because band collision and Jaccard are PAIRWISE properties
     independent of tier order, and the drop rule is a flat anti-join
     (not transitive closure): a batch doc is dropped iff it pairs with
