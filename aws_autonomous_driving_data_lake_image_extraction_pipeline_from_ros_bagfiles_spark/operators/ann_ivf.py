@@ -261,8 +261,21 @@ def _probe_topk(
     """Shared probe-join + per-query top-k tail of all
     :func:`ivf_topk_batch` tiers: equi-join (qid, qvec, bucket) probe
     rows with the bucketed corpus, rank by cosine with a
-    WindowGroupLimit-bounded heap per query."""
-    joined = probes.join(bucketed, "bucket")
+    WindowGroupLimit-bounded heap per query.
+
+    The probe side is BROADCAST: it is |queries|·nprobe rows — the
+    bounded side by construction (the corpus is the unbounded one and
+    must never be shuffled by a query batch; the join key has only B
+    distinct values, so a shuffle join would also funnel the whole
+    corpus through at most B reducers). Spark's size estimate for the
+    probe frame (a filter+explode over the corpus lineage) is far above
+    its true size, so without the hint the planner shuffled both sides
+    (measured: the q70 batch-search join, 15 probe rows vs a 2k-row
+    corpus, planned 2 exchanges; with the hint the corpus-side exchange
+    is gone). Query batches big enough to break a broadcast should be
+    chunked by the caller — the per-query result is k rows, so batches
+    are bounded by the collect budget anyway."""
+    joined = F.broadcast(probes).join(bucketed, "bucket")
     sim = cosine(F.col(vec_col), F.col(qvec_col))
     from pyspark.sql import Window
 

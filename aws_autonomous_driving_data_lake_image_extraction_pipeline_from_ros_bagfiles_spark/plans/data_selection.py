@@ -654,12 +654,10 @@ def _q229_oracle() -> str:
 
 @register("q229_label_propagation", oracle=_q229_oracle())
 def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph_metrics import _mutual_knn_edges, _scaled_raw_edges
+    from .graph_metrics import family_edges
 
     base = load(spark, sf_dir, "embeddings")
-    n = base.count()  # footer-only job on the raw scan
-    emb = base.repartition(spark.sparkContext.defaultParallelism)
-    edges = _mutual_knn_edges(_scaled_raw_edges(emb, n))
+    edges = family_edges(spark, sf_dir)
     nodes = base.select(F.col("vec_id").alias("node"))
     seeds = (
         base.filter(F.col("vec_id") % Q229_SEED_MOD == 0)

@@ -70,6 +70,9 @@ QUERY_ANNOTATIONS = {
     "q157_cluster_representatives": "shared: reuses the q54-family pair-gen+CC stage",
     "q203_cluster_aware_split": "shared: reuses the q54-family pair-gen+CC stage",
     "q205_incremental_clusters": "shared: reuses the q54-family pair table (runs its own CC)",
+    "q168_triangle_count": "shared: mutual-kNN edge stage computed once per session for q168/q180/q229",
+    "q180_link_prediction": "shared: reuses the q168-family mutual-kNN edge stage",
+    "q229_label_propagation": "shared: reuses the q168-family mutual-kNN edge stage",
 }
 
 # Monotone-noise guard (VERDICT r8 #3): a co-tenant load ramp can land
