@@ -194,6 +194,44 @@ def _family_key(spark, sf_dir: str, threshold: float, cap: int, kind: str):
     return (spark.sparkContext.applicationId, sf_dir, threshold, cap, kind)
 
 
+def family_signatures(spark, sf_dir: str) -> DataFrame:
+    """Session-memoized minhash SIGNATURE table (doc_id, s0..s15) over
+    ``documents`` — the q89 persisted-index shape. Every banding plan is
+    a narrow recut of these 16 columns (dedup.bands_from_sig /
+    band_cols_from_sig), so the corpus is tokenized + shingle-hashed
+    ONCE per session instead of once per LSH query; this is exactly the
+    stored-signature-index contract the operators already document
+    ("switching thresholds is a band-key recut, not a corpus pass").
+    Consumers: both pair families below, q68/q87/q89/q172/q204."""
+    from ..tables import load
+    from . import dedup as DD
+
+    key = _family_key(spark, sf_dir, 0.0, -2, "signatures")
+    if key not in _FAMILY_CACHE:
+        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+            _FAMILY_CACHE.clear()
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(spark.sparkContext.defaultParallelism)
+        from ..plans.registry import audit_round
+
+        gen = DD.minhash_table(docs)
+        audit_round("family_signatures:gen", gen)
+        _FAMILY_CACHE[key] = gen.localCheckpoint(eager=True)
+    return _FAMILY_CACHE[key]
+
+
+def family_default_bands(spark, sf_dir: str) -> DataFrame:
+    """Default-plan (id, band, band_key) long band table cut from
+    :func:`family_signatures` — identical keys to dedup.minhash_bands,
+    zero hashing."""
+    from . import dedup as DD
+
+    return DD.bands_from_sig(
+        family_signatures(spark, sf_dir), DD.BANDS, DD.ROWS_PER_BAND
+    )
+
+
 def family_pairs(
     spark, sf_dir: str, threshold: float = 0.2, cap: int | None = None
 ) -> DataFrame:
@@ -212,12 +250,48 @@ def family_pairs(
         from ..plans.registry import audit_round
 
         gen = DD.minhash_lsh_pairs(
-            docs, threshold=threshold, max_bucket_size=cap
+            docs,
+            threshold=threshold,
+            max_bucket_size=cap,
+            bands=family_default_bands(spark, sf_dir),
         ).select("id_a", "id_b")
         # the pair-gen plan is hidden behind this checkpoint from every
         # family member's registry-level explain — capture it for the
         # plan audit (whichever member builds the stage carries it)
         audit_round("family_pairs:gen", gen)
+        pairs = gen.localCheckpoint(eager=True)
+        DD.release_caches()
+        _FAMILY_CACHE[key] = pairs
+    return _FAMILY_CACHE[key]
+
+
+def family_pairs_uncapped(
+    spark, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
+    """Session-memoized UNCAPPED verified near-dup pair table
+    (id_a, id_b, jaccard) over ``documents`` — q24's exact output shape,
+    reused by q91 (PageRank over the near-dup graph) and q201 (recall
+    eval of the same banding). All three ran the identical banded-LSH +
+    exact-Jaccard pipeline per query; the pair table is the natural
+    materialized intermediate (same policy as :func:`family_pairs`,
+    which serves the CAPPED 0.2 table to the q54 family — a different
+    result set, hence a separate cache kind)."""
+    from ..tables import load
+    from . import dedup as DD
+
+    key = _family_key(spark, sf_dir, threshold, -1, "pairs_uncapped")
+    if key not in _FAMILY_CACHE:
+        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+            _FAMILY_CACHE.clear()
+        docs = load(spark, sf_dir, "documents")
+        from ..plans.registry import audit_round
+
+        gen = DD.minhash_lsh_pairs(
+            docs,
+            threshold=threshold,
+            bands=family_default_bands(spark, sf_dir),
+        ).select("id_a", "id_b", "jaccard")
+        audit_round("family_pairs_uncapped:gen", gen)
         pairs = gen.localCheckpoint(eager=True)
         DD.release_caches()
         _FAMILY_CACHE[key] = pairs

@@ -226,14 +226,11 @@ def minhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return hs.groupBy(id_col).agg(*_expr_cached(("mh_aggs",), build_aggs))
 
 
-def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, bk0..bk{BANDS-1}) wide band keys — the PERSISTABLE index shape.
-
-    One row per doc makes this storable as plain columns alongside the
-    corpus (streaming/dedup_ingest.py persists exactly these), so
-    re-checking a grown corpus never re-hashes its text: the signature
-    cost is paid once per document at admission."""
-    sig = minhash_table(df, text_col, id_col)
+def band_cols_from_sig(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bk0..bk{BANDS-1}) default-plan band keys cut from an EXISTING
+    signature frame — a narrow projection, no hashing (the wide sibling
+    of :func:`bands_from_sig`; serves cached/persisted signature
+    tables)."""
     cols = _expr_cached(
         ("band_cols",),
         lambda: [
@@ -246,6 +243,16 @@ def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         ],
     )
     return sig.select(F.col(id_col), *cols)
+
+
+def minhash_band_cols(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, bk0..bk{BANDS-1}) wide band keys — the PERSISTABLE index shape.
+
+    One row per doc makes this storable as plain columns alongside the
+    corpus (streaming/dedup_ingest.py persists exactly these), so
+    re-checking a grown corpus never re-hashes its text: the signature
+    cost is paid once per document at admission."""
+    return band_cols_from_sig(minhash_table(df, text_col, id_col), id_col)
 
 
 def bands_long(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -603,14 +610,18 @@ def minhash_lsh_pairs_salted(
     block_size: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` with blocked candidate generation — same
-    result set, no single-task hot bucket (the adversarial-corpus path)."""
+    result set, no single-task hot bucket (the adversarial-corpus path).
+    ``bands`` serves precomputed/persisted band rows (the q89 stored-index
+    contract shared with :func:`minhash_lsh_pairs`)."""
     spark = df.sparkSession
     src = df.select(id_col, text_col).repartition(
         spark.sparkContext.defaultParallelism
     )
-    bands = _cached(minhash_bands(src, text_col, id_col))
+    if bands is None:
+        bands = _cached(minhash_bands(src, text_col, id_col))
     cand = salted_band_pairs(bands, block_size, id_col)
     return _jaccard_on_pairs(cand, src, text_col, id_col).filter(
         F.col("jaccard") >= threshold

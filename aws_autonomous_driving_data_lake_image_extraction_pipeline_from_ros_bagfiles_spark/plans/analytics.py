@@ -1311,30 +1311,45 @@ def _q223_oracle() -> str:
     """
 
 
+# q223 and q226 train the IDENTICAL flat product quantizer (same corpus
+# projection, same M/KS/iters deterministic grouped Lloyd) — q226 is the
+# recall audit OF q223's index, so the (subvecs, codebooks, codes)
+# triple is one materialized intermediate, not a per-query recompute.
+# Session-memoized with the _FAMILY_CACHE policy (keyed by
+# (applicationId, sf_dir); key change clears); bench.py annotates both
+# consumers as shared-stage. q224's residual PQ trains on residuals —
+# a different input — and stays per-query.
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _flat_pq_stage(spark: SparkSession, sf_dir: str):
+    """(subvecs, codebooks, codes) for the flat Q223 PQ geometry, each an
+    eager materialization (subvecs feeds 3 lineage references inside the
+    grouped Lloyd plus encode and the LUT side; codebooks feed encode
+    AND LUT; codes feed q223's scan and q226's ADC arm)."""
+    from ..operators.ann_ivf import pq_encode, pq_subvectors, pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        if any(k != key for k in _PQ_CACHE):
+            _PQ_CACHE.clear()
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ).repartition(spark.sparkContext.defaultParallelism)
+        subvecs = materialize(pq_subvectors(emb, Q223_M))
+        codebooks = materialize(
+            pq_train(subvecs, Q223_KS, iters=Q223_ITERS)
+        )
+        codes = materialize(pq_encode(subvecs, codebooks))
+        _PQ_CACHE[key] = (subvecs, codebooks, codes)
+    return _PQ_CACHE[key]
+
+
 @register("q223_pq_adc_topk", oracle=_q223_oracle())
 def q223_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann_ivf import (
-        pq_adc_lut,
-        pq_adc_topk,
-        pq_encode,
-        pq_subvectors,
-        pq_train,
-    )
+    from ..operators.ann_ivf import pq_adc_lut, pq_adc_topk
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    subvecs = pq_subvectors(emb, Q223_M)
-    # snapshot the exploded subvectors: they feed training (3 lineage
-    # references inside the grouped Lloyd), encoding AND the query-LUT
-    # side — materialize(), not localCheckpoint, so the plan audit still
-    # sees the generator stage (q222's lesson).
-    subvecs = materialize(subvecs)
-    # codebooks feed BOTH the encode branch and the LUT branch of one
-    # final plan — unmaterialized, the grouped-Lloyd training subplan
-    # executes twice (r9 round-diff review); the frame is m·ks = 128 rows
-    codebooks = materialize(pq_train(subvecs, Q223_KS, iters=Q223_ITERS))
-    codes = pq_encode(subvecs, codebooks)
+    subvecs, codebooks, codes = _flat_pq_stage(spark, sf_dir)
     lut = pq_adc_lut(codebooks, subvecs.filter(F.col("vec_id") == 0))
     topk = pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, Q223_K)
     return materialize(topk)
@@ -1393,21 +1408,14 @@ def _q226_oracle() -> str:
 def q226_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.ann_ivf import (
-        int_sq_dist,
-        pq_adc_lut,
-        pq_encode,
-        pq_subvectors,
-        pq_train,
-    )
+    from ..operators.ann_ivf import int_sq_dist, pq_adc_lut
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").repartition(
         spark.sparkContext.defaultParallelism
     )
-    subvecs = materialize(pq_subvectors(emb, Q223_M))
-    # materialized for the same two-consumer reason as q223
-    codebooks = materialize(pq_train(subvecs, Q223_KS, iters=Q223_ITERS))
-    codes = pq_encode(subvecs, codebooks)
+    # session-shared flat-PQ stage (the exact index q223 serves — this
+    # query is its recall audit; see _flat_pq_stage)
+    subvecs, codebooks, codes = _flat_pq_stage(spark, sf_dir)
 
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("fe")

@@ -264,6 +264,8 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import text_fingerprint
     from ..operators.sampling import hash_split
 
+    from ..operators.components import family_default_bands
+
     docs = load(spark, sf_dir, "documents")
     # the split under audit MUST be q96's — both derive from the shared
     # hash_split contract (operators/sampling.py)
@@ -271,7 +273,11 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", hash_split(F.col("doc_id")).alias("split")
     )
     near = DD.minhash_lsh_pairs(
-        docs, threshold=Q172_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
+        docs,
+        threshold=Q172_THRESHOLD,
+        max_bucket_size=DD.DEFAULT_BUCKET_CAP,
+        # band keys recut from the session-shared signature table
+        bands=family_default_bands(spark, sf_dir),
     ).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib"),
         F.lit("neardup").alias("kind"),

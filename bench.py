@@ -70,6 +70,16 @@ QUERY_ANNOTATIONS = {
     "q157_cluster_representatives": "shared: reuses the q54-family pair-gen+CC stage",
     "q203_cluster_aware_split": "shared: reuses the q54-family pair-gen+CC stage",
     "q205_incremental_clusters": "shared: reuses the q54-family pair table (runs its own CC)",
+    "q68_minhash_lsh_capped": "shared: band keys recut from the session-shared minhash signature table",
+    "q87_salted_lsh": "shared: band keys recut from the session-shared minhash signature table",
+    "q89_persisted_lsh_index": "shared: persisted index built from the session-shared signature table",
+    "q172_split_leakage": "shared: band keys recut from the session-shared minhash signature table",
+    "q204_threshold_tuned_lsh": "shared: adaptive plans recut the session-shared signature table",
+    "q223_pq_adc_topk": "shared: flat-PQ train/encode stage computed once per session for q223/q226",
+    "q226_pq_recall_eval": "shared: reuses the q223 flat-PQ stage (runs its own truth tier)",
+    "q24_minhash_lsh": "shared: uncapped 0.2 pair table computed once per session for q24/q91/q201",
+    "q91_pagerank_neardup": "shared: reuses the q24-family uncapped pair table (runs its own PageRank)",
+    "q201_lsh_recall_eval": "shared: reuses the q24-family uncapped pair table (runs its own exact arm)",
     "q168_triangle_count": "shared: mutual-kNN edge stage computed once per session for q168/q180/q229",
     "q180_link_prediction": "shared: reuses the q168-family mutual-kNN edge stage",
     "q229_label_propagation": "shared: reuses the q168-family mutual-kNN edge stage",
