@@ -532,12 +532,12 @@ def _q197_oracle() -> str:
 
 @register("q197_cross_source_dups", oracle=_q197_oracle())
 def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
+    from ..operators.components import family_pairs
 
     docs = load(spark, sf_dir, "documents")
-    near = DD.minhash_lsh_pairs(
-        docs, threshold=Q197_THRESHOLD, max_bucket_size=DD.DEFAULT_BUCKET_CAP
-    ).select(
+    # session-shared capped 0.5 pair table (same generation as q172's
+    # near arm; hygiene lives inside the family helper)
+    near = family_pairs(spark, sf_dir, threshold=Q197_THRESHOLD).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )
     src = docs.select("doc_id", "source")
@@ -565,11 +565,7 @@ def q197_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_source"),
         )
     )
-    # materialize, then drop the operator's band/shingle caches (q24's
-    # session hygiene)
-    result = materialize(out)
-    DD.release_caches()
-    return result
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------

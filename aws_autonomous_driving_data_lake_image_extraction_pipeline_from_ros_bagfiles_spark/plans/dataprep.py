@@ -260,11 +260,10 @@ def _q172_oracle() -> str:
 
 @register("q172_split_leakage", oracle=_q172_oracle())
 def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as DD
     from ..operators.dedup import text_fingerprint
     from ..operators.sampling import hash_split
 
-    from ..operators.components import family_default_bands
+    from ..operators.components import family_pairs
 
     docs = load(spark, sf_dir, "documents")
     # the split under audit MUST be q96's — both derive from the shared
@@ -272,13 +271,9 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = docs.select(
         "doc_id", hash_split(F.col("doc_id")).alias("split")
     )
-    near = DD.minhash_lsh_pairs(
-        docs,
-        threshold=Q172_THRESHOLD,
-        max_bucket_size=DD.DEFAULT_BUCKET_CAP,
-        # band keys recut from the session-shared signature table
-        bands=family_default_bands(spark, sf_dir),
-    ).select(
+    # session-shared capped 0.5 pair table (q197 consumes the identical
+    # generation; both are audits OVER the standard near-dup pair set)
+    near = family_pairs(spark, sf_dir, threshold=Q172_THRESHOLD).select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib"),
         F.lit("neardup").alias("kind"),
     )
@@ -303,11 +298,7 @@ def q172_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("split_a", "split_b").alias("split_hi"),
         "kind",
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
-    # materialize, then drop the operator's band/shingle caches (q24's
-    # session hygiene)
-    result = materialize(out)
-    DD.release_caches()
-    return result
+    return materialize(out)
 
 
 # --------------------------------------------------------------------------

@@ -746,7 +746,7 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from ..streaming.dedup_ingest import run_dedup_ingest
-    from ..streaming.staging import stage_single_parquet
+    from ..streaming.staging import stage_sliced_parquet
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="dedup_ingest_")
@@ -754,10 +754,16 @@ def q65_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/in"
         os.makedirs(src)
         now = int(time.time())
-        for i in range(_INGEST_BATCHES):
-            part = docs.filter(F.col("doc_id") % _INGEST_BATCHES == i)
-            # mtime = arrival order
-            stage_single_parquet(part, f"{src}/b{i}.parquet", mtime=now - 60 + i * 10)
+        # all three arrival files in ONE write job (mtime = arrival
+        # order); the ingest's dedup logic is row-order-independent
+        stage_sliced_parquet(
+            docs,
+            F.col("doc_id") % _INGEST_BATCHES,
+            [
+                (i, f"{src}/b{i}.parquet", now - 60 + i * 10)
+                for i in range(_INGEST_BATCHES)
+            ],
+        )
         run_dedup_ingest(
             spark,
             src,

@@ -28,6 +28,46 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def stage_sliced_parquet(
+    df: DataFrame,
+    key_col,
+    dests: list[tuple[object, str, int | None]],
+) -> None:
+    """Land several disjoint key-slices of ``df`` as one parquet FILE
+    each, in ONE Spark job (``dests`` = [(key_value, dest_path, mtime)]).
+
+    The per-slice :func:`stage_single_parquet` loop paid one
+    repartition(1) write job per slice; a multi-batch fixture (q65's
+    three arrival files) stages in a single partitionBy write instead —
+    hash-repartitioning on the slice key puts each value in exactly one
+    task, so each partition directory holds exactly one part file, which
+    is then moved to its destination. Row CONTENT per slice is identical
+    to the per-slice filter+write (the slice key is a partition
+    directory, not a file column); consumers that depend on intra-file
+    row ORDER should keep staging per-slice."""
+    stage = f"{dests[0][1]}.stage"
+    (
+        df.withColumn("__slice", key_col)
+        .repartition("__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(stage)
+    )
+    try:
+        for val, dest, mtime in dests:
+            parts = glob.glob(f"{stage}/__slice={val}/part-*.parquet")
+            if len(parts) != 1:  # hash-partitioned key => exactly one file
+                raise RuntimeError(
+                    f"stage_sliced_parquet: {len(parts)} part files for "
+                    f"slice {val!r} (expected 1)"
+                )
+            shutil.move(parts[0], dest)
+            if mtime is not None:
+                os.utime(dest, (mtime, mtime))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def stage_single_parquet(df: DataFrame, dest: str, mtime: int | None = None) -> str:
     """Land ``df`` as exactly ONE parquet file at ``dest``.
 

@@ -73,7 +73,8 @@ QUERY_ANNOTATIONS = {
     "q68_minhash_lsh_capped": "shared: band keys recut from the session-shared minhash signature table",
     "q87_salted_lsh": "shared: band keys recut from the session-shared minhash signature table",
     "q89_persisted_lsh_index": "shared: persisted index built from the session-shared signature table",
-    "q172_split_leakage": "shared: band keys recut from the session-shared minhash signature table",
+    "q172_split_leakage": "shared: capped 0.5 pair table computed once per session for q172/q197",
+    "q197_cross_source_dups": "shared: reuses the q172-family capped 0.5 pair table",
     "q204_threshold_tuned_lsh": "shared: adaptive plans recut the session-shared signature table",
     "q223_pq_adc_topk": "shared: flat-PQ train/encode stage computed once per session for q223/q226",
     "q226_pq_recall_eval": "shared: reuses the q223 flat-PQ stage (runs its own truth tier)",
