@@ -51,34 +51,22 @@ def _q42_oracle() -> str:
 
 @register("q42_embedding_neardup", oracle=_q42_oracle())
 def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import lsh_blocking as L
-    from ..operators.similarity import dot, norm
+    # q42's pair set IS the q168-family raw edge stage (identical scaled
+    # blocking, identical tau, identical round-6 verify — q168's module
+    # docstring names q42 as the shared recipe), so it reads the
+    # session-shared checkpoint instead of re-running the LSH verify.
+    # Guarded: if the two taus ever diverge, fall back to the family's
+    # generator at THIS query's tau rather than silently serving q168's.
+    from .graph_metrics import Q168_TAU, family_raw_edges
 
-    raw = load(spark, sf_dir, "embeddings")
-    # N from the parquet footer (metadata-only count job on the
-    # UN-repartitioned scan — counting after the repartition would force
-    # a full pass + shuffle just to size the blocks); the oracle derives
-    # the identical width from count(*)
-    nbits = L.n_block_bits(raw.count())
-    emb = raw.repartition(spark.sparkContext.defaultParallelism)
-    cand = L.scaled_candidate_pairs(emb.select("vec_id", "embedding"), nbits)
-    # norms are computed ONCE per vector before the verify join
-    # (recomputing them per pair would triple the fold work); same doubles
-    # either way, so the oracle's inline form still matches exactly
-    normed = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nm"))
-    a = normed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nm").alias("na")
-    )
-    b = normed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nm").alias("nb")
-    )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= Q42_TAU)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    if Q42_TAU != Q168_TAU:  # pragma: no cover — constants, both 0.3
+        raise AssertionError(
+            "q42/q168 tau drift: re-split q42 from family_raw_edges"
+        )
+    return family_raw_edges(spark, sf_dir).select(
+        F.col("u").alias("id_a"),
+        F.col("v").alias("id_b"),
+        F.col("c").alias("cosine"),
     )
 
 

@@ -141,18 +141,36 @@ def _mutual_knn_edges_sql() -> str:
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def family_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized mutual-kNN edge set (u < v) over ``embeddings`` —
-    q168's exact graph, reused by q180/q229. The returned frame is an
-    eager localCheckpoint (built inside :func:`_mutual_knn_edges`)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def family_raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized verified (u, v, c) similarity edge set over
+    ``embeddings`` (corpus-scaled LSH blocking + cosine >= Q168_TAU,
+    rounded to 6dp) — q42's exact near-dup pair set AND the input of the
+    mutual-kNN construction below. The LSH-candidate cosine verify is
+    the expensive stage of both; computed once per session."""
+    key = (spark.sparkContext.applicationId, sf_dir, "raw")
     if key not in _EDGE_CACHE:
-        if any(k != key for k in _EDGE_CACHE):
+        if any(k[:2] != key[:2] for k in _EDGE_CACHE):
             _EDGE_CACHE.clear()
         base = load(spark, sf_dir, "embeddings")
         n = base.count()  # footer-only job on the raw scan
         emb = base.repartition(spark.sparkContext.defaultParallelism)
-        _EDGE_CACHE[key] = _mutual_knn_edges(_scaled_raw_edges(emb, n))
+        pre = _scaled_raw_edges(emb, n)
+        from .registry import audit_round
+
+        audit_round("family_raw_edges:gen", pre)
+        _EDGE_CACHE[key] = pre.localCheckpoint(eager=True)
+    return _EDGE_CACHE[key]
+
+
+def family_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized mutual-kNN edge set (u < v) over ``embeddings`` —
+    q168's exact graph, reused by q180/q229. The returned frame is an
+    eager localCheckpoint (built inside :func:`_mutual_knn_edges`)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mutual")
+    if key not in _EDGE_CACHE:
+        if any(k[:2] != key[:2] for k in _EDGE_CACHE):
+            _EDGE_CACHE.clear()
+        _EDGE_CACHE[key] = _mutual_knn_edges(family_raw_edges(spark, sf_dir))
     return _EDGE_CACHE[key]
 
 

@@ -81,6 +81,7 @@ QUERY_ANNOTATIONS = {
     "q24_minhash_lsh": "shared: uncapped 0.2 pair table computed once per session for q24/q91/q201",
     "q91_pagerank_neardup": "shared: reuses the q24-family uncapped pair table (runs its own PageRank)",
     "q201_lsh_recall_eval": "shared: reuses the q24-family uncapped pair table (runs its own exact arm)",
+    "q42_embedding_neardup": "shared: raw verified edge stage computed once per session for q42/q168/q180/q229",
     "q168_triangle_count": "shared: mutual-kNN edge stage computed once per session for q168/q180/q229",
     "q180_link_prediction": "shared: reuses the q168-family mutual-kNN edge stage",
     "q229_label_propagation": "shared: reuses the q168-family mutual-kNN edge stage",
