@@ -654,6 +654,17 @@ def deterministic_lloyd(
                 ),
             )
         )
+        # per-round materialization (the iterative-operator checkpoint
+        # discipline of operators/components.py): round k's fold joins
+        # the round k-1 FRAME, so without the barrier every later
+        # consumer (and the exact=False tier's per-round centroid
+        # collect) re-executes all prior rounds' full-corpus aggregates;
+        # the frame is B rows. Values are unchanged — the oracle replays
+        # the same arithmetic — and the plan audit still sees the round
+        # plans (materialize is a no-op under the audit flag).
+        from ..plans.registry import materialize as _materialize
+
+        cents = _materialize(cents)
     return cents
 
 
