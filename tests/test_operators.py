@@ -683,3 +683,68 @@ def test_family_stage_cache_isolation(spark):
     DD.release_caches()
     assert fresh == b
     C._FAMILY_CACHE.clear()
+
+
+def test_family_signature_band_parity(spark):
+    """Band keys recut from the session-shared signature table must equal
+    the direct minhash_bands construction row-for-row — the r12 stage
+    sharing (q68/q87/q89/q172/q204 and both pair families derive from
+    family_signatures) rests on this identity."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        components as C,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        dedup as DD,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    C._FAMILY_CACHE.clear()
+    shared = {
+        (r.doc_id, r.band, r.band_key)
+        for r in C.family_default_bands(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    fresh = {
+        (r.doc_id, r.band, r.band_key)
+        for r in DD.minhash_bands(docs).collect()
+    }
+    assert shared == fresh and shared
+    # wide shape parity too (q89 persists band_cols_from_sig output)
+    wide_shared = {
+        tuple(r) for r in DD.band_cols_from_sig(
+            C.family_signatures(spark, sf)
+        ).collect()
+    }
+    wide_fresh = {tuple(r) for r in DD.minhash_band_cols(docs).collect()}
+    assert wide_shared == wide_fresh
+    C._FAMILY_CACHE.clear()
+
+
+def test_stage_sliced_parquet_matches_per_slice_filters(spark, tmp_path):
+    """The one-job multi-slice staging (q65's fixture writer) must land
+    the same row CONTENT per slice as the per-slice filter+write it
+    replaced, exactly one file per slice, with pinned mtimes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.streaming.staging import (
+        stage_sliced_parquet,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dests = [(i, str(tmp_path / f"b{i}.parquet"), 1_700_000_000 + i) for i in range(3)]
+    stage_sliced_parquet(docs, F.col("doc_id") % 3, dests)
+    for i, dest, mtime in dests:
+        assert os.path.isfile(dest)
+        assert int(os.path.getmtime(dest)) == mtime
+        got = {
+            (r.doc_id, r.text) for r in spark.read.parquet(dest).collect()
+        }
+        want = {
+            (r.doc_id, r.text)
+            for r in docs.filter(F.col("doc_id") % 3 == i).collect()
+        }
+        assert got == want and got
