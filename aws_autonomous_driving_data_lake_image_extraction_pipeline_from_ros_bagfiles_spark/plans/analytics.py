@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..tables import load
-from .registry import materialize, production_tier, register
+from .registry import audit_round, materialize, production_tier, register
 
 
 # --------------------------------------------------------------------------
@@ -607,6 +607,9 @@ def q103_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("qid").alias("n_queries"),
             F.count("*").alias("n_rows"),
         )
+        # the serving probe-join shape (broadcast probe side — the r12
+        # _probe_topk hint) hides behind the materialize barrier
+        audit_round("q103:serve_agg", out)
         return materialize(out)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import materialize, production_tier, register
+from .registry import audit_round, materialize, production_tier, register
 
 
 # --------------------------------------------------------------------------
@@ -231,6 +231,9 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", F.round("sim", 6).alias("cosine"))
     )
+    # the serving join shape (pruned scan + broadcast probe) hides
+    # behind the materialize barrier in the registry-level explain
+    audit_round("q55:serve_topk", out)
     return materialize(out)
 
 
@@ -522,11 +525,13 @@ def q70_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries = queries.count()
         # k x n_queries rows each — collect once, multiset-diff driver-side
         # (identical float paths on both sides, so exact equality is the bar)
-        mem = sorted(
-            map(tuple, ivf_topk_batch(
-                bucketed, centroids, queries, k=5, nprobe=3, declarative=decl
-            ).collect())
+        mem_df = ivf_topk_batch(
+            bucketed, centroids, queries, k=5, nprobe=3, declarative=decl
         )
+        # capture the batch probe-join plan (broadcast probe side — the
+        # r12 _probe_topk hint) for the plan evidence files
+        audit_round("q70:probe_batch", mem_df)
+        mem = sorted(map(tuple, mem_df.collect()))
         loaded = sorted(
             map(tuple, ivf_topk_batch(
                 corpus2, cents2, queries, k=5, nprobe=3, declarative=decl
