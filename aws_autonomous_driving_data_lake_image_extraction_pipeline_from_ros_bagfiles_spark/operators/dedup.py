@@ -748,20 +748,26 @@ def simhash32(text: Column) -> Column:
     +/-1 vote sum over all tokens (multiplicity-weighted). Stays in codegen:
     one md5 per token, 32 array-aggregates per row.
     """
-    md5s = F.transform(tokens(text), lambda t: F.md5(t))
+    def build() -> Column:
+        md5s = F.transform(tokens(text), lambda t: F.md5(t))
 
-    def _vote(j: int) -> Column:
-        return F.aggregate(
-            md5s,
-            F.lit(0),
-            lambda acc, m: acc
-            + F.when(F.substring(m, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
-        )
+        def _vote(j: int) -> Column:
+            return F.aggregate(
+                md5s,
+                F.lit(0),
+                lambda acc, m: acc
+                + F.when(F.substring(m, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
+            )
 
-    bits = [
-        F.when(_vote(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)
-    ]
-    return F.concat(*bits)
+        bits = [
+            F.when(_vote(j) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, 33)
+        ]
+        return F.concat(*bits)
+
+    # 32 nested folds ≈ a thousand Py4J calls; the tree is determined by
+    # the input expression alone (a Column's repr prints it), so memoize
+    return _expr_cached(("simhash32", str(text)), build)
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -776,14 +782,23 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(id_col, F.md5("tok").alias("m"))
-    votes = [
-        F.sum(
-            F.when(F.substring("m", j, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(1, 33)
-    ]
+    votes = _expr_cached(
+        ("simhash_votes",),
+        lambda: [
+            F.sum(
+                F.when(F.substring("m", j, 1).isin(*"89abcdef"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(1, 33)
+        ],
+    )
     agg = toks.groupBy(id_col).agg(*votes)
-    bits = [
-        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)
-    ]
-    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    bits = _expr_cached(
+        ("simhash_bits",),
+        lambda: F.concat(
+            *[
+                F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(1, 33)
+            ]
+        ),
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))

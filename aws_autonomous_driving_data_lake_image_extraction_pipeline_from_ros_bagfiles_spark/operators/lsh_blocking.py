@@ -48,6 +48,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _expr_cached  # unresolved-expression memo (same policy)
 from .dedup import cap_band_buckets  # key-column-agnostic flood guard (re-export)
 from .similarity import dot
 
@@ -137,8 +138,15 @@ def cell_key_col(
     """Single-assignment cell id (band 0's nbits-bit sign prefix) as a
     COLUMN — for callers that want the cell as a zero-shuffle projection
     on an existing frame (cf. q109) instead of the (id, cell) frame
-    :func:`cell_keys` returns."""
-    return _dim_guarded(vec, dim, _prefix_key(vec, 0, nbits, dim))
+    :func:`cell_keys` returns. Memoized on the column's repr — the
+    nbits·dim plane-literal tree is deterministic given (vec, nbits,
+    dim), and a Column's repr prints its unresolved expression, so equal
+    reprs mean equal trees (distinct inputs that differ only internally
+    would at worst miss and rebuild)."""
+    return _expr_cached(
+        ("lsh_cell_key", str(vec), nbits, dim),
+        lambda: _dim_guarded(vec, dim, _prefix_key(vec, 0, nbits, dim)),
+    )
 
 
 def band_keys(
@@ -153,15 +161,25 @@ def band_keys(
     ids and two ints, never the vectors, so the candidate self-join
     shuffles O(N * n_bands) small rows. All bands come from ONE
     projection + posexplode (a per-band select union would scan the
-    source n_bands times)."""
-    keys = _dim_guarded(
-        F.col(vec_col),
-        dim,
-        F.array(
-            *[
-                _prefix_key(F.col(vec_col), b, nbits, dim)
-                for b in range(n_bands)
-            ]
+    source n_bands times).
+
+    The key array is memoized (dedup.py's `_expr_cached` policy): the
+    tree inlines n_bands·nbits·dim plane-coefficient literals — ~1500+
+    Py4J round trips at the defaults — and is fully determined by
+    (vec_col, nbits, n_bands, dim); the planes themselves are md5
+    constants, so one build serves every banding consumer in the
+    process (q42/q98/q200/... at the same width)."""
+    keys = _expr_cached(
+        ("lsh_band_keys", vec_col, nbits, n_bands, dim),
+        lambda: _dim_guarded(
+            F.col(vec_col),
+            dim,
+            F.array(
+                *[
+                    _prefix_key(F.col(vec_col), b, nbits, dim)
+                    for b in range(n_bands)
+                ]
+            ),
         ),
     )
     return emb.select(

@@ -664,3 +664,35 @@ def test_q55_q70_q103_tier_agreement(spark, monkeypatch):
             "q103": rows(q103_ivf_incremental),
         }
     assert out["replay"] == out["production"]
+
+
+def test_expr_memo_identity_and_parity(spark):
+    """The centroid-literal expression memo (r12): same (cols, centroid
+    values) return the SAME unresolved Column object; different values
+    miss; and a memo-served tree computes correct assignments on a frame
+    it was not first built against (a Column holds no frame reference)."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators.ann_ivf import (
+        _nearest_centroid,
+    )
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        lsh_blocking as L,
+    )
+
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    a = _nearest_centroid("embedding", cents)
+    b = _nearest_centroid("embedding", [list(c) for c in cents])  # equal values, new lists
+    assert a is b
+    assert _nearest_centroid("embedding", [[0.0, 0.0], [2.0, 2.0]]) is not a
+    assert _nearest_centroid("other_col", cents) is not a
+
+    df1 = spark.createDataFrame([(0, [0.1, 0.2]), (1, [0.9, 0.8])], "vec_id int, embedding array<double>")
+    df2 = spark.createDataFrame([(2, [0.8, 0.9])], "vec_id int, embedding array<double>")
+    r1 = {r.vec_id: r.b for r in df1.select("vec_id", a.alias("b")).collect()}
+    r2 = {r.vec_id: r.b for r in df2.select("vec_id", b.alias("b")).collect()}
+    assert r1 == {0: 0, 1: 1} and r2 == {2: 1}
+
+    # the banded-LSH key array memoizes on (vec_col, nbits, n_bands, dim)
+    k1 = L.band_keys(df1, nbits=2, dim=2)
+    k2 = L.band_keys(df2, nbits=2, dim=2)
+    assert sorted(map(tuple, k1.collect())) != []  # evaluates fine
+    assert k2.count() == L.N_BANDS  # one row per band for the single vector
