@@ -166,6 +166,14 @@ ROUND_BNLJ_WHITELIST = {
     # q228's boundary probe replays the weight lineage, which contains
     # the one-row crossJoin(broadcast(tots)) scalar shape
     "q228_dsir_selection": 2,
+    # q55's r12 `audit_round("q55:serve_topk", ...)` capture is the
+    # SAME tree as its final plan (the registry materialize barrier is
+    # a no-op under SPARK_GRAFT_AUDIT_NO_BARRIER, so the capture does
+    # not truncate): the 18 BNLJs are the final-plan whitelist's exact
+    # shapes — crossJoin(broadcast(q)) one-row query scalars and
+    # crossJoin(broadcast(cents)) 8-row centroid fans inside the
+    # un-barriered Lloyd lineage — counted a second time, not new joins.
+    "q55_ann_ivf": 18,
 }
 
 
