@@ -233,6 +233,16 @@ def ivf_topk_batch(
     pandas UDF — it routes via :func:`probe_buckets_table` (broadcast
     centroid table + sorted collect_list, no O(B·d) literal tree). The
     downstream probe-join/top-k is shared by all tiers.
+
+    HARD LIMIT (ADVICE r12): the probe side (|queries| x nprobe rows of
+    (qid, qvec, bucket)) is BROADCAST by :func:`_probe_topk` — the corpus
+    is the unbounded side and is never shuffled by a query batch. Spark
+    caps a broadcast relation at 8 GB / 512M rows, and the driver holds
+    the built relation; a caller with a query batch anywhere near that
+    (hundreds of millions of probe rows, or wide qvecs summing past
+    driver memory) must chunk the batch into successive calls. Engine
+    callers are collect-bounded (serving batches, k rows out per query),
+    so no runtime count-guard is spent on the hot path.
     """
     if declarative and len(centroids) > _CODEGEN_MAX_B:
         probes = probe_buckets_table(

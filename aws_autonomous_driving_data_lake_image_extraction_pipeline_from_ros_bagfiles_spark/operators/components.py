@@ -183,8 +183,13 @@ def assign_clusters(
 # serving the checkpointed result to every family member is exactly what a
 # production curation pipeline does (the pair table / cluster map is a
 # materialized intermediate, not a per-query recomputation). Keyed by
-# (applicationId, sf_dir, threshold, cap); a key change clears the cache
-# (one corpus in flight at a time — same policy as pipeline._DEMO_CACHE).
+# (applicationId, sf_dir, threshold, cap, kind); a CORPUS change — a
+# different (applicationId, sf_dir) prefix — clears the cache (one corpus
+# in flight at a time — same policy as graph_metrics._EDGE_CACHE).
+# Different kinds/thresholds for the SAME corpus coexist: the r12 k[:4]
+# predicate compared threshold/cap sentinels too, so any new kind's first
+# miss wiped every other kind's entry and the families rebuilt their
+# stages per consumer (ADVICE r12, medium).
 # bench.py annotates the family as shared-stage so whichever member runs
 # first is known to carry the stage cost.
 _FAMILY_CACHE: dict[tuple, DataFrame] = {}
@@ -208,7 +213,7 @@ def family_signatures(spark, sf_dir: str) -> DataFrame:
 
     key = _family_key(spark, sf_dir, 0.0, -2, "signatures")
     if key not in _FAMILY_CACHE:
-        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+        if any(k[:2] != key[:2] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
         docs = load(spark, sf_dir, "documents").select(
             "doc_id", "text"
@@ -244,7 +249,7 @@ def family_pairs(
     cap = DD.DEFAULT_BUCKET_CAP if cap is None else cap
     key = _family_key(spark, sf_dir, threshold, cap, "pairs")
     if key not in _FAMILY_CACHE:
-        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+        if any(k[:2] != key[:2] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
         docs = load(spark, sf_dir, "documents")
         from ..plans.registry import audit_round
@@ -281,7 +286,7 @@ def family_pairs_uncapped(
 
     key = _family_key(spark, sf_dir, threshold, -1, "pairs_uncapped")
     if key not in _FAMILY_CACHE:
-        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+        if any(k[:2] != key[:2] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
         docs = load(spark, sf_dir, "documents")
         from ..plans.registry import audit_round
@@ -308,7 +313,7 @@ def family_components(
     cap = DD.DEFAULT_BUCKET_CAP if cap is None else cap
     key = _family_key(spark, sf_dir, threshold, cap, "comp")
     if key not in _FAMILY_CACHE:
-        if any(k[:4] != key[:4] for k in _FAMILY_CACHE):
+        if any(k[:2] != key[:2] for k in _FAMILY_CACHE):
             _FAMILY_CACHE.clear()
         from ..plans.registry import audit_round
 

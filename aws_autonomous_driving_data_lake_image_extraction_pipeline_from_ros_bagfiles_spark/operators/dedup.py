@@ -740,34 +740,45 @@ def minhash_lsh_join(
     )
 
 
-def simhash32(text: Column) -> Column:
+def simhash32(text: Column | str) -> Column:
     """32-bit SimHash as a '0'/'1' string, one bit per md5 nibble MSB.
 
     Bit j of a token's hash = whether hex digit j of md5(token) has its
     high bit set (digit in 8..f). The fingerprint bit is the sign of the
     +/-1 vote sum over all tokens (multiplicity-weighted). Stays in codegen:
     one md5 per token, 32 array-aggregates per row.
+
+    Pass a column NAME to hit the expression memo; a Column object is
+    built fresh every call (ADVICE r12: a Column's repr omits the
+    plan-id metadata PySpark attaches to df["col"] references, so
+    repr-keyed memo entries could leak one frame's plan-id tag into
+    another frame's plan — names can't carry a tag, so only they key
+    the cache).
     """
-    def build() -> Column:
-        md5s = F.transform(tokens(text), lambda t: F.md5(t))
+    if not isinstance(text, str):
+        return _simhash32_build(text)
+    return _expr_cached(
+        ("simhash32", text), lambda: _simhash32_build(F.col(text))
+    )
 
-        def _vote(j: int) -> Column:
-            return F.aggregate(
-                md5s,
-                F.lit(0),
-                lambda acc, m: acc
-                + F.when(F.substring(m, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
-            )
 
-        bits = [
-            F.when(_vote(j) > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(1, 33)
-        ]
-        return F.concat(*bits)
+def _simhash32_build(text: Column) -> Column:
+    # 32 nested folds ≈ a thousand Py4J calls; memoized by NAME above
+    md5s = F.transform(tokens(text), lambda t: F.md5(t))
 
-    # 32 nested folds ≈ a thousand Py4J calls; the tree is determined by
-    # the input expression alone (a Column's repr prints it), so memoize
-    return _expr_cached(("simhash32", str(text)), build)
+    def _vote(j: int) -> Column:
+        return F.aggregate(
+            md5s,
+            F.lit(0),
+            lambda acc, m: acc
+            + F.when(F.substring(m, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(_vote(j) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(1, 33)
+    ]
+    return F.concat(*bits)
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -133,19 +133,23 @@ def _dim_guarded(vec: Column, dim: int, keyed: Column) -> Column:
 
 
 def cell_key_col(
-    vec: Column, nbits: int, dim: int = DIM
+    vec: Column | str, nbits: int, dim: int = DIM
 ) -> Column:
     """Single-assignment cell id (band 0's nbits-bit sign prefix) as a
     COLUMN — for callers that want the cell as a zero-shuffle projection
     on an existing frame (cf. q109) instead of the (id, cell) frame
-    :func:`cell_keys` returns. Memoized on the column's repr — the
-    nbits·dim plane-literal tree is deterministic given (vec, nbits,
-    dim), and a Column's repr prints its unresolved expression, so equal
-    reprs mean equal trees (distinct inputs that differ only internally
-    would at worst miss and rebuild)."""
+    :func:`cell_keys` returns. Pass a column NAME to hit the expression
+    memo for the nbits·dim plane-literal tree; a Column object is built
+    fresh every call (ADVICE r12: a Column's repr omits plan-id metadata
+    on df["col"] references, so repr-keyed entries could leak one
+    frame's plan-id tag into another's plan — only names key the cache)."""
+    if not isinstance(vec, str):
+        return _dim_guarded(vec, dim, _prefix_key(vec, 0, nbits, dim))
     return _expr_cached(
-        ("lsh_cell_key", str(vec), nbits, dim),
-        lambda: _dim_guarded(vec, dim, _prefix_key(vec, 0, nbits, dim)),
+        ("lsh_cell_key", vec, nbits, dim),
+        lambda: _dim_guarded(
+            F.col(vec), dim, _prefix_key(F.col(vec), 0, nbits, dim)
+        ),
     )
 
 
@@ -241,7 +245,7 @@ def cell_keys(
     """(id, cell) single-assignment cell ids (band 0's planes) — the
     SemDeDup partition shape: ~N / TARGET_BLOCK cells of bounded size."""
     return emb.select(
-        F.col(id_col), cell_key_col(F.col(vec_col), nbits, dim).alias("cell")
+        F.col(id_col), cell_key_col(vec_col, nbits, dim).alias("cell")
     )
 
 

@@ -55,8 +55,10 @@ def q42_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking, identical tau, identical round-6 verify — q168's module
     # docstring names q42 as the shared recipe), so it reads the
     # session-shared checkpoint instead of re-running the LSH verify.
-    # Guarded: if the two taus ever diverge, fall back to the family's
-    # generator at THIS query's tau rather than silently serving q168's.
+    # Guarded: if the two taus ever diverge this FAILS LOUDLY at
+    # query-build time (AssertionError below) — the edit that splits the
+    # taus must also re-split q42 onto its own generator; there is no
+    # silent fallback (ADVICE r12: the comment used to promise one).
     from .graph_metrics import Q168_TAU, family_raw_edges
 
     if Q42_TAU != Q168_TAU:  # pragma: no cover — constants, both 0.3

@@ -144,7 +144,7 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cell is a pure function of the vector, so it is a zero-shuffle
     # PROJECTION on the frame — never a join back onto itself
     emb = emb.select(
-        L.cell_key_col(F.col("embedding"), nbits).alias("cell"),
+        L.cell_key_col("embedding", nbits).alias("cell"),
         "vec_id",
         "embedding",
     )

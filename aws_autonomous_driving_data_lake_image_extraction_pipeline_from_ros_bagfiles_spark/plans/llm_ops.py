@@ -494,7 +494,7 @@ def _simhash_oracle() -> str:
 @register("q25_simhash", oracle=_simhash_oracle())
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
 
 
 # --------------------------------------------------------------------------

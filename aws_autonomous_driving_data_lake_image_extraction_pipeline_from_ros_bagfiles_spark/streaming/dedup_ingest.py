@@ -219,31 +219,24 @@ def dedup_batch_against_corpus(
     arrs = shingle_arrays(
         verify_docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     ).localCheckpoint(eager=True)
-    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    # Both verify sides broadcast the SAME checkpointed frame — keep the
+    # broadcast children as the BARE scan (dataframe aliases, renames
+    # after the join) so the second BroadcastExchange canonicalizes equal
+    # to the first and plans as ReusedExchange: one broadcast build per
+    # batch instead of two (VERDICT r12 #4; the r12 shape pre-projected
+    # different aliases under each broadcast, which blocks canonical
+    # equality). Alias-qualified refs replace the __sa/__sb renames.
+    side_a, side_b = arrs.alias("__va"), arrs.alias("__vb")
+    inter = F.size(
+        F.array_intersect(F.col("__va.sh_arr"), F.col("__vb.sh_arr"))
+    )
     verified = (
         cand.select("id_a", "id_b", "doomed")
-        .join(
-            F.broadcast(
-                arrs.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("sh_arr").alias("__sa"),
-                    F.col("n_sh").alias("__na"),
-                )
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                arrs.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("sh_arr").alias("__sb"),
-                    F.col("n_sh").alias("__nb"),
-                )
-            ),
-            "id_b",
-        )
+        .join(F.broadcast(side_a), F.col("id_a") == F.col("__va.doc_id"))
+        .join(F.broadcast(side_b), F.col("id_b") == F.col("__vb.doc_id"))
         .filter(
-            inter / (F.col("__na") + F.col("__nb") - inter) >= F.lit(threshold)
+            inter / (F.col("__va.n_sh") + F.col("__vb.n_sh") - inter)
+            >= F.lit(threshold)
         )
     )
     drops = verified.select(F.col("doomed").alias("doc_id"))

@@ -2,17 +2,19 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
-The FINAL stdout line is a single compact JSON summary (the registry grew
-to 100+ queries, so the full per-query dict outgrew the driver's tail
-capture — BENCH_r02/r03 recorded ``parsed: null``):
+The FINAL stdout line is a single compact JSON summary INCLUDING the
+per-query medians (VERDICT r12 #2: the driver's PERF comparator reads
+``queries`` from this line; 238 rounded floats is ~6 KB, well inside the
+tail capture that the r02-era full detail dict overflowed):
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "sf": 0.1, "layout_sec": S, "n_queries": 105,
+     "queries": {"q01_events_daily": 0.12, ...},
+     "sf": 0.1, "layout_sec": S, "n_queries": 238,
      "detail_file": "BENCH_DETAIL.json"}
 
-The full per-query timing dict is written to ``BENCH_DETAIL.json`` next to
-this script (and echoed to stderr), so nothing is lost — it is just no
-longer on the size-limited stdout channel.
+The full detail (first samples, repeat samples, reruns, annotations) is
+written to ``BENCH_DETAIL.json`` next to this script (and echoed to
+stderr).
 
 Each query executes its full plan to completion; results are drained with
 count() on a cached-free plan (no collect of wide rows so driver transfer
@@ -236,9 +238,11 @@ def main() -> None:
     # judge had to re-run by hand. Automate the re-run: any query whose
     # median exceeds the PRIOR ROUND's committed value by
     # >RERUN_THRESHOLD is re-sampled solo at the END of the suite (a
-    # different noise window by construction); the committed median
-    # becomes min(main, rerun) and both land in detail["reruns"] so the
-    # artifact carries its own adjudication instead of a silent phantom.
+    # different noise window by construction); both numbers land in
+    # detail["reruns"] with an adjudication verdict so the artifact
+    # carries its own evidence instead of a silent phantom. The committed
+    # metric is NEVER substituted (VERDICT r12 #1: value = the
+    # unadjudicated protocol total; adjudication is evidence, not data).
     RERUN_THRESHOLD = 1.5
     RERUN_SAMPLES = 3
     prior = _load_prior_detail(sf)
@@ -278,7 +282,10 @@ def main() -> None:
                 "rerun_median": rerun_median,
                 "adjudication": adjudication,
             }
-            times[name] = min(t_main, rerun_median)
+            # VERDICT r12 #1: the committed value stays the UNADJUDICATED
+            # protocol median — adjudication is recorded in `reruns` only,
+            # never substituted into the metric (the r12 min() substitution
+            # pulled the driver's repeat-1 `value` ~75 s below what ran).
             print(
                 f"# rerun {name}: {rerun_median:.3f}s -> {adjudication}",
                 file=sys.stderr,
@@ -321,6 +328,10 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "cold_total": detail["cold_total"],
+        # VERDICT r12 #2: per-query medians back on the one-line summary so
+        # the driver's round-over-round comparator (PERF per_query) has
+        # data — 238 compact floats is ~6 KB, within tail capture.
+        "queries": times,
         "sf": sf,
         "layout_sec": layout_sec,
         "n_queries": len(times),

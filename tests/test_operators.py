@@ -720,6 +720,35 @@ def test_family_signature_band_parity(spark):
     C._FAMILY_CACHE.clear()
 
 
+def test_family_cache_kinds_coexist(spark):
+    """Different kinds/thresholds for the SAME corpus must coexist in
+    _FAMILY_CACHE: the r12 clear predicate compared threshold/cap
+    sentinels (k[:4]) too, so any new kind's first miss wiped every
+    other kind's entry and the shared stages rebuilt per consumer
+    (ADVICE r12, medium). Only a CORPUS switch (appId, sf_dir) clears."""
+    from aws_autonomous_driving_data_lake_image_extraction_pipeline_from_ros_bagfiles_spark.operators import (
+        components as C,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    C._FAMILY_CACHE.clear()
+    sig = C.family_signatures(spark, sf)
+    sig_key = C._family_key(spark, sf, 0.0, -2, "signatures")
+    # interleave every other kind — each was a cache-clearing miss in r12
+    C.family_pairs_uncapped(spark, sf)
+    assert C._FAMILY_CACHE.get(sig_key) is sig
+    pairs = C.family_pairs(spark, sf)
+    assert C._FAMILY_CACHE.get(sig_key) is sig
+    C.family_components(spark, sf)
+    assert C._FAMILY_CACHE.get(sig_key) is sig
+    assert C._FAMILY_CACHE[C._family_key(spark, sf, 0.2, 32, "pairs")] is pairs
+    assert len(C._FAMILY_CACHE) == 4  # signatures, uncapped, pairs, comp
+    # corpus switch still evicts everything (single-corpus policy)
+    C.family_signatures(spark, "/root/testdata/sf0.01")
+    assert not any(k[1].endswith("sf0.001") for k in C._FAMILY_CACHE)
+    C._FAMILY_CACHE.clear()
+
+
 def test_stage_sliced_parquet_matches_per_slice_filters(spark, tmp_path):
     """The one-job multi-slice staging (q65's fixture writer) must land
     the same row CONTENT per slice as the per-slice filter+write it
