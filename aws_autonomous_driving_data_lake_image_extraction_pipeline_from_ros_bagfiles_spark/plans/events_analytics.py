@@ -550,7 +550,7 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.manifest_sink import read_committed, register_manifest_sink
-    from ..streaming.staging import stage_single_parquet
+    from ..streaming.staging import stage_sliced_parquet
 
     register_manifest_sink(spark)
     events = load(spark, sf_dir, "events").select(
@@ -560,7 +560,21 @@ def q101_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = f"{work}/in"
         os.makedirs(src)
-        stage_single_parquet(events, f"{src}/ev.parquet")
+        # one source file per core, landed in ONE write job: the batch
+        # then carries one sink-write task per file, so the Python JSONL
+        # serialization runs core-parallel instead of in a single task
+        # (guide §2.6/§4 — the r12 single-file staging walled the whole
+        # drain behind one worker: 1.5 s of a 2.3 s warm query). Slice
+        # count follows defaultParallelism, not a constant, so the
+        # driver's low-core bench keeps its own natural width; rows per
+        # slice are a partition of the same events projection, so the
+        # committed view is unchanged (read_committed is order-free).
+        n_slices = max(8, spark.sparkContext.defaultParallelism // 4)
+        stage_sliced_parquet(
+            events,
+            F.col("event_id") % n_slices,
+            [(i, f"{src}/ev{i}.parquet", None) for i in range(n_slices)],
+        )
         sink = f"{work}/sink"
         q = (
             spark.readStream.schema(events.schema)

@@ -626,17 +626,26 @@ def q95_bag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
         cmp_cols = ["topic", "msg_type", "ros_time", "seq"]
-        # decode the batch side ONCE (q69's rule: each exceptAll
-        # direction would re-run the Python-DataSource decode); the
-        # streamed side is a cheap parquet scan but feeds 3 consumers
-        streamed_rows = materialize(streamed.select(cmp_cols))
-        batch_rows = materialize(batch.select(cmp_cols))
+        # Symmetric multiset difference in ONE aggregation job:
+        # |A\B| + |B\A| == sum over distinct rows of |count_A - count_B|,
+        # so a side-tagged union + one groupBy replaces the r12 shape's
+        # two materialize jobs + two exceptAll count jobs (guide §1.2 —
+        # fewer passes; the Python-DataSource batch decode now runs
+        # exactly once, unmaterialized, because this is its only
+        # consumer; the streamed side is a tiny parquet scan).
+        tagged = (
+            streamed.select(*cmp_cols)
+            .withColumn("__side", F.lit(1))
+            .unionAll(batch.select(*cmp_cols).withColumn("__side", F.lit(-1)))
+        )
         n_diff = (
-            streamed_rows.exceptAll(batch_rows).count()
-            + batch_rows.exceptAll(streamed_rows).count()
+            tagged.groupBy(*cmp_cols)
+            .agg(F.sum("__side").alias("__d"))
+            .agg(F.coalesce(F.sum(F.abs("__d")), F.lit(0)).alias("nd"))
+            .first()[0]
         )
         out = (
-            streamed_rows.groupBy("topic")
+            streamed.groupBy("topic")
             .agg(F.count("*").alias("n_msgs"))
             .withColumn("n_diff", F.lit(n_diff).cast("bigint"))
         )

@@ -33,8 +33,15 @@ import json
 import struct
 from collections.abc import Iterable, Iterator
 
-import pandas as pd
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # executor-side only — deferred so the per-query
+    # python_streaming_source_runner spawn (fresh interpreter,
+    # useDaemon=false) does not pay pandas' ~0.36 s import when it
+    # unpickles the rosbag DataSource (see rosbag_split.py header).
+    import pandas as pd
 
 from .ros_messages import decode_message
 
@@ -213,6 +220,8 @@ def _decode_partition(
     time_range: tuple[int, int] | None = None,
 ):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # once per task (deferred — see module header)
+
         for pdf in batches:
             for bag_path, blob in zip(pdf["path"], pdf["content"]):
                 try:

@@ -41,8 +41,17 @@ import struct
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-import pandas as pd
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # pandas is executor-side only: importing it at module
+    # level charges ~0.36 s to EVERY fresh interpreter that unpickles this
+    # module — in particular the per-query python_streaming_source_runner
+    # Spark spawns with useDaemon=false for format("rosbag") streams
+    # (measured: the spawn is most of the ~1.4 s pre-trigger gap per
+    # drain). The closures below import it once per task instead.
+    import pandas as pd
 
 from .rosbag import (
     BAG_MAGIC,
@@ -259,6 +268,8 @@ def read_bags_split(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
+
+        import pandas as pd  # once per task (deferred — see module header)
 
         for pdf in batches:
             rows = []

@@ -120,16 +120,21 @@ def test_manifest_sink_replay_and_orphan_invisibility(spark, tmp_path):
         read_committed,
     )
 
+    import pyarrow as pa
+
     schema = StructType([StructField("x", LongType())])
     w = ManifestStreamWriter({"path": str(tmp_path)}, schema)
-    m1 = w.write(iter([(1,), (2,)]))
+    # the writer is a DataSourceStreamArrowWriter: write() receives
+    # pyarrow RecordBatches (what Spark's write worker feeds it)
+    rb = pa.RecordBatch.from_pylist([{"x": 1}, {"x": 2}])
+    m1 = w.write(iter([rb]))
     w.commit([m1], batchId=0)
     # at-least-once replay of batch 0: a fresh attempt re-stages and
     # re-commits — the manifest must be replaced, not appended
-    m1b = w.write(iter([(1,), (2,)]))
+    m1b = w.write(iter([rb]))
     w.commit([m1b], batchId=0)
     # an aborted/crashed attempt leaves a staged orphan
-    orphan = w.write(iter([(99,)]))
+    orphan = w.write(iter([pa.RecordBatch.from_pylist([{"x": 99}])]))
     df = read_committed(spark, str(tmp_path), "x long")
     assert sorted(r.x for r in df.collect()) == [1, 2]
     w.abort([orphan], batchId=1)
@@ -291,12 +296,19 @@ def test_manifest_sink_binary_roundtrip(spark, tmp_path):
         read_committed,
     )
 
+    import pyarrow as pa
+
     schema = StructType(
         [StructField("k", LongType()), StructField("payload", BinaryType())]
     )
     w = ManifestStreamWriter({"path": str(tmp_path)}, schema)
     blob = bytes(range(256))
-    m = w.write(iter([(1, bytearray(blob)), (2, b"\x89PNG\r\n\x1a\n")]))
+    rb = pa.record_batch(
+        [pa.array([1, 2], pa.int64()),
+         pa.array([bytes(bytearray(blob)), b"\x89PNG\r\n\x1a\n"], pa.binary())],
+        names=["k", "payload"],
+    )
+    m = w.write(iter([rb]))
     w.commit([m], batchId=0)
     got = {
         r["k"]: bytes(r["payload"])
