@@ -638,12 +638,15 @@ def q95_bag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__side", F.lit(1))
             .unionAll(batch.select(*cmp_cols).withColumn("__side", F.lit(-1)))
         )
-        n_diff = (
+        diff_agg = (
             tagged.groupBy(*cmp_cols)
             .agg(F.sum("__side").alias("__d"))
             .agg(F.coalesce(F.sum(F.abs("__d")), F.lit(0)).alias("nd"))
-            .first()[0]
         )
+        from .registry import audit_round
+
+        audit_round("q95:parity_diff", diff_agg)
+        n_diff = diff_agg.first()[0]
         out = (
             streamed.groupBy("topic")
             .agg(F.count("*").alias("n_msgs"))

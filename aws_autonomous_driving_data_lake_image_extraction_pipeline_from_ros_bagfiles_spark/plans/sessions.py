@@ -201,6 +201,12 @@ def q156_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
             alpha=Q156_ALPHA,
+            # full session width, DELIBERATELY not the q61/q65 narrow
+            # treatment: this fold is Python compute (per-row float
+            # recurrence in applyInPandasWithState), so state width is
+            # its parallelism — the r13 sf1.0 A/B measured width 8 at
+            # 15.7 s vs width 32 at ~8.4 s. Narrow widths only pay off
+            # for cheap JVM state ops where the store commit dominates.
         )
         out = spark.read.parquet(f"{work}/out")
         # latest emission per key = the cumulative answer (n monotonic)

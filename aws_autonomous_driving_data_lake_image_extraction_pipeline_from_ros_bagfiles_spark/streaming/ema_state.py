@@ -86,28 +86,45 @@ def ema_stream(
     out_dir: str,
     checkpoint_dir: str,
     alpha: float,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the landing dir with availableNow, appending per-batch
     running EMA rows to ``out_dir`` (one row per key per batch it appears
-    in; the latest row per key is the stream's current answer)."""
+    in; the latest row per key is the stream's current answer).
+
+    ``shuffle_partitions`` (scoped to the drain, restored after) sizes
+    the keyed-state shuffle; per-key results are width-independent (the
+    fold sees all of a key's rows whichever partition the key hashes
+    to). CAVEAT (r13 A/B at sf1.0): unlike the q61/q65 stateful ops,
+    this fold is PYTHON compute — per-row float recurrence — so the
+    state width IS its parallelism; narrowing it to cut store-commit
+    fixed costs measured 8.4 -> 15.7 s at sf1.0. Leave None (session
+    width) unless the store commits are the measured wall."""
+    sp_key = "spark.sql.shuffle.partitions"
+    prior_sp = spark.conf.get(sp_key, "200")
+    if shuffle_partitions is not None:
+        spark.conf.set(sp_key, str(shuffle_partitions))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one landed file per micro-batch
         .parquet(src_dir)
     )
-    q = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            _make_fold(alpha),
-            outputStructType=OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _make_fold(alpha),
+                outputStructType=OUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(sp_key, prior_sp)
